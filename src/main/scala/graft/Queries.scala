@@ -1,0 +1,53 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central query registry: every operator in SURVEY.md §2 (+§7 extensions)
+  * appears here as a named query over the test corpus, with a matching
+  * DuckDB oracle SQL where the semantics are SQL-expressible.
+  *
+  * Each family lives in its own module under `graft.operators` /
+  * `graft.functions`; this object only assembles the maps the driver
+  * contract (`SparkEntry`) exposes.
+  */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed processing dates for the reference-parity queries (events table
+    * spans 2024-01-01 .. 2024-01-30; FIXTURES.md §C maps events→HVFHV). */
+  val processDate: LocalDate = LocalDate.parse("2024-01-15")
+  val cutoffDate: LocalDate = LocalDate.parse("2024-01-20")
+
+  // ---------------------------------------------------------------- parity
+  private val parity: Map[String, Q] = Map(
+    "q_daily_transactions" -> ((s, dir) =>
+      operators.DailyTransactions.dayCount(Tables.load(s, dir, "events"), "ts", processDate)),
+    "q_top5_zones" -> ((s, dir) =>
+      operators.TopZones.topZones(Tables.load(s, dir, "events"), "ts", "user_id", cutoffDate, 5)),
+  )
+
+  private val parityOracle: Map[String, String] = Map(
+    "q_daily_transactions" ->
+      """SELECT DATE '2024-01-15' AS transaction_date,
+        |       count(*) AS total_transactions
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'""".stripMargin,
+    "q_top5_zones" ->
+      """SELECT taxi_zone_id, trip_count, rank FROM (
+        |  SELECT taxi_zone_id, trip_count,
+        |         dense_rank() OVER (ORDER BY trip_count DESC) AS rank
+        |  FROM (
+        |    SELECT user_id AS taxi_zone_id, count(*) AS trip_count
+        |    FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-21'
+        |    GROUP BY user_id
+        |  )
+        |) WHERE rank <= 5
+        |ORDER BY rank, taxi_zone_id""".stripMargin,
+  )
+
+  // ------------------------------------------------------------- assembled
+  def all: Map[String, Q] = parity
+  def oracle: Map[String, String] = parityOracle
+}
