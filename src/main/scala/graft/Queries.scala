@@ -48,6 +48,6 @@ object Queries {
   )
 
   // ------------------------------------------------------------- assembled
-  def all: Map[String, Q] = parity
-  def oracle: Map[String, String] = parityOracle
+  def all: Map[String, Q] = parity ++ operators.Relational.queries
+  def oracle: Map[String, String] = parityOracle ++ operators.Relational.oracle
 }
