@@ -48,6 +48,10 @@ object Queries {
   )
 
   // ------------------------------------------------------------- assembled
-  def all: Map[String, Q] = parity ++ operators.Relational.queries
-  def oracle: Map[String, String] = parityOracle ++ operators.Relational.oracle
+  def all: Map[String, Q] =
+    parity ++ operators.Relational.queries ++ operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++ operators.Similarity.queries
+  def oracle: Map[String, String] =
+    parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
+      operators.Dedup.oracle ++ operators.Similarity.oracle
 }

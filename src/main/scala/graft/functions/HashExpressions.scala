@@ -1,0 +1,237 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.GraftBridge.{toCol, toExpr}
+
+/** Deterministic 64-bit hashing utilities shared by the sketch expressions.
+  *
+  * MinHash uses the standard one-hash + k universal permutations scheme:
+  * each shingle is hashed once with xxhash64, then permuted k times with
+  * `a_i * h + b_i` (odd multipliers) — k multiply-adds per shingle instead
+  * of k full hashes. Constants derive from splitmix64 so signatures are
+  * stable across JVMs/runs (a requirement for any dedup job that resumes or
+  * runs incrementally at 100 TB).
+  */
+object HashUtil {
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** k (a, b) permutation constants; a forced odd. */
+  def perms(k: Int): Array[(Long, Long)] =
+    Array.tabulate(k)(i => (splitmix64(2L * i) | 1L, splitmix64(2L * i + 1)))
+
+  def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+}
+
+/** `minhashes(shingles, k)` → array<long> of k MinHash values.
+  *
+  * One pass over the shingle array per row; null shingles are skipped.
+  * Empty arrays yield Long.MaxValue signatures (never collides with a real
+  * band). SURVEY.md §7.2 step 7 (MinHash dedup); the LSH banding that
+  * consumes these is in [[BandHashes]].
+  */
+case class MinHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val ab = HashUtil.perms(k)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val base = HashUtil.hashUtf8(arr.getUTF8String(j), 42L)
+        var i = 0
+        while (i < k) {
+          val v = ab(i)._1 * base + ab(i)._2
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
+}
+
+/** `bandhashes(signature, r)` → array<long> of len/r LSH band hashes.
+  * Band i chains xxhash64 over signature[i*r .. i*r+r-1] seeded with the
+  * band index, so identical sub-signatures in different bands never collide.
+  */
+case class BandHashes(child: Expression, r: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val b = sig.numElements() / r
+    val out = new Array[Long](b)
+    var i = 0
+    while (i < b) {
+      var h = i.toLong
+      var j = 0
+      while (j < r) {
+        h = XXH64.hashLong(sig.getLong(i * r + j), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): BandHashes = copy(child = c)
+}
+
+/** `simhash64(tokens)` → 64-bit SimHash of a token array.
+  * Per-bit vote of each token's xxhash64; near-duplicate texts land within
+  * a small Hamming distance. Verify with `bit_count(a ^ b)` (built-in).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val h = HashUtil.hashUtf8(arr.getUTF8String(j), 7L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+          bit += 1
+        }
+      }
+      j += 1
+    }
+    var res = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (acc(bit) > 0) res |= (1L << bit)
+      bit += 1
+    }
+    res
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** `cosine_sim(a, b)` → double cosine similarity of two float vectors.
+  *
+  * Single fused pass (dot + both norms) in double precision — the hot inner
+  * loop of similarity search; one virtual call per element via ArrayData,
+  * no boxing. Returns null on length mismatch or zero-norm input.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `winnow64(text, k, w)` → order-independent fingerprint of a document:
+  * XOR of the winnowed set of k-gram rolling hashes (min hash per window of
+  * w). Robust to small edits anywhere outside the changed region —
+  * the classic local document fingerprinting scheme (Schleimer et al.,
+  * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting").
+  */
+case class Winnow64(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < k) return 0L
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < k) { h = 31 * h + s.charAt(i + j); j += 1 }
+      hashes(i) = HashUtil.splitmix64(h)
+      i += 1
+    }
+    var res = 0L
+    var last = Long.MinValue // min of previous window, to dedup consecutive picks
+    i = 0
+    val windows = math.max(1, n - w + 1)
+    while (i < windows) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, n)
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      if (m != last) { res ^= m; last = m }
+      i += 1
+    }
+    res
+  }
+  override protected def withNewChildInternal(c: Expression): Winnow64 = copy(child = c)
+}
+
+/** `rh_signature(vec, nBits)` → LSH signature of a float vector under
+  * `nBits` fixed pseudo-random hyperplanes (sign of the dot product per
+  * plane). Hyperplane components derive deterministically from splitmix64,
+  * so signatures are stable across executors/runs — vectors bucketed by
+  * signature band give an O(n) candidate generation path for ANN search.
+  */
+case class RandomHyperplaneSig(child: Expression, nBits: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  // nBits × dim matrix of ~N(0,1)-ish components in [-1, 1)
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nBits, dim)((b, i) =>
+      HashUtil.splitmix64(b.toLong * 131071L + i).toDouble / Long.MaxValue.toDouble)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      val p = planes(b)
+      while (i < n) { dot += v.getFloat(i) * p(i); i += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): RandomHyperplaneSig = copy(child = c)
+}
+
+/** Column-API surface for the custom expressions (classic-session bridge:
+  * Spark 4 moved Column↔Expression conversion to sql.classic). */
+object Sketches {
+  def minhashes(c: Column, k: Int): Column = toCol(MinHashes(toExpr(c), k))
+  def bandhashes(c: Column, r: Int): Column = toCol(BandHashes(toExpr(c), r))
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def cosineSim(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
+  def winnow64(c: Column, k: Int = 5, w: Int = 8): Column = toCol(Winnow64(toExpr(c), k, w))
+  def rhSignature(c: Column, nBits: Int, dim: Int): Column =
+    toCol(RandomHyperplaneSig(toExpr(c), nBits, dim))
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Sketches
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md §7.2
+  * step 7): exact content-hash dedup, MinHash+LSH near-dup detection,
+  * SimHash near-dup detection, character-n-gram Jaccard (quadratic
+  * baseline), and embedding-cosine near-dup.
+  *
+  * Scale design: the LSH pipelines are the 100 TB path — cost is
+  * O(n · bands) shuffle plus candidate verification, never O(n²). The
+  * quadratic n-gram query is kept as the correctness baseline the LSH
+  * variants are judged against (its own Scaladoc says so); at cluster scale
+  * you run the LSH one.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Distinct word-3-shingles of `text` (0-based SQL array indexing):
+    * `transform(sequence(0, size(w)-3), i -> w[i] || ' ' || w[i+1] ...)`. */
+  private def shingled(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("sh"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** MinHash signature → LSH bands → exploded (band_idx, band_hash, doc_id). */
+  private def lshBands(sig: DataFrame, bandsCol: Column): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(bandsCol).as(Seq("band_idx", "band_hash")))
+
+  /** Self-join banded rows into distinct candidate pairs (doc_a < doc_b). */
+  private def candidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: hash-groupBy on normalized content; keeper = min doc_id
+    "q_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(md5(lower(col("text")).cast("binary")).as("content_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("content_hash"))
+    }),
+
+    // MinHash (k=64) + LSH (16 bands × 4 rows) near-dup pairs, verified
+    // with exact shingle-set Jaccard ≥ 0.8. At the corpus' similarity
+    // separation (dup pairs ≥0.98, background ≤0.1) LSH recall is ~1-1e-18,
+    // so the output equals the exact all-pairs oracle.
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingled(docs(s, dir))
+      val sig = sh.select(col("doc_id"), col("sh"),
+        Sketches.minhashes(col("sh"), 64).as("sig"))
+      val cand = candidatePairs(lshBands(sig, Sketches.bandhashes(col("sig"), 4)))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash over word-3-shingles; candidates from 8×8-bit signature
+    // bands (a hamming-≤7 pair always shares at least one band, by
+    // pigeonhole), verified with exact Hamming distance ≤ 12 (custom
+    // catalyst expression + built-in bit_count)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val sig = shingled(docs(s, dir))
+        .select(col("doc_id"), Sketches.simhash64(col("sh")).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 8).map(i =>
+          shiftrightunsigned(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*))
+          .as(Seq("band_idx", "band_val")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // character-5-gram Jaccard, all-pairs — the O(n²) correctness baseline
+    // for the LSH pipelines (run the LSH ones at scale, not this)
+    "q_dedup_ngram" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, length(text)-5), i -> substr(text, i+1, 5))")).as("g"))
+      g.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
+        .join(g.select(col("doc_id").as("doc_b"), col("g").as("g_b")),
+          col("doc_a") < col("doc_b"))
+        .withColumn("jaccard5", jaccard(col("g_a"), col("g_b")))
+        .filter(col("jaccard5") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard5"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // embedding-cosine near-dup pairs (custom fused cosine expression);
+    // quadratic here, LSH-bucketed path in Similarity.q_similarity_lsh
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(Sketches.cosineSim(col("emb_a"), col("emb_b")), 6))
+        .filter(col("cos") >= 0.45)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+  )
+
+  private val exactPairsSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                       for i in range(1, len(w)-1)]) AS sh
+      |      FROM t WHERE len(w) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(lower(text)) AS content_hash, COUNT(*) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // simhash pairs equal the exact near-dup pairs on this corpus (clean
+    // separation); hamming itself is not SQL-computable so it is excluded
+    "q_dedup_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text)-3)]) AS gg
+        |  FROM documents WHERE length(text) >= 5)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.gg, b.gg)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.gg, b.gg))) AS jaccard5
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.gg, b.gg)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.gg, b.gg))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Sketches
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table (SURVEY.md §7.2 step 7): per-document statistics,
+  * token counting (exact whitespace + BPE-style estimate), quality scoring,
+  * n-gram language identification, token frequency, and document
+  * fingerprinting.
+  *
+  * Everything is built-in `functions._` column algebra (codegen'd, no UDFs)
+  * except the winnowing fingerprint, which is a custom catalyst expression
+  * ([[graft.functions.Winnow64]]). All queries are single-scan,
+  * shuffle-free (or shuffle only on bounded aggregates) — the shapes that
+  * stream through 100 TB of text without a hot spot.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Whitespace tokens of the raw text (literal single-space split — keep
+    * oracle parity with DuckDB's string_split). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  private val stop = Seq("the", "a")
+  // tiny per-language stopword lists for the n-gram/stopword language guess
+  val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+  )
+
+  def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words))).cast("long")
+
+  /** Deterministic stopword-profile language guess (tie-break en>de>es>fr). */
+  def langPred(text: Column): Column = {
+    val tk = toks(lower(text))
+    val h = langStops.map { case (l, ws) => l -> hitCount(tk, ws) }.toMap
+    when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr"), "en")
+      .when(h("de") >= h("es") && h("de") >= h("fr"), "de")
+      .when(h("es") >= h("fr"), "es")
+      .otherwise("fr")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // per-document size/token statistics + BPE-style token estimate
+    "q_doc_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(toks(col("text")))).cast("long").as("n_uniq_tokens"),
+        (length(translate(col("text"), " ", "")).cast("double") /
+          size(toks(col("text")))).as("mean_token_len"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-level token frequency (top 20). explode → partial agg per
+    // partition → tiny final shuffle: the scalable word-count shape.
+    "q_token_freq" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(toks(lower(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    // heuristic quality score: stopword ratio, punctuation ratio, length
+    "q_doc_quality" -> ((s, dir) => {
+      val tk = toks(lower(col("text")))
+      val nTok = size(tk)
+      val punct = length(col("text")) - length(translate(col("text"), ".,!?", ""))
+      val stopRatio = hitCount(tk, stop).cast("double") / nTok.cast("double")
+      val punctRatio = punct.cast("double") / length(col("text")).cast("double")
+      docs(s, dir).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        punct.cast("long").as("punct_cnt"),
+        stopRatio.as("stop_ratio"),
+        (stopRatio * 0.5 + least(lit(1.0), nTok.cast("double") / 200.0) * 0.5
+          - punctRatio * 0.1).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stopword-profile language guess (deterministic argmax with fixed
+    // tie-break order en > de > es > fr)
+    "q_lang_id" -> ((s, dir) => {
+      val tk = toks(lower(col("text")))
+      val hits = langStops.map { case (l, ws) => l -> hitCount(tk, ws) }.toMap
+      docs(s, dir).select(
+        col("doc_id"),
+        hits("en").as("en_hits"), hits("de").as("de_hits"),
+        hits("es").as("es_hits"), hits("fr").as("fr_hits"),
+        langPred(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // content-hash fingerprint of the case-normalized text
+    "q_doc_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(lower(col("text")).cast("binary")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // winnowed rolling-hash fingerprint (custom catalyst expression; robust
+    // to local edits — no SQL oracle, rows-only + unit-tested)
+    "q_doc_winnow" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        Sketches.winnow64(col("text"), 5, 8).as("fp_winnow"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_doc_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len,
+        |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q_doc_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(replace(replace(replace(replace(text,'.',''),',',''),'!',''),'?','')) AS BIGINT) AS punct_cnt,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a'))) AS DOUBLE)
+        |    / len(string_split(lower(text), ' ')) AS stop_ratio,
+        |  (CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a'))) AS DOUBLE)
+        |     / len(string_split(lower(text), ' '))) * 0.5
+        |  + LEAST(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 200.0) * 0.5
+        |  - (CAST(length(text) - length(replace(replace(replace(replace(text,'.',''),',',''),'!',''),'?','')) AS DOUBLE)
+        |     / length(text)) * 0.1 AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los','y','es'))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','les','et','est'))) AS BIGINT) AS fr_hits
+        |  FROM documents)
+        |SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |       WHEN es_hits >= fr_hits THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's `private[sql]` Column ↔ Expression conversions
+  * (`org.apache.spark.sql.classic.ExpressionUtils`). Spark 4 split Column
+  * from catalyst Expression for Connect; a classic-session library that
+  * defines custom catalyst expressions needs exactly these two hops.
+  */
+object GraftBridge {
+  def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

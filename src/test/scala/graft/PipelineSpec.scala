@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Behavior tests for the queries that have no SQL oracle: language ID on
+  * known-language text, ANN recall vs the brute-force baseline, and the
+  * winnowing fingerprint query shape. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langPred: classifies stopword-bearing texts") {
+    val df = Seq(
+      "the cat sat of a mat and it is fine",
+      "der hund und die katze das ist gut",
+      "el perro y la casa los gatos es asi",
+      "le chien et les chats la maison est belle",
+    ).toDF("text")
+    val got = df.select(TextAnalysis.langPred($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr"))
+  }
+
+  test("ANN LSH recall ≥ 0.5 of brute-force top-5 on the test corpus") {
+    val bf = Queries.all("q_similarity_topk")(spark, sfDir)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Queries.all("q_similarity_lsh")(spark, sfDir)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("minhash LSH near-dup pairs match simhash near-dup pairs on corpus") {
+    val mh = Queries.all("q_dedup_minhash_lsh")(spark, sfDir)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Queries.all("q_dedup_simhash")(spark, sfDir)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty, "corpus has planted near-duplicates")
+    assert(mh == sh, "two independent sketches agree on the dup set")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhashes: identical inputs → identical signatures, deterministic") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z", "y z w", "z w v"))).toDF("id", "sh")
+    val sigs = df.select($"id", minhashes($"sh", 64).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 64)
+    // signature agreement approximates jaccard: overlapping sets agree on
+    // some components, disjoint sets on ~none
+    val overlap = Seq((1L, Seq("a b c", "b c d", "q q q", "r r r"))).toDF("id", "sh")
+      .select(minhashes($"sh", 64)).head.getSeq[Long](0)
+    val agree = sigs(1L).zip(overlap).count { case (x, y) => x == y }
+    assert(agree > 5 && agree < 60, s"agreement $agree should be partial")
+  }
+
+  test("bandhashes: 64 sig / r=4 → 16 bands; equal sigs → equal bands") {
+    val df = Seq((1L, (1L to 64L).toSeq), (2L, (1L to 64L).toSeq),
+      (3L, (2L to 65L).toSeq)).toDF("id", "sig")
+    val bands = df.select($"id", bandhashes($"sig", 4).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bands(1L).length == 16)
+    assert(bands(1L) == bands(2L))
+    assert(bands(1L) != bands(3L))
+  }
+
+  test("simhash64: hamming tracks similarity") {
+    val base = (1 to 100).map(i => s"tok$i")
+    val near = base.updated(5, "CHANGED")
+    val far = (1 to 100).map(i => s"other$i")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "t")
+    val sigs = df.select($"id", simhash64($"t").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) == 0)
+    assert(ham(sigs(1L), sigs(3L)) < 16, "one changed token of 100 → small hamming")
+    assert(ham(sigs(1L), sigs(4L)) > 16, "disjoint vocab → large hamming")
+  }
+
+  test("cosineSim: known vectors") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),   // orthogonal → 0
+      (Seq(1f, 1f), Seq(2f, 2f)),   // parallel → 1
+      (Seq(1f, 0f), Seq(-1f, 0f)),  // opposite → -1
+    ).toDF("a", "b")
+    val got = df.select(cosineSim($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    // length mismatch → null
+    val bad = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+      .select(cosineSim($"a", $"b")).head
+    assert(bad.isNullAt(0))
+  }
+
+  test("winnow64: equal texts equal, different texts differ, deterministic") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different sentence about spark engines"),
+      (4L, "ab")).toDF("id", "t") // shorter than k → 0
+    val fps = df.select($"id", winnow64($"t", 5, 8).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    assert(fps(4L) == 0L)
+  }
+
+  test("rhSignature: deterministic; similar vectors share more bits") {
+    val v = (1 to 64).map(i => math.sin(i.toDouble).toFloat)
+    val near = v.updated(0, v(0) + 0.01f)
+    val anti = v.map(x => -x)
+    val df = Seq((1L, v), (2L, v), (3L, near), (4L, anti)).toDF("id", "v")
+    val sigs = df.select($"id", rhSignature($"v", 32, 64).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(2L))
+    assert(ham(sigs(1L), sigs(3L)) <= 2)
+    assert(ham(sigs(1L), sigs(4L)) == 32, "antipodal vector flips every plane")
+  }
+}
