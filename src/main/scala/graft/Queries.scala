@@ -50,8 +50,10 @@ object Queries {
   // ------------------------------------------------------------- assembled
   def all: Map[String, Q] =
     parity ++ operators.Relational.queries ++ operators.TextAnalysis.queries ++
-      operators.Dedup.queries ++ operators.Similarity.queries
+      operators.Dedup.queries ++ operators.Similarity.queries ++
+      operators.Multimodal.queries ++ streaming.Streams.queries
   def oracle: Map[String, String] =
     parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
-      operators.Dedup.oracle ++ operators.Similarity.oracle
+      operators.Dedup.oracle ++ operators.Similarity.oracle ++
+      operators.Multimodal.oracle ++ streaming.Streams.oracle
 }

@@ -34,18 +34,23 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** MinHash signature → LSH bands → exploded (band_idx, band_hash, doc_id). */
-  private def lshBands(sig: DataFrame, bandsCol: Column): DataFrame =
-    sig.select(col("doc_id"),
-      posexplode(bandsCol).as(Seq("band_idx", "band_hash")))
-
-  /** Self-join banded rows into distinct candidate pairs (doc_a < doc_b). */
-  private def candidatePairs(bands: DataFrame): DataFrame =
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** Banded rows → distinct candidate pairs (doc_a < doc_b) via
+    * groupBy-bucket + in-bucket expansion, NOT a self-join: one exchange on
+    * the band key materializes the (expensive, custom-expression) sketch
+    * projection exactly once — a self-join would re-evaluate it on both
+    * sides per banded row (CollapseProject inlines the expression tree),
+    * measured 6× slower. Bucket sizes are bounded by band selectivity, so
+    * the in-bucket expansion is linear-ish; a hot bucket at cluster scale
+    * gets salted or capped, not self-joined. */
+  private def bucketPairs(banded: DataFrame, keyCols: Seq[String]): DataFrame =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("doc_id")).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+             transform(slice(xs, i + 2, size(xs) - i - 1), y ->
+               struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
   val queries: Map[String, Q] = Map(
@@ -63,9 +68,12 @@ object Dedup {
     // so the output equals the exact all-pairs oracle.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingled(docs(s, dir))
-      val sig = sh.select(col("doc_id"), col("sh"),
-        Sketches.minhashes(col("sh"), 64).as("sig"))
-      val cand = candidatePairs(lshBands(sig, Sketches.bandhashes(col("sig"), 4)))
+      // generator expression (minhash→bands→posexplode) evaluates once per
+      // doc; nothing downstream references the signature
+      val banded = sh.select(col("doc_id"),
+        posexplode(Sketches.bandhashes(Sketches.minhashes(col("sh"), 64), 4))
+          .as(Seq("band_idx", "band_hash")))
+      val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -82,18 +90,27 @@ object Dedup {
     "q_dedup_simhash" -> ((s, dir) => {
       val sig = shingled(docs(s, dir))
         .select(col("doc_id"), Sketches.simhash64(col("sh")).as("sig"))
-      val bands = sig.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 8).map(i =>
-          shiftrightunsigned(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*))
-          .as(Seq("band_idx", "band_val")))
-      bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
-        .distinct()
+      // explode the band INDEX first (Generate is a projection-collapse
+      // barrier → simhash evaluates once per doc), then derive band values
+      val bands = sig
+        .select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(7))).as("band_idx"))
+        .withColumn("band_val",
+          expr("shiftright(sig, cast(band_idx * 8 as int)) & 255"))
+      bands
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(xs, (x, i) ->
+               transform(slice(xs, i + 2, size(xs) - i - 1), y ->
+                 struct(least(x.doc_id, y.doc_id) as doc_a,
+                        greatest(x.doc_id, y.doc_id) as doc_b,
+                        bit_count(x.sig ^ y.sig) as hamming))))""")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"),
+          col("p.hamming").cast("long").as("hamming"))
         .filter(col("hamming") <= 12)
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming expression of the reference's orchestration-level
+  * incremental processing (SURVEY.md §2.9): the reference re-reads the whole
+  * glob daily under an Airflow schedule + FileSensor; the Spark-native shape
+  * is a file-source stream with event-time windows and watermarks —
+  * new files are discovered by the source itself (the FileSensor, S9,
+  * becomes unnecessary).
+  *
+  * All queries run with `Trigger.AvailableNow` + a memory sink so they are
+  * finite and deterministic over the test corpus; against live data the
+  * same plans run continuously. At cluster scale the file source scales by
+  * listing + partition assignment; state (window counts, dedup keys,
+  * per-user state) lives in the state store, bounded by the watermark.
+  */
+object Streams {
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) read as epoch-nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private var counter = 0L
+  private def freshName(prefix: String): String = synchronized {
+    counter += 1; s"${prefix}_$counter"
+  }
+
+  /** File-source stream over events with ns→µs conversion applied. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file source requires a directory; select just the events file via glob
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToTable(df: DataFrame, spark: SparkSession, mode: OutputMode): DataFrame = {
+    val name = freshName("graft_stream")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Pipeline-1 as a stream: tumbling 1-day event-time window count — the
+    * watermarked, event-time-correct version of "count trips per pickup
+    * day" (reference `calculate_daily_transactions.py:52-57`). */
+  def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(to_date(col("w.start")).as("event_day"), col("n_events"))
+    runToTable(agg, spark, OutputMode.Complete()).orderBy(col("event_day"))
+  }
+
+  /** Streaming exact dedup on event_id (state-store keyed dedup), then a
+    * batch count over the deduped sink — the streaming half of the dedup
+    * family. */
+  def dedupCount(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+    runToTable(deduped, spark, OutputMode.Append())
+      .agg(count(lit(1)).as("n_unique_events"))
+  }
+
+  /** Custom state: per-user event counting via mapGroupsWithState —
+    * `KeyValueGroupedDataset` custom-state surface (SURVEY.md §7 north
+    * star). Output is robust to multi-batch replays by max-reducing the
+    * running counts. */
+  def userCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updateState = (userId: Long, events: Iterator[Long],
+                       state: GroupState[Long]) => {
+      val total = state.getOption.getOrElse(0L) + events.size
+      state.update(total)
+      (userId, total)
+    }
+    val counts = eventStream(spark, dir)
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+      .toDF("user_id", "n_events")
+    runToTable(counts, spark, OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
+    "q_stream_dedup" -> ((s, dir) => dedupCount(s, dir)),
+    "q_stream_user_counts" -> ((s, dir) => userCounts(s, dir)),
+  )
+
+  /** The streams are finite and deterministic → batch SQL oracles apply. */
+  val oracle: Map[String, String] = Map(
+    "q_stream_daily_counts" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT COUNT(DISTINCT event_id) AS n_unique_events FROM events",
+    "q_stream_user_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

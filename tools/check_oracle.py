@@ -49,8 +49,9 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
-    all_queries = sorted(
-        os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    dirs = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
+    # include oracle keys whose spark dump is missing (query crashed in Verify)
+    all_queries = sorted(dirs | set(oracle))
     for name in all_queries:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
