@@ -25,7 +25,23 @@ object Tables {
     * TimestampType at microsecond precision — the same truncation DuckDB
     * applies on `CAST(ts_ns AS TIMESTAMP)`, keeping oracle comparisons exact.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+  /** Register the engine's predicate-rewrite rule (to_date unwrap + ns→µs
+    * conversion pushdown, graft.plans.RewriteToDatePredicates) in this
+    * session if absent — load-bearing for events queries, whose `ts` is a
+    * derived column that otherwise blocks all parquet pushdown. Sessions
+    * built with `GraftExtensions` already have it; this covers
+    * caller-provided sessions (e.g. the driver's). */
+  private def ensureOptimizerRule(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(plans.RewriteToDatePredicates))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.RewriteToDatePredicates
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensureOptimizerRule(spark)
+    loadRaw(spark, sfDir, name)
+  }
+
+  private def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path(sfDir, name))

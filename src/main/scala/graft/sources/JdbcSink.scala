@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+
+/** JDBC sink configuration — injected, never resolved from an orchestrator
+  * (the reference couples to Airflow's `BaseHook.get_connection`,
+  * `calculate_daily_transactions.py:67`; SURVEY.md §3.3 flags this as the
+  * design consequence for us). */
+case class JdbcConfig(url: String, user: String = "", password: String = "",
+                      driver: String = "") {
+  def connProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    if (user.nonEmpty) p.setProperty("user", user)
+    if (password.nonEmpty) p.setProperty("password", password)
+    if (driver.nonEmpty) p.setProperty("driver", driver)
+    p
+  }
+}
+
+/** The reference's sink surface (SURVEY.md §2.1 S7/S8/S10).
+  *
+  * Executors write partitions concurrently over their own connections; at
+  * cluster scale bound the fan-in with `df.coalesce(n)` before the write so
+  * the database sees n writers, not one per task.
+  */
+object JdbcSink {
+  /** S7: append (`calculate_daily_transactions.py:65-78`). */
+  def append(df: DataFrame, conf: JdbcConfig, table: String): Unit =
+    df.write.mode("append").jdbc(conf.url, table, conf.connProps)
+
+  /** S8: overwrite. The reference's plain overwrite drops and recreates the
+    * table, clobbering externally-authored DDL
+    * (`daily_topfive_taxi_zone_dag.py:34-40` vs
+    * `calculate_top_taxi_zones.py:54`); `truncate=true` preserves it —
+    * SURVEY.md §7.4 calls for making this policy explicit. */
+  def overwriteTruncate(df: DataFrame, conf: JdbcConfig, table: String): Unit =
+    df.write.mode("overwrite").option("truncate", "true")
+      .jdbc(conf.url, table, conf.connProps)
+
+  /** S10: idempotent sink DDL bootstrap — plain JDBC, the job-runner
+    * equivalent of the DAG's `CREATE TABLE IF NOT EXISTS` step
+    * (`daily_transactions_dag.py:34-40,67-73`). */
+  def ensureTable(conf: JdbcConfig, ddl: String): Unit = {
+    if (conf.driver.nonEmpty) Class.forName(conf.driver)
+    val c = DriverManager.getConnection(conf.url, conf.connProps)
+    try {
+      val st = c.createStatement()
+      try st.execute(ddl) finally st.close()
+    } finally c.close()
+  }
+}

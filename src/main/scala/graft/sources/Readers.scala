@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's scan surface, re-expressed (SURVEY.md §2.1 S1-S6).
+  *
+  * S5 note: the reference lists files driver-side with `os.listdir`
+  * (`calculate_top_taxi_zones.py:37-40`) and loops per file; the Spark-
+  * native equivalent passes a glob to the reader and lets the
+  * (distributed, parallel) file index do discovery — `listParquetFiles`
+  * exists for API parity and uses Hadoop's FileSystem, which also works on
+  * object stores (a local-listdir would not, at cluster scale).
+  */
+object Readers {
+  /** S1/S3: parquet scan with explicit schema (glob or single path).
+    * Reference `calculate_daily_transactions.py:48-50` / `:25-27`. */
+  def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** S2: footer-inferred schema of one parquet file
+    * (`calculate_top_taxi_zones.py:21-23`). */
+  def footerSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** S4: schema-merged scan across drifting files
+    * (`spark.sql.parquet.mergeSchema`, `calculate_daily_transactions.py:119`).
+    * Option-scoped instead of session-wide: merging footers is expensive at
+    * large file counts, pay it only where drift exists. */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** S5: file discovery via Hadoop FileSystem glob (works on HDFS/S3/local). */
+  def listParquetFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.globStatus(new Path(p, "*.parquet")).toSeq.map(_.getPath.toString)
+  }
+
+  /** S6: in-memory literal frame (`calculate_daily_transactions.py:59-63`). */
+  def literal(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.sources.{JdbcConfig, JdbcSink}
+
+/** Round-trips the reference's sink contract (§1.4) against embedded Derby:
+  * DDL bootstrap idempotence, append mode, and overwrite+truncate
+  * preserving the externally-authored table. */
+class JdbcSinkSpec extends SparkSpec {
+  private val dbDir = java.nio.file.Files.createTempDirectory("graft_derby")
+  private val conf = JdbcConfig(
+    s"jdbc:derby:${dbDir.toAbsolutePath}/db;create=true",
+    driver = "org.apache.derby.jdbc.EmbeddedDriver")
+
+  test("ensureTable is idempotent; append accumulates; overwrite truncates") {
+    import spark.implicits._
+    // Derby has no IF NOT EXISTS — ensureTable tolerates 'already exists'
+    def ensure(): Unit =
+      try JdbcSink.ensureTable(conf,
+        "CREATE TABLE daily_transaction (transaction_date DATE, total_transactions BIGINT)")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    ensure(); ensure()
+
+    val day1 = Seq((java.sql.Date.valueOf("2024-01-15"), 42L))
+      .toDF("transaction_date", "total_transactions")
+    val day2 = Seq((java.sql.Date.valueOf("2024-01-16"), 7L))
+      .toDF("transaction_date", "total_transactions")
+    JdbcSink.append(day1, conf, "daily_transaction")
+    JdbcSink.append(day2, conf, "daily_transaction")
+    val appended = spark.read.jdbc(conf.url, "daily_transaction", conf.connProps)
+    assert(appended.count() == 2)
+
+    // overwrite+truncate keeps the table (and its DDL) but replaces content
+    JdbcSink.overwriteTruncate(day2, conf, "daily_transaction")
+    val replaced = spark.read.jdbc(conf.url, "daily_transaction", conf.connProps)
+    assert(replaced.count() == 1)
+    assert(replaced.head().getLong(1) == 7L)
+  }
+
+  test("JobRunner end-to-end: both pipelines into parquet and jdbc sinks") {
+    val out = java.nio.file.Files.createTempDirectory("graft_runner").toString
+    JobRunner.run(spark, "daily_transactions", LocalDate.parse("2024-01-16"),
+      sfDir, out, "daily_transaction")
+    val daily = spark.read.parquet(s"$out/daily_transaction")
+    assert(daily.count() == 1)
+    assert(daily.columns.toSeq ==
+      Seq("transaction_date", "total_transactions", "calculated_at"))
+
+    JobRunner.run(spark, "top_zones", LocalDate.parse("2024-01-21"),
+      sfDir, conf.url, "daily_topfive_taxi_zone")
+    val zones = spark.read.jdbc(conf.url, "daily_topfive_taxi_zone", conf.connProps)
+    assert(zones.count() >= 5)
+    // run again (idempotent daily overwrite — the reference's mode)
+    JobRunner.run(spark, "top_zones", LocalDate.parse("2024-01-21"),
+      sfDir, conf.url, "daily_topfive_taxi_zone")
+    assert(spark.read.jdbc(conf.url, "daily_topfive_taxi_zone", conf.connProps)
+      .count() == zones.count())
+  }
+}
