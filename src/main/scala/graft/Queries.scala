@@ -51,9 +51,11 @@ object Queries {
   def all: Map[String, Q] =
     parity ++ operators.Relational.queries ++ operators.TextAnalysis.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.Multimodal.queries ++ streaming.Streams.queries
+      operators.Multimodal.queries ++ streaming.Streams.queries ++
+      operators.Stats.queries
   def oracle: Map[String, String] =
     parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
-      operators.Multimodal.oracle ++ streaming.Streams.oracle
+      operators.Multimodal.oracle ++ streaming.Streams.oracle ++
+      operators.Stats.oracle
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is hot (SURVEY.md §7.4:
+  * "similarity join blow-up control (bucket skew)").
+  *
+  * AQE's skew-join handles sort-merge cases automatically (leave
+  * `spark.sql.adaptive.skewJoin.enabled` on); explicit salting is for the
+  * cases AQE can't split — e.g. a broadcast-side explosion or aggregations
+  * over a hot key. `saltedJoin` spreads each hot key over `salts`
+  * sub-partitions of the big side and replicates the small side once per
+  * salt: shuffle skew S/salts at the cost of a `salts`× small-side blowup.
+  */
+object Skew {
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    // row-dependent (not key-dependent!) salt on the big side — same-key
+    // rows must scatter across salts; monotonic id is deterministic per
+    // partition layout and needs no extra shuffle
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase aggregation over a possibly-hot group key: partial aggregate
+    * on (key, salt), then final on key. Spark's hash aggregate already does
+    * map-side partials; this is the explicit variant for agg functions
+    * whose partials stay large (e.g. collect-like states). */
+  def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("key"))
+      .agg(sum(col("partial")).as("n"))
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Statistical aggregates, sorted collection, approximate distinct, and a
+  * custom typed `Aggregator` — the aggregate surface beyond plain
+  * sum/count (SURVEY.md §2.4 notes the reference has none of these; §7.2
+  * step 7 calls for the custom-Aggregator path).
+  *
+  * Variance/stddev/corr are computed from decimal-exact moment sums with
+  * the textbook formulas written IDENTICALLY here and in the DuckDB oracle
+  * — bit-identical doubles, no dependence on either engine's internal
+  * (merge-order-sensitive) streaming variance. At cluster scale the moment
+  * sums are ordinary partial aggregates: one shuffle of 5 numbers per
+  * group.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Input row for the typed aggregator. */
+  case class LineSlim(l_returnflag: String, l_quantity: Double, l_extendedprice: Double)
+
+  /** Exact weighted average via integer cents — a custom typed Aggregator
+    * whose buffer merge is associative/commutative-exact (longs), so the
+    * result is deterministic under any partitioning. */
+  object WeightedAvgPrice extends Aggregator[LineSlim, (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: LineSlim): (Long, Long) =
+      (b._1 + math.round(a.l_extendedprice * 100) * a.l_quantity.toLong,
+        b._2 + a.l_quantity.toLong)
+    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Long, Long)): Double =
+      if (r._2 == 0) 0.0 else (r._1.toDouble / 100.0) / r._2.toDouble
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val queries: Map[String, Q] = Map(
+    // variance / stddev / correlation from exact moment sums
+    "q_stats_agg" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val n = count(lit(1)).cast("double")
+      val sx = sum(col("l_quantity")).cast("double")
+      val sxx = sum(col("l_quantity") * col("l_quantity")).cast("double")
+      val sy = sum(money(col("l_extendedprice"))).cast("double")
+      val syy = sum(money(col("l_extendedprice")) * money(col("l_extendedprice"))).cast("double")
+      val sxy = sum(money(col("l_extendedprice")) * col("l_quantity")).cast("double")
+      val varY = (syy - sy * sy / n) / (n - 1)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          n.cast("long").as("n_rows"),
+          varY.as("var_price"),
+          sqrt(varY).as("stddev_price"),
+          ((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // sorted set collection (collect_set is unordered → sort for determinism)
+    "q_collect" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+          size(collect_set(col("l_suppkey"))).cast("long").as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // HLL-sketch distinct count — engine-specific estimates, so rows-only
+    // in the oracle gate; accuracy vs exact is unit-tested (±10%)
+    "q_approx_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // custom typed Aggregator over Dataset[LineSlim]
+    "q_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .as[LineSlim]
+        .groupByKey(_.l_returnflag)
+        .agg(WeightedAvgPrice.toColumn.name("w_avg_price"))
+        .toDF("l_returnflag", "w_avg_price")
+        .orderBy(col("l_returnflag"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(l_quantity) AS DOUBLE) AS sx,
+        |    CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * l_quantity) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  (syy - sy * sy / n) / (n - 1) AS var_price,
+        |  sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_collect" ->
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  CAST(len(list(DISTINCT l_suppkey)) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_typed_agg" ->
+      """SELECT l_returnflag,
+        |  (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |            * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0)
+        |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS w_avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

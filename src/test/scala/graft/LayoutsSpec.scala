@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.Layouts
+
+/** Physical-layout behavior: partition pruning actually prunes, bucketed
+  * joins actually skip the exchange, salted joins preserve semantics. */
+class LayoutsSpec extends SparkSpec {
+
+  test("date-partitioned layout gets partition pruning") {
+    val out = Files.createTempDirectory("graft_part").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    Layouts.writeDatePartitioned(ev, "ts", out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("p_date") === lit("2024-01-15").cast("date"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"), plan)
+    // pruning must not change results vs the raw-range filter
+    val expected = ev.filter(
+      col("ts") >= lit("2024-01-15").cast("timestamp") &&
+      col("ts") < lit("2024-01-16").cast("timestamp")).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("co-bucketed tables join with zero shuffle exchange") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Layouts.writeBucketed(li, "li_bkt", 4, Seq("l_orderkey"))
+    Layouts.writeBucketed(ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_bkt", 4, Seq("l_orderkey"))
+    // disable broadcast so the join would otherwise shuffle both sides
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt").join(spark.table("ord_bkt"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() ==
+        li.join(ord, li("l_orderkey") === ord("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("saltedJoin equals plain join") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(ord, Seq("l_orderkey")).count()
+    val salted = Skew.saltedJoin(li, ord, Seq("l_orderkey"), salts = 8).count()
+    assert(salted == plain)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val plain = ev.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(ev, col("user_id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
