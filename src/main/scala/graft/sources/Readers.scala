@@ -42,4 +42,27 @@ object Readers {
   /** S6: in-memory literal frame (`calculate_daily_transactions.py:59-63`). */
   def literal(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+
+  /** Schema-drift reconciliation (the reference's mode 2, SURVEY.md §1.3):
+    * NYC TLC changed physical column types across monthly files (e.g.
+    * PULocationID int32 → int64), which `mergeSchema` refuses to merge —
+    * exactly why the reference re-infers per file
+    * (`calculate_top_taxi_zones.py:21-27`). Read each file with its own
+    * footer schema, cast every present column to the canonical type, fill
+    * absent columns with nulls, and union by name.
+    *
+    * Scale note: the per-file loop builds one lazy plan — N scans unioned,
+    * executed as one distributed job, NOT N sequential jobs like the
+    * reference's driver loop (§3.2). */
+  def readDrifted(spark: SparkSession, paths: Seq[String],
+                  canonical: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    paths.map { p =>
+      val present = spark.read.parquet(p).schema.fieldNames.toSet
+      spark.read.parquet(p).select(canonical.fields.toSeq.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
 }

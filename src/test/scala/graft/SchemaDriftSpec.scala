@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.sources.Readers
+
+/** Drift fixtures per FIXTURES.md §A: the same column with different
+  * physical types across files (int32 vs int64 zone ids, float vs double
+  * fares), plus a file missing a column entirely. */
+class SchemaDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val canonical = StructType(Seq(
+    StructField("PULocationID", LongType),
+    StructField("trip_miles", DoubleType),
+    StructField("airport_fee", DoubleType)))
+
+  test("readDrifted reconciles int→long, float→double, and missing columns") {
+    val dir = Files.createTempDirectory("graft_drift").toString
+    // month 1: int zone ids, float miles, no airport_fee column
+    Seq((1, 1.5f), (2, 2.5f)).toDF("PULocationID", "trip_miles")
+      .write.parquet(s"$dir/m1.parquet")
+    // month 2: long zone ids, double miles, airport_fee present
+    Seq((3L, 3.5, 2.75), (4L, 4.5, 0.0))
+      .toDF("PULocationID", "trip_miles", "airport_fee")
+      .write.parquet(s"$dir/m2.parquet")
+
+    // mergeSchema cannot reconcile the type conflict — this is the failure
+    // mode the per-file path exists for
+    intercept[Exception] {
+      Readers.parquetMerged(spark, s"$dir/*.parquet").collect()
+    }
+
+    val df = Readers.readDrifted(spark,
+      Seq(s"$dir/m1.parquet", s"$dir/m2.parquet"), canonical)
+    assert(df.schema == canonical)
+    val rows = df.orderBy("PULocationID").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows(0).isNullAt(2) && !rows(2).isNullAt(2))
+    assert(math.abs(rows(0).getDouble(1) - 1.5) < 1e-6)
+  }
+
+  test("footerSchema reflects per-file physical types") {
+    val dir = Files.createTempDirectory("graft_drift2").toString
+    Seq((1, "a")).toDF("k", "v").write.parquet(s"$dir/f.parquet")
+    val s = Readers.footerSchema(spark, s"$dir/f.parquet")
+    assert(s("k").dataType == IntegerType)
+  }
+}
