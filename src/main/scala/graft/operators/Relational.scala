@@ -345,6 +345,19 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // from_json with an explicit schema → typed struct access (the schema-
+    // ful sibling of get_json_object; at scale, parse once → many fields)
+    "q_json_struct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("p.k")).as("sum_k"),
+          count(when(col("p.k") > 50, 1)).as("n_big_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("user_id"))
@@ -537,6 +550,14 @@ object Relational {
         |  CAST(MAX(k) AS BIGINT) AS max_k,
         |  AVG(k) AS avg_k,
         |  COUNT(k) AS n_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_json_struct" ->
+      """SELECT event_type,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)

@@ -74,7 +74,42 @@ object Similarity {
         .select(col("qid"), col("vec_id"), col("score"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
+
+    "q_similarity_ivf" -> ((s, dir) => ivf(s, dir)),
   )
+
+  /** IVF-style ANN: a fixed deterministic codebook (first 16 vectors — a
+    * real deployment k-means-trains it; the assignment/probe plumbing is
+    * identical), every vector assigned to its nearest centroid cell, query
+    * probes its top-`nprobe` cells, exact re-rank inside. Linear cost:
+    * n×|codebook| assignment, then per-cell candidate scan. */
+  private def ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val cb = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    def assign(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cell_score").desc, col("cell"))
+      df.join(broadcast(cb), lit(true))
+        .withColumn("cell_score", Sketches.cosineSim(col(vecCol), col("cv")))
+        .withColumn("cell_rn", row_number().over(w))
+        .filter(col("cell_rn") <= keep)
+        .drop("cv", "cell_score", "cell_rn")
+    }
+    val cells = assign(e, "vec_id", "embedding", keep = 1)
+    val probes = assign(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", keep = 2) // nprobe = 2
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Sketches.cosineSim(col("qv"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_similarity_topk" ->

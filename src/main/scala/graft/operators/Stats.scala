@@ -53,13 +53,15 @@ object Stats {
       val syy = sum(money(col("l_extendedprice")) * money(col("l_extendedprice"))).cast("double")
       val sxy = sum(money(col("l_extendedprice")) * col("l_quantity")).cast("double")
       val varY = (syy - sy * sy / n) / (n - 1)
+      // moments are exact; the derived stats are rounded because engines
+      // may contract a*b−c with FMA differently (observed 1-ulp drift)
       li.groupBy(col("l_returnflag"))
         .agg(
           n.cast("long").as("n_rows"),
-          varY.as("var_price"),
-          sqrt(varY).as("stddev_price"),
-          ((n * sxy - sx * sy) /
-            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+          round(varY, 4).as("var_price"),
+          round(sqrt(varY), 6).as("stddev_price"),
+          round((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9).as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -81,6 +83,19 @@ object Stats {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // DataSketches HLL: a mergeable distinct sketch — unlike
+    // approx_count_distinct's internal HLL++, the sketch itself is a
+    // column, so it can be stored and re-merged incrementally (the shape a
+    // 100 TB incremental pipeline needs). Engine-specific estimate →
+    // rows-only gate + tolerance unit test.
+    "q_hll_sketch" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
+          .as("hll_parts"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -110,9 +125,9 @@ object Stats {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  CAST(n AS BIGINT) AS n_rows,
-        |  (syy - sy * sy / n) / (n - 1) AS var_price,
-        |  sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price,
-        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |  round((syy - sy * sy / n) / (n - 1), 4) AS var_price,
+        |  round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_collect" ->
       """SELECT l_returnflag,

@@ -30,6 +30,15 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF ANN recall ≥ 0.5 of brute-force top-5 on the test corpus") {
+    val bf = Queries.all("q_similarity_topk")(spark, sfDir)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Queries.all("q_similarity_ivf")(spark, sfDir)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("minhash LSH near-dup pairs match simhash near-dup pairs on corpus") {
     val mh = Queries.all("q_dedup_minhash_lsh")(spark, sfDir)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -17,4 +17,16 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("hll_sketch estimate within 10% of exact") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Queries.all("q_hll_sketch")(spark, sfDir).collect().foreach { r =>
+      val (k, a) = (r.getString(0), r.getLong(1))
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: hll $a vs exact $e")
+    }
+  }
 }
