@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -128,13 +128,41 @@ case class SimHash64(child: Expression)
 /** `cosine_sim(a, b)` → double cosine similarity of two float vectors.
   *
   * Single fused pass (dot + both norms) in double precision — the hot inner
-  * loop of similarity search; one virtual call per element via ArrayData,
-  * no boxing. Returns null on length mismatch or zero-norm input.
+  * loop of similarity search. Participates in whole-stage codegen
+  * (`doGenCode` emits the fused loop inline), so a pairwise-similarity scan
+  * stays one tight JIT'd loop instead of per-row interpreted eval. Returns
+  * null on length mismatch or zero-norm input.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $x = (double) $a.getFloat($i);
+        |    final double $y = (double) $b.getFloat($i);
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  }
+        |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+        |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+        |}""".stripMargin
+    })
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]

@@ -67,6 +67,19 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // frame sampling: one "frame" per fixed byte stride of the payload
+    // (stand-in for video frame extraction — the array-building/stride
+    // plumbing is the real part; string-joined for the oracle compare)
+    "q_multimodal_frames" -> ((s, dir) => {
+      media(s, dir)
+        .withColumn("txt", col("payload").cast("string"))
+        .select(col("doc_id"), col("kind"),
+          expr("""array_join(transform(sequence(0, cast((length(txt)-1)/50 as int)),
+                   i -> ascii(substr(txt, i*50 + 1, 1))), ',')""").as("frame_bytes"),
+          (floor((length(col("txt")) - 1) / 50) + 1).cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // batched decode via mapPartitions over Dataset[MediaRow] (stubbed
     // codec, real plumbing) — rows-only check + unit test
     "q_multimodal_features" -> ((s, dir) => {
@@ -79,6 +92,14 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  array_to_string([ascii(substr(text, i*50 + 1, 1))
+        |                   for i in range(0, CAST(floor((length(text)-1)/50) AS INTEGER) + 1)],
+        |                  ',') AS frame_bytes,
+        |  CAST(floor((length(text)-1)/50) + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,

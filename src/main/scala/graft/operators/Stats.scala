@@ -65,12 +65,14 @@ object Stats {
         .orderBy(col("l_returnflag"))
     }),
 
-    // sorted set collection (collect_set is unordered → sort for determinism)
+    // sorted set collection (collect_set is unordered → sort for
+    // determinism; joined to a string so the oracle compare is
+    // representation-independent)
     "q_collect" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
           size(collect_set(col("l_suppkey"))).cast("long").as("n_supps"))
         .orderBy(col("l_returnflag"))
     }),
@@ -131,7 +133,7 @@ object Stats {
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_collect" ->
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         |  CAST(len(list(DISTINCT l_suppkey)) AS BIGINT) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_typed_agg" ->
