@@ -179,6 +179,17 @@ object Relational {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Same semantics as q_window_rank but through the custom TopKPerKey
+    // physical operator (bounded per-key heap, no partition sort) —
+    // graft.plans.TopKPerKey; plan-asserted in TopKPerKeySpec
+    "q_topk_per_key" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.TopK.perKey(ord, Seq("o_custkey"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // Running total with an explicit ROWS frame and a total deterministic
     // order (shipdate, orderkey, linenumber is unique).
     "q_window_running" -> ((s, dir) => {
@@ -452,6 +463,14 @@ object Relational {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  SUM(l_quantity) OVER (PARTITION BY l_suppkey

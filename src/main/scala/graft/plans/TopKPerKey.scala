@@ -1,0 +1,109 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom Catalyst path (SURVEY.md §7.3 level (c)): top-k
+  * rows per key without a window.
+  *
+  * The window formulation (`row_number().over(partitionBy(key).orderBy(o))
+  * ≤ k`) must fully SORT every key partition — O(n log n) comparisons and
+  * a complete materialized sort per partition — then throws away all but k
+  * rows. This operator keeps a bounded k-element heap per key:
+  * O(n log k), memory O(#keys·k), no sort buffer. At 100 TB with heavy
+  * keys, that is the difference between spilling sorts and a streaming
+  * pass. (The win is algorithmic, not expressible by composing built-ins —
+  * hence a physical operator, not an expression.)
+  *
+  * Plumbing: [[TopKPerKey]] (logical) → [[TopKPerKeyStrategy]] (planner) →
+  * [[TopKPerKeyExec]] (physical; declares `ClusteredDistribution` on the
+  * key so EnsureRequirements inserts the one needed hash exchange).
+  * Registered via [[GraftExtensions]] or
+  * `spark.experimental.extraStrategies`.
+  */
+case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+                      child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, keys, order, child) =>
+      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val sortOrder = order
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = RowOrdering.create(sortOrder, childOutput)
+      // max-heap on the ordering: head = worst retained row per key
+      val heapOrd: Ordering[InternalRow] = (a, b) => ordering.compare(a, b)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          mutable.PriorityQueue.empty[InternalRow](heapOrd))
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** DataFrame-level API. `order` is a list of (columnName, descending)
+  * pairs and must form a TOTAL order for deterministic results (add a
+  * unique tie-break column — same rule as row_number). SortOrders are
+  * built from the plan's resolved attributes directly: converting a
+  * `Column.desc` drags Spark 4's internal ColumnNode into the expression
+  * tree, which is not task-serializable. */
+object TopK {
+  def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[(String, Boolean)],
+             k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val plan = GraftBridge.analyzedPlan(df)
+    val resolve = plan.output.map(a => a.name -> a).toMap
+    val keys = keyCols.map(n => resolve(n): Expression)
+    val sortOrder = order.map { case (n, desc) =>
+      SortOrder(resolve(n), if (desc) Descending else Ascending)
+    }
+    GraftBridge.ofRows(spark, TopKPerKey(k, keys, sortOrder, plan))
+  }
+
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+}
