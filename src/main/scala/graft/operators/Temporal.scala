@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Temporal operators beyond the reference's daily slicing: session
+  * windows, as-of join, and range join — the time-series surface a
+  * training-data pipeline needs for event attribution and windowed joins.
+  */
+object Temporal {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // gap-based sessionization (30-min inactivity gap). Built-in
+    // session_window: per-key merge of overlapping [t, t+gap) intervals —
+    // one shuffle on user_id, state bounded per key.
+    "q_session_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // as-of join: each purchase matched to the user's most recent prior
+    // (or simultaneous) signup. Implemented as the scalable union-tag
+    // composition — tag both streams, sort per user, running last_value
+    // with ignoreNulls — ONE shuffle + window, no join at all (the classic
+    // trades/quotes asof shape; a per-row range join would be O(n·m)).
+    // Oracle: DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val tagged = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), lit(1).as("is_signup"),
+          lit(null).cast("long").as("event_id"))
+        .unionByName(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(0).as("is_signup"), col("event_id")))
+      // at equal ts the signup sorts first → simultaneous signup matches
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_signup").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("signup_ts",
+          last(when(col("is_signup") === 1, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_signup") === 0 && col("signup_ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("signup_ts"),
+          expr("(unix_micros(ts) - unix_micros(signup_ts)) div 1000000")
+            .as("lag_seconds"))
+        .orderBy(col("event_id"))
+    }),
+
+    // range join against a small interval dimension — broadcast the
+    // intervals so the fact side streams through a nested-loop probe of a
+    // handful of ranges (never shuffle the fact table for this)
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val periods = Seq(
+        ("early", "1995-01-01", "1997-01-01"),
+        ("mid", "1997-01-01", "1999-01-01"),
+        ("late", "1999-01-01", "2002-01-01"))
+        .toDF("period", "p_start", "p_end")
+        .select(col("period"),
+          col("p_start").cast("timestamp").as("p_start"),
+          col("p_end").cast("timestamp").as("p_end"))
+      Tables.load(s, dir, "orders")
+        .join(broadcast(periods),
+          col("o_orderdate") >= col("p_start") && col("o_orderdate") < col("p_end"))
+        .groupBy(col("period"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("period"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_session_window" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM x),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_asof_join" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.purchase_ts, s.signup_ts,
+        |  (epoch_us(p.purchase_ts) - epoch_us(s.signup_ts)) // 1000000 AS lag_seconds
+        |FROM p ASOF JOIN s
+        |  ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts
+        |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT period, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN (VALUES ('early', TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01'),
+        |             ('mid',   TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01'),
+        |             ('late',  TIMESTAMP '1999-01-01', TIMESTAMP '2002-01-01'))
+        |  AS t(period, p_start, p_end)
+        |  ON o_orderdate >= p_start AND o_orderdate < p_end
+        |GROUP BY period ORDER BY period""".stripMargin,
+  )
+}
