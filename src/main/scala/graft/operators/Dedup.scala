@@ -74,10 +74,17 @@ object Dedup {
         posexplode(Sketches.bandhashes(Sketches.minhashes(col("sh"), 64), 4))
           .as(Seq("band_idx", "band_hash")))
       val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
+      // join raw text, shingle AFTER the join: the projection sits above
+      // the join so shingle arrays are built only for candidate rows
+      // (~#candidates), not for every doc on both join sides
+      val d = docs(s, dir)
+      def shingleOf(c: String) = array_distinct(expr(
+        s"transform(sequence(0, size(split($c, ' '))-3), i -> " +
+          s"concat_ws(' ', split($c, ' ')[i], split($c, ' ')[i+1], split($c, ' ')[i+2]))"))
       cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .withColumn("jaccard", jaccard(shingleOf("text_a"), shingleOf("text_b")))
         .filter(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
