@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * without depending on any row surviving the filter).
   */
 object DailyTransactions {
+  /** Typed variant over `Dataset[Trip]` (SURVEY.md §1.1: the compile-time-
+    * checked surface). Same plan as [[dayCount]] — the Dataset lowers to
+    * identical catalyst once the filter/agg are column expressions. */
+  def dayCountTyped(trips: org.apache.spark.sql.Dataset[graft.model.Trip],
+                    day: LocalDate): DataFrame =
+    dayCount(trips.toDF(), "pickup_datetime", day)
+
   def dayCount(trips: DataFrame, tsCol: String, day: LocalDate): DataFrame = {
     val lo = lit(day.toString).cast("timestamp")
     val hi = lit(day.plusDays(1).toString).cast("timestamp")

@@ -29,6 +29,23 @@ class ParityOpsSpec extends SparkSpec {
     assert(r(0).getLong(1) == 2L)
   }
 
+  test("dayCountTyped: Dataset[Trip] surface round-trips the 24-col schema") {
+    import graft.model.{Trip, TripSchema}
+    val row = org.apache.spark.sql.Row.fromSeq(Seq(
+      "HV0003", "B03404", "B03404",
+      ts("2024-03-01 11:00:00"), ts("2024-03-01 11:05:00"),
+      ts("2024-03-01 11:10:00"), ts("2024-03-01 11:30:00"),
+      7L, 9L, 2.5, 1200L, 25.0, 0.0, 0.75, 2.2, 2.75, 0.0, 5.0, 18.0,
+      "N", "N", "N", "N", "N"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row)), TripSchema.schema)
+    import spark.implicits._
+    val typed = df.as[Trip]
+    val r = DailyTransactions.dayCountTyped(typed, LocalDate.parse("2024-03-01"))
+      .head()
+    assert(r.getLong(1) == 1L)
+  }
+
   test("dayCount: empty day still yields one row with 0 (reference D3 guard)") {
     val r = DailyTransactions.dayCount(trips, "pickup_datetime",
       LocalDate.parse("2024-03-05")).collect()
