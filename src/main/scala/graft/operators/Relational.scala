@@ -289,7 +289,11 @@ object Relational {
         length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_type"), 1, 5).as("type_prefix"),
         concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
-        regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        // simple char-class patterns behave identically in Java regex and
+        // DuckDB's RE2 — keep oracle-shared regexes to this subset
+        regexp_extract(col("p_type"), "[A-Z]+", 0).as("type_first_word"),
+        col("p_name").rlike("^[a-z]+ ").cast("boolean").as("starts_lower_word"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -530,7 +534,9 @@ object Relational {
         |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
         |  SUBSTR(p_type, 1, 5) AS type_prefix,
         |  p_brand || '-' || p_type AS brand_type,
-        |  REPLACE(p_name, ' ', '_') AS name_snake
+        |  REPLACE(p_name, ' ', '_') AS name_snake,
+        |  COALESCE(regexp_extract(p_type, '[A-Z]+'), '') AS type_first_word,
+        |  regexp_matches(p_name, '^[a-z]+ ') AS starts_lower_word
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_scalar_date" ->
       """SELECT o_orderkey,
