@@ -40,17 +40,26 @@ case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+      // two-phase, like partial/final hash aggregation: the partial node
+      // shrinks every input partition to ≤ #keys·k rows BEFORE the
+      // exchange the final node's distribution requirement inserts — at
+      // cluster scale the shuffle carries k rows per key per mapper
+      // instead of the whole table
+      TopKPerKeyExec(k, keys, order, partial = false,
+        TopKPerKeyExec(k, keys, order, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
-                          child: SparkPlan) extends UnaryExecNode {
+                          partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
