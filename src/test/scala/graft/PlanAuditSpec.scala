@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression net: the properties that make these queries
+  * scale must stay visible in the executed plan — a refactor that silently
+  * loses pushdown or broadcasts is a perf bug even while results stay
+  * correct. (This is the `.explain` audit the project mandates, frozen
+  * into assertions.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val qe = Queries.all(name)(spark, sfDir).queryExecution
+    // formatted mode prints PushedFilters untruncated (toString elides)
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+      "\n" + qe.executedPlan.toString
+  }
+
+  test("date-bounded scans push filters to parquet") {
+    // lineitem: plain timestamp column
+    assert(planOf("q1_agg").contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(planOf("q6_filter_range").contains("GreaterThanOrEqual(l_shipdate"))
+    // events: the ns→µs rewrite rule must land the bound on the RAW long
+    assert(planOf("q_daily_transactions").contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"))
+    assert(planOf("q_top5_zones").contains("LessThan(ts,"))
+  }
+
+  test("scans prune to the referenced columns") {
+    val p = planOf("q_top5_zones")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("ts") && readSchema.contains("user_id"))
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      readSchema)
+  }
+
+  test("dimension joins broadcast; top-k compiles to TakeOrderedAndProject") {
+    assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("q_multi_join").contains("BroadcastHashJoin"))
+    assert(planOf("q_sort_limit").contains("TakeOrderedAndProject"))
+    assert(planOf("q_join_shuffle").contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins plan as such (no row-multiplying inner join)") {
+    assert(planOf("q_join_semi").contains("LeftSemi"))
+    assert(planOf("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("custom operator and LSH pipelines avoid pathological shapes") {
+    val topk = planOf("q_topk_per_key")
+    assert(topk.contains("TopKPerKeyPartial") && topk.contains("TopKPerKeyFinal"))
+    assert(!topk.contains("Window"))
+    // LSH candidate generation must be aggregate-shaped, not a self-join
+    val mh = planOf("q_dedup_minhash_lsh")
+    assert(!mh.contains("CartesianProduct"), mh)
+    val sim = planOf("q_similarity_lsh")
+    assert(!sim.contains("CartesianProduct"), sim)
+  }
+}
