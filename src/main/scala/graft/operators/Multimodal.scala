@@ -27,15 +27,18 @@ object Multimodal {
   /** Raw media row as it would arrive: payload + declared kind. */
   case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features (what a decoder would emit per media object). */
+  /** Extracted features (what a decoder would emit per media object).
+    * `resized_*`: output dims/bytes of the stubbed 2× downscale. */
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
-                           checksum: Long, head_mean: Double)
+                           checksum: Long, head_mean: Double,
+                           resized_w: Int, resized_h: Int, resized_bytes: Long)
 
-  /** STUB decode: a real implementation would decode image/audio frames
-    * here (per-partition codec init, then per-row decode). The stub derives
-    * deterministic pseudo-features from the payload bytes so the pipeline
-    * shape — batched partition iteration, typed output schema — is fully
-    * exercised and testable without codecs. */
+  /** STUB decode + resize: a real implementation would decode image/audio
+    * frames and rescale here (per-partition codec init, then per-row
+    * decode). The stub derives deterministic pseudo-features and a fake
+    * 2×-downscale geometry from the payload bytes so the pipeline shape —
+    * batched partition iteration, typed output schema, resize metadata —
+    * is fully exercised and testable without codecs. */
   def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
     // per-partition "codec" setup would go here
     rows.map { r =>
@@ -45,7 +48,12 @@ object Multimodal {
       val head = r.payload.take(16)
       val mean = if (head.isEmpty) 0.0
         else head.map(b => (b & 0xff).toDouble).sum / head.length
-      MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, sum, mean)
+      // fake source geometry from the payload size, then a 2× downscale
+      val w = math.max(1, (r.payload.length % 64) + 1)
+      val h = math.max(1, r.payload.length / math.max(1, w))
+      val (rw, rh) = (math.max(1, w / 2), math.max(1, h / 2))
+      MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, sum, mean,
+        rw, rh, rw.toLong * rh)
     }
   }
 
