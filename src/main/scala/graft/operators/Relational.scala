@@ -360,6 +360,23 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // higher-order array functions over tokenized text: transform/filter/
+    // aggregate/zip-like composition, all codegen-free built-ins
+    "q_array_funcs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(filter(col("w"), x => length(x) > 5)).cast("long").as("n_long_tokens"),
+          aggregate(transform(col("w"), x => length(x).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("total_chars"),
+          array_max(transform(col("w"), x => length(x).cast("long"))).as("max_token_len"),
+          array_contains(col("w"), "spark").cast("boolean").as("mentions_spark"),
+          element_at(array_sort(col("w")), 1).as("first_token_sorted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // from_json with an explicit schema → typed struct access (the schema-
     // ful sibling of get_json_object; at scale, parse once → many fields)
     "q_json_struct" -> ((s, dir) => {
@@ -579,6 +596,15 @@ object Relational {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS BIGINT) AS n_long_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars,
+        |  CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS max_token_len,
+        |  list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+        |  list_sort(string_split(text, ' '))[1] AS first_token_sorted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_json_struct" ->
       """SELECT event_type,
         |  CAST(SUM(k) AS BIGINT) AS sum_k,

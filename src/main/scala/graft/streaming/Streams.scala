@@ -102,12 +102,37 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream interval join: each purchase joined to signups by the
+    * same user within the preceding 7 days — both sides watermarked so
+    * join state is bounded (the watermark + interval bound lets Spark
+    * evict signup state older than 7 days + delay). Finite input → the
+    * batch interval-join SQL is an exact oracle. */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = eventStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    runToTable(joined, spark, OutputMode.Append())
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_signups_7d"))
+      .orderBy(col("p_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupCount(s, dir)),
     "q_stream_user_counts" -> ((s, dir) => userCounts(s, dir)),
+    "q_stream_stream_join" -> ((s, dir) => purchaseAttribution(s, dir)),
   )
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
@@ -121,5 +146,16 @@ object Streams {
     "q_stream_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, COUNT(*) AS n_signups_7d
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts
+        |      FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id
+        | AND s.s_ts <= p.p_ts
+        | AND s.s_ts >= p.p_ts - INTERVAL 7 DAY
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p_id""".stripMargin,
   )
 }
