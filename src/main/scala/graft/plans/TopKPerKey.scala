@@ -66,13 +66,16 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = RowOrdering.create(sortOrder, childOutput)
       // max-heap on the ordering: head = worst retained row per key
       val heapOrd: Ordering[InternalRow] = (a, b) => ordering.compare(a, b)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
+      var rows = 0L
+      var abandoned = false
+      while (iter.hasNext && !abandoned) {
         val row = iter.next()
         val key = keyProj(row)
         val heap = heaps.getOrElseUpdate(key.copy(),
@@ -81,8 +84,15 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
         else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
+        rows += 1
+        // adaptive fallback (partial phase only, same idea as Spark's
+        // partial-aggregation skip): when distinct keys track the row
+        // count, the map-side pass reduces nothing — stop buffering and
+        // stream the rest through; the final phase is still correct
+        if (isPartial && rows >= 8192 && heaps.size * 2L > rows) abandoned = true
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      val buffered = heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      if (abandoned) buffered ++ iter else buffered
     }
   }
 
