@@ -166,6 +166,23 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q17 shape: correlated scalar subquery (quantity below 20% of
+    // the part's own average) — Catalyst decorrelates it into an
+    // aggregate+join; written in SQL to exercise the subquery surface
+    "q17_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+      t(s, dir, "part").createOrReplaceTempView("part_q17")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM lineitem_q17
+            WHERE l_partkey = p_partkey)
+      """)
+    }),
+
     // ----------------------------------------------------------- windows
     // Partitioned ranking window — bounded per-customer partitions, never
     // the reference's global-window shape (SURVEY.md §2.5 W1 note).
@@ -477,6 +494,14 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q17_subquery" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |       AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(l_quantity) FROM lineitem
+        |    WHERE l_partkey = p_partkey)""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
