@@ -126,6 +126,29 @@ object Streams {
       .orderBy(col("p_id"))
   }
 
+  /** Pipeline-1 as a continuous job into the reference's JDBC sink:
+    * windowed counts upserted per micro-batch via foreachBatch (the
+    * streaming writer JDBC lacks natively). Complete-mode output +
+    * overwrite keeps the sink idempotent under batch replay — the
+    * exactly-once story a daily-counts table needs. */
+  def dailyCountsToJdbc(spark: SparkSession, dir: String,
+                        conf: graft.sources.JdbcConfig, table: String): Unit = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("total_transactions"))
+      .select(to_date(col("w.start")).as("transaction_date"),
+        col("total_transactions"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.JdbcSink.overwriteTruncate(batch, conf, table)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(

@@ -38,6 +38,26 @@ class JdbcSinkSpec extends SparkSpec {
     assert(replaced.head().getLong(1) == 7L)
   }
 
+  test("streaming daily counts land in the JDBC sink via foreachBatch") {
+    streaming.Streams.dailyCountsToJdbc(spark, sfDir, conf, "stream_daily")
+    val sunk = spark.read.jdbc(conf.url, "stream_daily", conf.connProps)
+    val expected = Tables.load(spark, sfDir, "events")
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts"))).count().count()
+    assert(sunk.count() == expected)
+    // replay is idempotent (complete mode + truncating overwrite)
+    streaming.Streams.dailyCountsToJdbc(spark, sfDir, conf, "stream_daily")
+    assert(spark.read.jdbc(conf.url, "stream_daily", conf.connProps)
+      .count() == expected)
+  }
+
+  test("JobRunner guards: unknown job and bad args raise") {
+    intercept[IllegalArgumentException] {
+      JobRunner.run(spark, "nonsense_job", LocalDate.parse("2024-01-16"),
+        sfDir, "/tmp/graft_nowhere", "t")
+    }
+  }
+
   test("JobRunner end-to-end: both pipelines into parquet and jdbc sinks") {
     val out = java.nio.file.Files.createTempDirectory("graft_runner").toString
     JobRunner.run(spark, "daily_transactions", LocalDate.parse("2024-01-16"),
