@@ -88,6 +88,21 @@ object Stats {
         .orderBy(col("l_returnflag"))
     }),
 
+    // exact percentiles (sort-based). Both engines use the p*(n-1)
+    // interpolation convention; results are rounded because the two
+    // formulas ((1-f)*a+f*b vs a+f*(b-a)) differ in the last ulp when the
+    // fraction is not dyadic.
+    "q_percentile" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_quantity, array(0.25, 0.75))[1] - " +
+            "percentile(l_quantity, array(0.25, 0.75))[0]"), 6).as("iqr_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // DataSketches HLL: a mergeable distinct sketch — unlike
     // approx_count_distinct's internal HLL++, the sketch itself is a
     // column, so it can be stored and re-merged incrementally (the shape a
@@ -131,6 +146,12 @@ object Stats {
         |  round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price,
         |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 6) AS iqr_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_collect" ->
       """SELECT l_returnflag,
         |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
