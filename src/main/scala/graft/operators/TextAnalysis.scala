@@ -63,6 +63,19 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-style tokenization estimate: count matches of a GPT-2-like
+    // pretokenizer regex (ASCII-class subset so Java regex and RE2 agree),
+    // alongside the cheap chars/4 heuristic — the two token-budget
+    // estimators a training-data pipeline carries
+    "q_bpe_tokens" -> ((s, dir) => {
+      val pat = " ?[a-z]+| ?[A-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pat)).cast("long").as("n_bpe_pretokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_tokens_c4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-level token frequency (top 20). explode → partial agg per
     // partition → tiny final shuffle: the scalable word-count shape.
     "q_token_freq" -> ((s, dir) => {
@@ -130,6 +143,11 @@ object TextAnalysis {
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len,
         |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[A-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS BIGINT) AS n_bpe_pretokens,
+        |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_tokens_c4
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_freq" ->
       """SELECT token, COUNT(*) AS n FROM (
