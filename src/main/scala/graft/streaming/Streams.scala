@@ -149,6 +149,69 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming near-duplicate detection — the ingestion-time dedup an LLM
+    * data pipeline actually runs: documents stream in, LSH bucket
+    * membership lives in keyed state (flatMapGroupsWithState on the band
+    * hash), each arriving doc emits candidate pairs against everything
+    * previously seen in its buckets, and candidates are jaccard-verified
+    * against the batch corpus. Output equals the batch
+    * `q_dedup_minhash_lsh` — same exact all-pairs oracle. */
+  def streamingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Sketches
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val banded = stream
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), posexplode(Sketches.bandhashes(
+        Sketches.minhashes(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")), 64), 4))
+        .as(Seq("band_idx", "band_hash")))
+    val pairs = banded
+      .selectExpr("doc_id", "band_idx", "band_hash")
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, idx, hash) => (idx, hash) }
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (_, rows, state: GroupState[List[Long]]) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val arriving = rows.map(_._1).toList.distinct
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+          var acc = seen
+          arriving.foreach { d =>
+            acc.foreach { prev =>
+              if (prev != d) out += ((math.min(prev, d), math.max(prev, d)))
+            }
+            acc = d :: acc
+          }
+          state.update(acc)
+          out.iterator
+        }
+      .toDF("doc_a", "doc_b")
+    val cand = runToTable(pairs, spark, OutputMode.Append()).distinct()
+    // jaccard-verify candidates against the batch corpus
+    val d = graft.Tables.load(spark, dir, "documents")
+    def shingleOf(c: String) = array_distinct(expr(
+      s"transform(sequence(0, size(split($c, ' '))-3), i -> " +
+        s"concat_ws(' ', split($c, ' ')[i], split($c, ' ')[i+1], split($c, ' ')[i+2]))"))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(shingleOf("text_a"), shingleOf("text_b"))).cast("double") /
+          size(array_union(shingleOf("text_a"), shingleOf("text_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -156,6 +219,7 @@ object Streams {
     "q_stream_dedup" -> ((s, dir) => dedupCount(s, dir)),
     "q_stream_user_counts" -> ((s, dir) => userCounts(s, dir)),
     "q_stream_stream_join" -> ((s, dir) => purchaseAttribution(s, dir)),
+    "q_stream_dedup_pairs" -> ((s, dir) => streamingNearDupPairs(s, dir)),
   )
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
@@ -180,5 +244,19 @@ object Streams {
         | AND s.s_ts >= p.p_ts - INTERVAL 7 DAY
         |GROUP BY p.event_id, p.user_id
         |ORDER BY p_id""".stripMargin,
+    // identical to the batch minhash-LSH oracle: exact all-pairs jaccard
+    "q_stream_dedup_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS sh
+        |      FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }
