@@ -122,10 +122,13 @@ object Dedup {
     }),
 
     // character-5-gram Jaccard, all-pairs — the O(n²) correctness baseline
-    // for the LSH pipelines (run the LSH ones at scale, not this)
+    // for the LSH pipelines (run the LSH ones at scale, not this). Capped
+    // to doc_id < 1000 (a no-op at the sf0.01 gate, bounded at larger SFs
+    // — uncapped it is quadratic by construction; the oracle mirrors the
+    // cap)
     "q_dedup_ngram" -> ((s, dir) => {
       val g = docs(s, dir)
-        .filter(length(col("text")) >= 5)
+        .filter(length(col("text")) >= 5 && col("doc_id") < 1000)
         .select(col("doc_id"), array_distinct(expr(
           "transform(sequence(0, length(text)-5), i -> substr(text, i+1, 5))")).as("g"))
       g.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
@@ -140,7 +143,7 @@ object Dedup {
     // embedding-cosine near-dup pairs (custom fused cosine expression);
     // quadratic here, LSH-bucketed path in Similarity.q_similarity_lsh
     "q_dedup_embedding" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
       a.join(b, col("vec_a") < col("vec_b"))
@@ -176,7 +179,7 @@ object Dedup {
       """WITH g AS (
         |  SELECT doc_id,
         |    list_distinct([substr(text, i, 5) for i in range(1, length(text)-3)]) AS gg
-        |  FROM documents WHERE length(text) >= 5)
+        |  FROM documents WHERE length(text) >= 5 AND doc_id < 1000)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.gg, b.gg)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.gg, b.gg))) AS jaccard5
@@ -185,7 +188,8 @@ object Dedup {
         |    / len(list_distinct(list_concat(a.gg, b.gg))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings WHERE vec_id < 1000)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_inner_product(a.v, b.v)
         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos

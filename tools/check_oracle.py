@@ -48,6 +48,8 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    for q in os.environ.get("SKIP_ORACLES", "").split(","):
+        oracle.pop(q, None)
     n_fail = 0
     dirs = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
     # include oracle keys whose spark dump is missing (query crashed in Verify)
