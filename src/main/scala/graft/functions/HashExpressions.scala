@@ -92,6 +92,94 @@ case class BandHashes(child: Expression, r: Int)
   override protected def withNewChildInternal(c: Expression): BandHashes = copy(child = c)
 }
 
+/** `shingle_minhashes(words, n, k)` → k MinHash values over word
+  * n-shingles, fused: word hashes are computed once, each shingle is a
+  * hash-chain of its n word hashes, and permutation minima update in
+  * place. Compared to building shingle STRINGS (`transform` + `concat_ws`
+  * + `array_distinct`) and minhashing those, this skips ~300 string
+  * allocations and an O(s²) distinct per document — min is idempotent, so
+  * duplicate shingles need no dedup. Candidate generation only; the
+  * exact-jaccard verification still uses string shingles (oracle parity).
+  */
+case class ShingleMinHashes(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val ab = HashUtil.perms(k)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    if (m >= n) {
+      val wh = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        wh(i) = if (words.isNullAt(i)) 0L
+          else HashUtil.hashUtf8(words.getUTF8String(i), 42L)
+        i += 1
+      }
+      var j = 0
+      while (j <= m - n) {
+        var h = 17L
+        var t = 0
+        while (t < n) { h = XXH64.hashLong(wh(j + t), h); t += 1 }
+        var p = 0
+        while (p < k) {
+          val v = ab(p)._1 * h + ab(p)._2
+          if (v < out(p)) out(p) = v
+          p += 1
+        }
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleMinHashes = copy(child = c)
+}
+
+/** `shingle_simhash64(words, n)` → SimHash over hash-chained word
+  * n-shingles — same fusion as [[ShingleMinHashes]] (no shingle strings).
+  * Duplicate shingles vote multiple times (SimHash is weighted by
+  * occurrence), matching SimHash64-over-shingle-multiset semantics up to
+  * the distinctness the string pipeline applied. */
+case class ShingleSimHash64(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    val acc = new Array[Int](64)
+    if (m >= n) {
+      val wh = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        wh(i) = if (words.isNullAt(i)) 0L
+          else HashUtil.hashUtf8(words.getUTF8String(i), 42L)
+        i += 1
+      }
+      var j = 0
+      while (j <= m - n) {
+        var h = 7L
+        var t = 0
+        while (t < n) { h = XXH64.hashLong(wh(j + t), h); t += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+          bit += 1
+        }
+        j += 1
+      }
+    }
+    var res = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (acc(bit) > 0) res |= (1L << bit)
+      bit += 1
+    }
+    res
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleSimHash64 = copy(child = c)
+}
+
 /** `simhash64(tokens)` → 64-bit SimHash of a token array.
   * Per-bit vote of each token's xxhash64; near-duplicate texts land within
   * a small Hamming distance. Verify with `bit_count(a ^ b)` (built-in).
@@ -256,6 +344,10 @@ case class RandomHyperplaneSig(child: Expression, nBits: Int, dim: Int)
   * Spark 4 moved Column↔Expression conversion to sql.classic). */
 object Sketches {
   def minhashes(c: Column, k: Int): Column = toCol(MinHashes(toExpr(c), k))
+  def shingleMinhashes(words: Column, n: Int, k: Int): Column =
+    toCol(ShingleMinHashes(toExpr(words), n, k))
+  def shingleSimhash64(words: Column, n: Int): Column =
+    toCol(ShingleSimHash64(toExpr(words), n))
   def bandhashes(c: Column, r: Int): Column = toCol(BandHashes(toExpr(c), r))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def cosineSim(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))

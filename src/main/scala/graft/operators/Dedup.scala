@@ -67,12 +67,15 @@ object Dedup {
     // separation (dup pairs ≥0.98, background ≤0.1) LSH recall is ~1-1e-18,
     // so the output equals the exact all-pairs oracle.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingled(docs(s, dir))
-      // generator expression (minhash→bands→posexplode) evaluates once per
-      // doc; nothing downstream references the signature
-      val banded = sh.select(col("doc_id"),
-        posexplode(Sketches.bandhashes(Sketches.minhashes(col("sh"), 64), 4))
-          .as(Seq("band_idx", "band_hash")))
+      // fused shingle+minhash candidate generation (no shingle strings);
+      // generator expression evaluates once per doc, nothing downstream
+      // references the signature
+      val banded = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+            .as(Seq("band_idx", "band_hash")))
       val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
       // join raw text, shingle AFTER the join: the projection sits above
       // the join so shingle arrays are built only for candidate rows
@@ -95,8 +98,10 @@ object Dedup {
     // pigeonhole), verified with exact Hamming distance ≤ 12 (custom
     // catalyst expression + built-in bit_count)
     "q_dedup_simhash" -> ((s, dir) => {
-      val sig = shingled(docs(s, dir))
-        .select(col("doc_id"), Sketches.simhash64(col("sh")).as("sig"))
+      val sig = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), Sketches.shingleSimhash64(col("w"), 3).as("sig"))
       // explode the band INDEX first (Generate is a projection-collapse
       // barrier → simhash evaluates once per doc), then derive band values
       val bands = sig

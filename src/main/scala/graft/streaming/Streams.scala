@@ -171,8 +171,7 @@ object Streams {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), posexplode(Sketches.bandhashes(
-        Sketches.minhashes(array_distinct(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")), 64), 4))
+        Sketches.shingleMinhashes(col("w"), 3, 64), 4))
         .as(Seq("band_idx", "band_hash")))
     val pairs = banded
       .selectExpr("doc_id", "band_idx", "band_hash")
