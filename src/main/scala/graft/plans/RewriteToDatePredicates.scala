@@ -115,6 +115,8 @@ object RewriteToDatePredicates extends Rule[LogicalPlan] {
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteToDatePredicates)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

@@ -19,4 +19,12 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Materialize the rules/strategies an extensions hook registered
+    * (testing aid — `buildOptimizerRules`/`buildPlannerStrategies` are
+    * private[sql]). */
+  def builtOptimizerRules(ext: SparkSessionExtensions, spark: SparkSession) =
+    ext.buildOptimizerRules(spark)
+  def builtPlannerStrategies(ext: SparkSessionExtensions, spark: SparkSession) =
+    ext.buildPlannerStrategies(spark)
 }
