@@ -22,15 +22,6 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
-  /** Distinct word-3-shingles of `text` (0-based SQL array indexing):
-    * `transform(sequence(0, size(w)-3), i -> w[i] || ' ' || w[i+1] ...)`. */
-  private def shingled(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("sh"))
-
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
