@@ -136,8 +136,41 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // the composite training-data preparation pipeline: drop near-dups
+    // (minhash-LSH pairs, keep the smaller doc_id), then gate on quality
+    // (token count + stopword ratio) — the query an ingestion job runs
+    // over the whole corpus before tokenization
+    "q_corpus_clean" -> ((s, dir) => {
+      val banded = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+            .as(Seq("band_idx", "band_hash")))
+      val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
+      val d = docs(s, dir)
+      def shingleOf(c: String) = array_distinct(expr(
+        s"transform(sequence(0, size(split($c, ' '))-3), i -> " +
+          s"concat_ws(' ', split($c, ' ')[i], split($c, ' ')[i+1], split($c, ' ')[i+2]))"))
+      val dupLosers = cand
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .filter(jaccard(shingleOf("text_a"), shingleOf("text_b")) >= 0.8)
+        .select(col("doc_b")) // deterministic keep policy: smaller id wins
+      val tk = split(lower(col("text")), " ")
+      d.join(dupLosers, d("doc_id") === dupLosers("doc_b"), "left_anti")
+        .withColumn("n_tokens", size(tk).cast("long"))
+        .withColumn("stop_ratio",
+          size(filter(tk, t => t.isInCollection(Seq("the", "a")))).cast("double") /
+            size(tk).cast("double"))
+        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 2000 &&
+          col("stop_ratio") >= 0.01)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding-cosine near-dup pairs (custom fused cosine expression);
-    // quadratic here, LSH-bucketed path in Similarity.q_similarity_lsh
+    // quadratic here, LSH-bucketed path below is the scale variant
     "q_dedup_embedding" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
@@ -148,7 +181,32 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
+
+    "q_dedup_embedding_lsh" -> ((s, dir) => embeddingLshPairs(s, dir)),
   )
+
+  /** LSH-bucketed embedding near-dup: hyperplane-signature buckets generate
+    * candidates in O(n·bands), exact cosine verifies ≥0.45. ~0.8 recall of
+    * the quadratic baseline at this cosine range (probabilistic by
+    * construction → rows-only gate; recall vs q_dedup_embedding is what
+    * the capped baseline exists to measure). */
+  private def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("sig", graft.functions.Sketches.rhSignature(col("embedding"), 32, 64))
+    val banded = e.select(col("vec_id").as("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(7))).as("band_idx"))
+      .withColumn("band_val", expr("shiftright(sig, cast(band_idx * 4 as int)) & 15"))
+    val cand = bucketPairs(banded, Seq("band_idx", "band_val"))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val emb = e.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .withColumn("cos", round(graft.functions.Sketches.cosineSim(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   private val exactPairsSql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -171,6 +229,19 @@ object Dedup {
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     // simhash pairs equal the exact near-dup pairs on this corpus (clean
     // separation); hamming itself is not SQL-computable so it is excluded
+    "q_corpus_clean" ->
+      s"""WITH losers AS (
+         |  SELECT DISTINCT doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a'))) AS DOUBLE)
+         |      / len(string_split(lower(text), ' ')) AS stop_ratio
+         |  FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM losers))
+         |SELECT doc_id, lang, n_tokens, stop_ratio FROM q
+         |WHERE n_tokens BETWEEN 10 AND 2000 AND stop_ratio >= 0.01
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH g AS (
         |  SELECT doc_id,
