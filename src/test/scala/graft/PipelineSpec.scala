@@ -39,6 +39,16 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("embedding LSH pairs are a subset of the exact pairs with recall ≥ 0.3") {
+    val exact = Queries.all("q_dedup_embedding")(spark, sfDir)
+      .select($"vec_a", $"vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Queries.all("q_dedup_embedding_lsh")(spark, sfDir)
+      .select($"vec_a", $"vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact-cosine verification ⇒ precision 1.0")
+    assert(exact.nonEmpty && lsh.size.toDouble / exact.size >= 0.3,
+      s"recall ${lsh.size.toDouble / exact.size}")
+  }
+
   test("minhash LSH near-dup pairs match simhash near-dup pairs on corpus") {
     val mh = Queries.all("q_dedup_minhash_lsh")(spark, sfDir)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
