@@ -72,8 +72,12 @@ object RewriteToDatePredicates extends Rule[LogicalPlan] {
     }
   }
 
-  private def nanoLit(us: Long): Literal =
-    Literal(us * 1000L, org.apache.spark.sql.types.LongType)
+  /** Smallest nano value x with `x div 1000 >= v`, under IntegralDivide's
+    * truncate-toward-zero semantics (NOT floor): for v <= 0 any x down to
+    * v*1000 - 999 still truncates up to v (e.g. -1500 div 1000 = -1). */
+  private def nanoBound(v: Long): Literal =
+    Literal(if (v > 0) v * 1000L else v * 1000L - 999L,
+      org.apache.spark.sql.types.LongType)
 
   private def rewrite(e: Expression): Expression = e.transformUp {
     case EqualTo(TsToDate(ts), DateLit(d)) =>
@@ -89,21 +93,21 @@ object RewriteToDatePredicates extends Rule[LogicalPlan] {
     case LessThan(DateLit(d), TsToDate(ts)) => GreaterThanOrEqual(ts, tsLit(d + 1))
     case GreaterThanOrEqual(DateLit(d), TsToDate(ts)) => LessThan(ts, tsLit(d + 1))
     case GreaterThan(DateLit(d), TsToDate(ts)) => LessThan(ts, tsLit(d))
-    // ns→µs conversion pushdown (x in nanos, literal in micros; floor-div
-    // semantics: x div 1000 >= u  ⟺  x >= u*1000, x div 1000 > u ⟺
-    // x >= (u+1)*1000, etc.)
-    case GreaterThanOrEqual(NanoTs(x), TsLit(u)) => GreaterThanOrEqual(x, nanoLit(u))
-    case GreaterThan(NanoTs(x), TsLit(u)) => GreaterThanOrEqual(x, nanoLit(u + 1))
-    case LessThan(NanoTs(x), TsLit(u)) => LessThan(x, nanoLit(u))
-    case LessThanOrEqual(NanoTs(x), TsLit(u)) => LessThan(x, nanoLit(u + 1))
+    // ns→µs conversion pushdown (x in nanos, literal in micros). With
+    // q = x div 1000 (truncate toward zero):  q >= u ⟺ x >= nanoBound(u),
+    // q > u ⟺ q >= u+1, q < u ⟺ x < nanoBound(u), q <= u ⟺ x < nanoBound(u+1).
+    case GreaterThanOrEqual(NanoTs(x), TsLit(u)) => GreaterThanOrEqual(x, nanoBound(u))
+    case GreaterThan(NanoTs(x), TsLit(u)) => GreaterThanOrEqual(x, nanoBound(u + 1))
+    case LessThan(NanoTs(x), TsLit(u)) => LessThan(x, nanoBound(u))
+    case LessThanOrEqual(NanoTs(x), TsLit(u)) => LessThan(x, nanoBound(u + 1))
     case EqualTo(NanoTs(x), TsLit(u)) =>
-      And(GreaterThanOrEqual(x, nanoLit(u)), LessThan(x, nanoLit(u + 1)))
+      And(GreaterThanOrEqual(x, nanoBound(u)), LessThan(x, nanoBound(u + 1)))
     case EqualTo(TsLit(u), NanoTs(x)) =>
-      And(GreaterThanOrEqual(x, nanoLit(u)), LessThan(x, nanoLit(u + 1)))
-    case GreaterThanOrEqual(TsLit(u), NanoTs(x)) => LessThan(x, nanoLit(u + 1))
-    case GreaterThan(TsLit(u), NanoTs(x)) => LessThan(x, nanoLit(u))
-    case LessThan(TsLit(u), NanoTs(x)) => GreaterThanOrEqual(x, nanoLit(u + 1))
-    case LessThanOrEqual(TsLit(u), NanoTs(x)) => GreaterThanOrEqual(x, nanoLit(u))
+      And(GreaterThanOrEqual(x, nanoBound(u)), LessThan(x, nanoBound(u + 1)))
+    case GreaterThanOrEqual(TsLit(u), NanoTs(x)) => LessThan(x, nanoBound(u + 1))
+    case GreaterThan(TsLit(u), NanoTs(x)) => LessThan(x, nanoBound(u))
+    case LessThan(TsLit(u), NanoTs(x)) => GreaterThanOrEqual(x, nanoBound(u + 1))
+    case LessThanOrEqual(TsLit(u), NanoTs(x)) => GreaterThanOrEqual(x, nanoBound(u))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -32,6 +32,31 @@ class RewriteRuleSpec extends SparkSpec {
     }
   }
 
+  test("ns→µs rewrite is exact for pre-epoch (negative) nanos") {
+    // IntegralDivide truncates toward zero, so e.g. -500 div 1000 = 0: the
+    // rewritten bound must be u*1000 - 999 for u <= 0, not u*1000.
+    import spark.implicits._
+    val xs = Seq(-2500L, -2000L, -1999L, -1500L, -1001L, -1000L, -999L,
+      -500L, -1L, 0L, 1L, 500L, 999L, 1000L, 1001L, 1500L, 2000L, 2500L)
+    val df = xs.toDF("x")
+    val cmps = Seq("=", "<=", "<", ">=", ">")
+    for (u <- -3L to 3L; op <- cmps; flip <- Seq(false, true)) {
+      val (l, r) =
+        if (flip) (s"timestamp_micros($u)", "timestamp_micros(x div 1000)")
+        else ("timestamp_micros(x div 1000)", s"timestamp_micros($u)")
+      val cond = s"$l $op $r"
+      val expected = df.filter(expr(cond)).count()
+      val got = withRule(df.filter(expr(cond)).count())
+      assert(got == expected, s"mismatch for `$cond`: got $got want $expected")
+    }
+    // and the rewrite actually fires (no timestamp_micros left in the plan)
+    withRule {
+      val plan = df.filter(expr("timestamp_micros(x div 1000) >= timestamp_micros(0)"))
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("micros"), s"rewrite did not fire:\n$plan")
+    }
+  }
+
   test("all comparison shapes preserve results") {
     val d = lit("2024-01-15").cast("date")
     def q() = Tables.load(spark, sfDir, "events")
