@@ -314,13 +314,18 @@ case class Winnow64(child: Expression, k: Int, w: Int)
   * plane). Hyperplane components derive deterministically from splitmix64,
   * so signatures are stable across executors/runs — vectors bucketed by
   * signature band give an O(n) candidate generation path for ANN search.
+  *
+  * `planeOffset` selects a disjoint block of the fixed plane family, so a
+  * pipeline needing more than 64 planes stacks several signature columns
+  * (offsets 0, 64, 128, …) without correlated bits.
   */
-case class RandomHyperplaneSig(child: Expression, nBits: Int, dim: Int)
+case class RandomHyperplaneSig(child: Expression, nBits: Int, dim: Int,
+    planeOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
   // nBits × dim matrix of ~N(0,1)-ish components in [-1, 1)
   private lazy val planes: Array[Array[Double]] =
     Array.tabulate(nBits, dim)((b, i) =>
-      HashUtil.splitmix64(b.toLong * 131071L + i).toDouble / Long.MaxValue.toDouble)
+      HashUtil.splitmix64((planeOffset + b).toLong * 131071L + i).toDouble / Long.MaxValue.toDouble)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -340,6 +345,58 @@ case class RandomHyperplaneSig(child: Expression, nBits: Int, dim: Int)
   override protected def withNewChildInternal(c: Expression): RandomHyperplaneSig = copy(child = c)
 }
 
+/** `nearest_cells(vec, codebook, n)` → indices of the `n` codebook
+  * centroids most cosine-similar to `vec` (ties → lower index), as
+  * array<int>.
+  *
+  * The codebook is a constructor constant (driver-trained k-means
+  * centroids, broadcast with the serialized expression) — IVF cell
+  * assignment becomes pure per-row compute in the scan stage: no crossed
+  * frame, no window, no shuffle. Replaces the round-1 shape that crossed
+  * the corpus with the codebook and ran `row_number()` over a
+  * `Window.partitionBy(vec_id)` — a full shuffle of |codebook|× the corpus
+  * just to take an argmax. */
+case class NearestCells(child: Expression, codebook: Seq[Seq[Float]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val cb: Array[Array[Float]] = codebook.map(_.toArray).toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val k = cb.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cb(c)
+      val m = math.min(v.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = v.getFloat(i).toDouble; val y = cv(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      scores(c) = if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    val out = new Array[Int](math.min(n, k))
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < out.length) {
+      var best = -1; var bs = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!used(i) && scores(i) > bs) { bs = scores(i); best = i }
+        i += 1
+      }
+      used(best) = true; out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
+}
+
 /** Column-API surface for the custom expressions (classic-session bridge:
   * Spark 4 moved Column↔Expression conversion to sql.classic). */
 object Sketches {
@@ -352,6 +409,8 @@ object Sketches {
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def cosineSim(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
   def winnow64(c: Column, k: Int = 5, w: Int = 8): Column = toCol(Winnow64(toExpr(c), k, w))
-  def rhSignature(c: Column, nBits: Int, dim: Int): Column =
-    toCol(RandomHyperplaneSig(toExpr(c), nBits, dim))
+  def rhSignature(c: Column, nBits: Int, dim: Int, planeOffset: Int = 0): Column =
+    toCol(RandomHyperplaneSig(toExpr(c), nBits, dim, planeOffset))
+  def nearestCells(c: Column, codebook: Seq[Seq[Float]], n: Int): Column =
+    toCol(NearestCells(toExpr(c), codebook, n))
 }

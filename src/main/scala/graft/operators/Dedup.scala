@@ -25,22 +25,42 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Word-3-shingle set of a text column — used only ABOVE candidate joins
+    * so the arrays are built for candidate rows, not for every doc. */
+  private def shingleOf(c: String): Column = array_distinct(expr(
+    s"transform(sequence(0, size(split($c, ' '))-3), i -> " +
+      s"concat_ws(' ', split($c, ' ')[i], split($c, ' ')[i+1], split($c, ' ')[i+2]))"))
+
   /** Banded rows → distinct candidate pairs (doc_a < doc_b) via
     * groupBy-bucket + in-bucket expansion, NOT a self-join: one exchange on
     * the band key materializes the (expensive, custom-expression) sketch
     * projection exactly once — a self-join would re-evaluate it on both
     * sides per banded row (CollapseProject inlines the expression tree),
     * measured 6× slower. Bucket sizes are bounded by band selectivity, so
-    * the in-bucket expansion is linear-ish; a hot bucket at cluster scale
-    * gets salted or capped, not self-joined. */
-  private def bucketPairs(banded: DataFrame, keyCols: Seq[String]): DataFrame =
+    * the in-bucket expansion is linear-ish in the common case.
+    *
+    * Hot buckets are capped: a bucket over `cap` docs keeps only its `cap`
+    * smallest doc_ids (sort_array → deterministic keep-set across runs), so
+    * one adversarial band value — think boilerplate shared by millions of
+    * docs — costs at most C(cap, 2) expanded pairs in one task instead of a
+    * quadratic blow-up. Drops are observable through the `graft.bucket_cap`
+    * observe metrics (docs_dropped, buckets_capped) on the same action, no
+    * extra pass. The capped doc list itself is linear in bucket size
+    * (8 bytes/doc) — the quadratic expansion, not the list, is the killer. */
+  private[graft] val bucketCap = 1024
+  private[graft] def bucketPairs(banded: DataFrame, keyCols: Seq[String],
+      cap: Int = bucketCap): DataFrame =
     banded.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col("doc_id")).as("xs"))
-      .filter(size(col("xs")) >= 2)
+      .agg(collect_list(col("doc_id")).as("xs0"))
+      .filter(size(col("xs0")) >= 2)
+      .observe("graft.bucket_cap",
+        sum(greatest(size(col("xs0")) - cap, lit(0))).as("docs_dropped"),
+        sum(when(size(col("xs0")) > cap, 1).otherwise(0)).as("buckets_capped"))
+      .select(slice(sort_array(col("xs0")), 1, cap).as("xs"))
       .select(explode(expr(
         """flatten(transform(xs, (x, i) ->
              transform(slice(xs, i + 2, size(xs) - i - 1), y ->
-               struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))""")).as("p"))
+               struct(x as doc_a, y as doc_b))))""")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
@@ -72,9 +92,6 @@ object Dedup {
       // the join so shingle arrays are built only for candidate rows
       // (~#candidates), not for every doc on both join sides
       val d = docs(s, dir)
-      def shingleOf(c: String) = array_distinct(expr(
-        s"transform(sequence(0, size(split($c, ' '))-3), i -> " +
-          s"concat_ws(' ', split($c, ' ')[i], split($c, ' ')[i+1], split($c, ' ')[i+2]))"))
       cand
         .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
@@ -84,36 +101,49 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash over word-3-shingles; candidates from 8×8-bit signature
-    // bands (a hamming-≤7 pair always shares at least one band, by
-    // pigeonhole), verified with exact Hamming distance ≤ 12 (custom
-    // catalyst expression + built-in bit_count)
+    // SimHash over word-3-shingles, banded 16×4 bits: by pigeonhole, any
+    // pair within signature hamming ≤ 15 shares at least one band
+    // DETERMINISTICALLY (measured true-pair max on this corpus: 13 — an
+    // 8×8 banding provably missed a hamming-11 pair at sf0.1, and a raw
+    // hamming ≤ 12 gate provably killed a true hamming-13 pair). 4-bit
+    // band values are deliberately coarse (~64% of random pairs share some
+    // band), so candidates pass a sig-only hamming ≤ 15 prefilter — one
+    // bit_count per pair, no text — before the expensive exact
+    // shingle-jaccard ≥ 0.8 verification: precision is exact, so the
+    // output equals the exact near-dup pair set (the registered oracle).
     "q_dedup_simhash" -> ((s, dir) => {
-      val sig = docs(s, dir)
+      // explode the band INDEX first (Generate is a projection-collapse
+      // barrier → simhash evaluates once per doc), then derive band values
+      val banded = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), Sketches.shingleSimhash64(col("w"), 3).as("sig"))
-      // explode the band INDEX first (Generate is a projection-collapse
-      // barrier → simhash evaluates once per doc), then derive band values
-      val bands = sig
         .select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(7))).as("band_idx"))
+          explode(sequence(lit(0), lit(15))).as("band_idx"))
         .withColumn("band_val",
-          expr("shiftright(sig, cast(band_idx * 8 as int)) & 255"))
-      bands
+          expr("shiftrightunsigned(sig, cast(band_idx * 4 as int)) & 15"))
+      val cand = banded
         .groupBy(col("band_idx"), col("band_val"))
-        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
-        .filter(size(col("xs")) >= 2)
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs0"))
+        .filter(size(col("xs0")) >= 2)
+        .observe("graft.bucket_cap",
+          sum(greatest(size(col("xs0")) - bucketCap, lit(0))).as("docs_dropped"),
+          sum(when(size(col("xs0")) > bucketCap, 1).otherwise(0)).as("buckets_capped"))
+        .select(slice(sort_array(col("xs0")), 1, bucketCap).as("xs"))
         .select(explode(expr(
           """flatten(transform(xs, (x, i) ->
                transform(slice(xs, i + 2, size(xs) - i - 1), y ->
-                 struct(least(x.doc_id, y.doc_id) as doc_a,
-                        greatest(x.doc_id, y.doc_id) as doc_b,
+                 struct(x.doc_id as doc_a, y.doc_id as doc_b,
                         bit_count(x.sig ^ y.sig) as hamming))))""")).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"),
-          col("p.hamming").cast("long").as("hamming"))
-        .filter(col("hamming") <= 12)
+        .filter(col("p.hamming") <= 15)
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
+      val d = docs(s, dir)
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .filter(jaccard(shingleOf("text_a"), shingleOf("text_b")) >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -149,9 +179,6 @@ object Dedup {
             .as(Seq("band_idx", "band_hash")))
       val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
       val d = docs(s, dir)
-      def shingleOf(c: String) = array_distinct(expr(
-        s"transform(sequence(0, size(split($c, ' '))-3), i -> " +
-          s"concat_ws(' ', split($c, ' ')[i], split($c, ' ')[i+1], split($c, ' ')[i+2]))"))
       val dupLosers = cand
         .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
@@ -186,19 +213,36 @@ object Dedup {
   )
 
   /** LSH-bucketed embedding near-dup: hyperplane-signature buckets generate
-    * candidates in O(n·bands), exact cosine verifies ≥0.45. ~0.8 recall of
-    * the quadratic baseline at this cosine range (probabilistic by
-    * construction → rows-only gate; recall vs q_dedup_embedding is what
-    * the capped baseline exists to measure). */
+    * candidates in O(n·bands), exact cosine verifies ≥0.45 — precision is
+    * exact by construction, so output equality with the quadratic baseline
+    * reduces to candidate recall.
+    *
+    * Band parameters come from the standard S-curve: a pair at bit-agreement
+    * p survives with prob 1-(1-p^r)^b. This corpus is adversarially
+    * separated — true pairs start at cos 0.4501 (p≈0.6486) with background
+    * up to cos 0.4494 — so r=4, b=64 (256 planes, 4 stacked 64-bit
+    * signatures) drives per-pair miss below 4e-6; with fixed seeded planes
+    * the result is deterministic and verified equal to the exact baseline at
+    * every test SF. A corpus with a real dup/background gap (dups ≥0.8,
+    * background ≤0.3) gets the same recall from b=8 at a fraction of the
+    * candidate volume — b, r are the per-corpus tuning knobs. */
   private def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until 4).map(i =>
+      graft.functions.Sketches.rhSignature(col("embedding"), 64, 64, i * 64).as(s"s$i"))
     val e = Tables.load(s, dir, "embeddings")
-      .withColumn("sig", graft.functions.Sketches.rhSignature(col("embedding"), 32, 64))
-    val banded = e.select(col("vec_id").as("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(7))).as("band_idx"))
-      .withColumn("band_val", expr("shiftright(sig, cast(band_idx * 4 as int)) & 15"))
+      .select(col("vec_id") +: sigCols: _*)
+    // sigs materialize below the Generate barrier → 4 expression evals per
+    // doc, band values are bit-slices per banded row
+    val banded = e
+      .select(col("vec_id").as("doc_id"),
+        array(col("s0"), col("s1"), col("s2"), col("s3")).as("sigs"),
+        explode(sequence(lit(0), lit(63))).as("band_idx"))
+      .withColumn("band_val",
+        expr("shiftrightunsigned(element_at(sigs, cast(band_idx div 16 as int) + 1), (band_idx % 16) * 4) & 15"))
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
     val cand = bucketPairs(banded, Seq("band_idx", "band_val"))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
-    val emb = e.select(col("vec_id"), col("embedding"))
+    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
@@ -227,8 +271,26 @@ object Dedup {
     "q_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
-    // simhash pairs equal the exact near-dup pairs on this corpus (clean
-    // separation); hamming itself is not SQL-computable so it is excluded
+    // simhash banding (pigeonhole-deterministic to hamming 15) + exact
+    // jaccard verification ⇒ the pair set equals the exact near-dup set;
+    // the signature is not SQL-computable so the query emits pairs only
+    "q_dedup_simhash" ->
+      s"""SELECT doc_a, doc_b FROM ($exactPairsSql)
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // the LSH variant's precision is exact (cosine-verified) and its
+    // candidate recall is driven to ~1-4e-6 per pair (see embeddingLshPairs
+    // Scaladoc), so it shares the quadratic baseline's oracle — over the
+    // FULL table (the exact query caps at vec_id < 1000 for boundedness;
+    // the LSH path needs no cap, that being the point)
+    "q_dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_corpus_clean" ->
       s"""WITH losers AS (
          |  SELECT DISTINCT doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8),

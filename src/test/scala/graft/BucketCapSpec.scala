@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Hot-bucket behavior of the LSH candidate generator: one adversarial
+  * band value shared by many docs (boilerplate-heavy corpus) must expand
+  * to at most C(cap, 2) pairs — never quadratic in the bucket — and the
+  * drop must be observable via the `graft.bucket_cap` metrics. */
+class BucketCapSpec extends SparkSpec {
+
+  test("a 10k-doc bucket caps at C(cap,2) pairs and reports drops") {
+    val cap = 64
+    val banded = spark.range(10000).select(
+      col("id").as("doc_id"), lit(0).as("band_idx"), lit(0L).as("band_val"))
+    val pairs = Dedup.bucketPairs(banded, Seq("band_idx", "band_val"), cap)
+    val rows = pairs.collect()
+    assert(rows.length == cap * (cap - 1) / 2, s"got ${rows.length} pairs")
+    // deterministic keep-set: the cap smallest doc_ids
+    assert(rows.map(_.getLong(0)).max < cap && rows.map(_.getLong(1)).max < cap)
+    val m = pairs.queryExecution.observedMetrics("graft.bucket_cap")
+    assert(m.getAs[Long]("docs_dropped") == 10000 - cap)
+    assert(m.getAs[Long]("buckets_capped") == 1L)
+  }
+
+  test("buckets under the cap are untouched and report zero drops") {
+    val banded = spark.range(100).select(
+      col("id").as("doc_id"), (col("id") % 4).as("band_idx"), lit(0L).as("band_val"))
+    val pairs = Dedup.bucketPairs(banded, Seq("band_idx", "band_val"))
+    assert(pairs.collect().length == 4 * (25 * 24 / 2))
+    val m = pairs.queryExecution.observedMetrics("graft.bucket_cap")
+    assert(m.getAs[Long]("docs_dropped") == 0L)
+    assert(m.getAs[Long]("buckets_capped") == 0L)
+  }
+}

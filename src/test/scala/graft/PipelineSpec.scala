@@ -21,32 +21,31 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq("en", "de", "es", "fr"))
   }
 
-  test("ANN LSH recall ≥ 0.5 of brute-force top-5 on the test corpus") {
+  test("ANN LSH top-5 equals the brute-force top-5 (recall-1 band config)") {
     val bf = Queries.all("q_similarity_topk")(spark, sfDir)
       .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Queries.all("q_similarity_lsh")(spark, sfDir)
       .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (bf & lsh).size.toDouble / bf.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(bf.nonEmpty && lsh == bf,
+      s"missed ${(bf -- lsh).size} slots, spurious ${(lsh -- bf).size}")
   }
 
-  test("IVF ANN recall ≥ 0.5 of brute-force top-5 on the test corpus") {
+  test("IVF ANN recall ≥ 0.9 of brute-force top-5 on the test corpus") {
     val bf = Queries.all("q_similarity_topk")(spark, sfDir)
       .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Queries.all("q_similarity_ivf")(spark, sfDir)
       .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(recall >= 0.9, s"recall $recall")
   }
 
-  test("embedding LSH pairs are a subset of the exact pairs with recall ≥ 0.3") {
+  test("embedding LSH pairs equal the exact pairs (recall-1 band config)") {
     val exact = Queries.all("q_dedup_embedding")(spark, sfDir)
       .select($"vec_a", $"vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Queries.all("q_dedup_embedding_lsh")(spark, sfDir)
       .select($"vec_a", $"vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(exact), "exact-cosine verification ⇒ precision 1.0")
-    assert(exact.nonEmpty && lsh.size.toDouble / exact.size >= 0.3,
-      s"recall ${lsh.size.toDouble / exact.size}")
+    assert(exact.nonEmpty && lsh == exact,
+      s"missed ${(exact -- lsh).size} pairs, spurious ${(lsh -- exact).size}")
   }
 
   test("minhash LSH near-dup pairs match simhash near-dup pairs on corpus") {

@@ -54,4 +54,15 @@ class PlanAuditSpec extends SparkSpec {
     val sim = planOf("q_similarity_lsh")
     assert(!sim.contains("CartesianProduct"), sim)
   }
+
+  test("IVF assigns cells in the scan stage: no window, one hash exchange") {
+    val p = planOf("q_similarity_ivf")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one hash exchange (TopKPerKey's qid clustering); the only other
+    // exchanges are the broadcast of probes and the final presentation sort
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"$hashEx hash exchanges:\n$p")
+  }
 }
