@@ -32,18 +32,27 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .map { case (name, fn) =>
-        def once(): Double = {
+        // a crashing query must NOT masquerade as a fast pass: failures are
+        // recorded as -1 with the name listed under "failed"
+        def once(): (Double, Boolean) = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
-        name -> math.min(once(), once())
+        val (t1, ok1) = once()
+        val (t2, ok2) = once()
+        (name, math.min(t1, t2), ok1 && ok2)
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$skipped,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$skipped,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,8 +26,62 @@ import graft.sources.{JdbcConfig, JdbcSink}
   * Driver-side guards mirror the reference (D1/D3/D4,
   * `calculate_daily_transactions.py:91-103`): empty input raises; an empty
   * day still writes a 0-count row with a warning.
+  *
+  * Resilience mirrors the reference's Airflow layer
+  * (`daily_transactions_dag.py:30-31,58-65`): [[pollForInput]] is the
+  * FileSensor (poke every 300 s, give up at 1800 s → exit code 2),
+  * [[withRetry]] the task retry (one retry after 5 min, failure callback
+  * on exhaustion → exit code 1). Both take injectable clock/sleep so tests
+  * cover the paths without wall-clock waits; logging goes through slf4j
+  * (SURVEY.md §2.11 D5).
   */
 object JobRunner {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** FileSensor equivalent: poll until `path` exists (any filesystem Hadoop
+    * can address — the sensor logic is object-store-safe, no local-FS
+    * assumptions). Returns false when `timeoutMs` elapses first. */
+  def pollForInput(spark: SparkSession, path: String,
+                   pokeIntervalMs: Long = 300_000L, timeoutMs: Long = 1_800_000L,
+                   clock: () => Long = () => System.currentTimeMillis(),
+                   sleep: Long => Unit = Thread.sleep): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = clock() + timeoutMs
+    var found = fs.exists(p)
+    while (!found && clock() < deadline) {
+      log.info("input {} absent, next poke in {} ms", path, pokeIntervalMs)
+      sleep(math.min(pokeIntervalMs, math.max(1, deadline - clock())))
+      found = fs.exists(p)
+    }
+    if (!found) log.error("input {} still absent after {} ms", path, timeoutMs)
+    found
+  }
+
+  /** Bounded retry with linear backoff; `onFailure` fires once, after the
+    * last attempt fails (the reference's on_failure_callback). */
+  def withRetry[A](attempts: Int, backoffMs: Long,
+                   sleep: Long => Unit = Thread.sleep,
+                   onFailure: Throwable => Unit = _ => ())(body: () => A): A = {
+    require(attempts >= 1, "attempts must be >= 1")
+    var i = 0
+    var last: Throwable = null
+    while (i < attempts) {
+      try return body()
+      catch {
+        case e: Throwable =>
+          last = e; i += 1
+          if (i < attempts) {
+            log.warn(s"attempt $i/$attempts failed (${e.getMessage}), retrying in ${backoffMs * i} ms")
+            sleep(backoffMs * i)
+          }
+      }
+    }
+    log.error(s"all $attempts attempts failed", last)
+    onFailure(last)
+    throw last
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 5,
       "args: <job> <executionDate> <dataDir> <sinkUri> <table>")
@@ -37,8 +91,18 @@ object JobRunner {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, job, LocalDate.parse(execDate), dataDir, sinkUri, table)
-    finally spark.stop()
+    val rc =
+      try {
+        if (!pollForInput(spark, Tables.path(dataDir, "events"))) 2
+        else {
+          withRetry(attempts = 2, backoffMs = 300_000L)(() =>
+            run(spark, job, LocalDate.parse(execDate), dataDir, sinkUri, table))
+          0
+        }
+      } catch {
+        case e: Throwable => log.error(s"job $job failed", e); 1
+      } finally spark.stop()
+    if (rc != 0) sys.exit(rc)
   }
 
   def run(spark: SparkSession, job: String, executionDate: LocalDate,
@@ -55,7 +119,7 @@ object JobRunner {
         val n = r.head().getLong(1) // D2/D3
         if (n < 0) throw new IllegalStateException(s"negative count $n")
         if (n == 0)
-          System.err.println(s"[graft] warning: no rows for $processDate, writing 0")
+          log.warn(s"no rows for $processDate, writing 0") // D5: slf4j, not stderr
         r
       case "top_zones" =>
         TopZones.topZones(events, "ts", "user_id", processDate, 5)

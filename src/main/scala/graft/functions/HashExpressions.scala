@@ -292,8 +292,13 @@ case class Winnow64(child: Expression, k: Int, w: Int)
       hashes(i) = HashUtil.splitmix64(h)
       i += 1
     }
+    // fingerprint = XOR over the DISTINCT set of window minima (classic
+    // winnowing set semantics): a hash picked from several overlapping
+    // windows — or re-picked non-consecutively an even number of times —
+    // contributes exactly once, so nothing can cancel out, and no sentinel
+    // value is ever confused with a real hash
+    val selected = new java.util.HashSet[java.lang.Long]()
     var res = 0L
-    var last = Long.MinValue // min of previous window, to dedup consecutive picks
     i = 0
     val windows = math.max(1, n - w + 1)
     while (i < windows) {
@@ -301,7 +306,7 @@ case class Winnow64(child: Expression, k: Int, w: Int)
       var j = i
       val end = math.min(i + w, n)
       while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
-      if (m != last) { res ^= m; last = m }
+      if (selected.add(m)) res ^= m
       i += 1
     }
     res

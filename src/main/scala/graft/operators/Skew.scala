@@ -14,8 +14,18 @@ import org.apache.spark.sql.functions._
   * salt: shuffle skew S/salts at the cost of a `salts`× small-side blowup.
   */
 object Skew {
+  /** Join types where replicating the small side is sound. For right/full
+    * outer joins each UNMATCHED small-side row would surface once per salt
+    * — `salts`× duplicated output — so they are rejected. */
+  private val saltableJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: joinType '$joinType' would emit unmatched small-side " +
+        s"rows once per salt; use one of $saltableJoinTypes")
     // row-dependent (not key-dependent!) salt on the big side — same-key
     // rows must scatter across salts; monotonic id is deterministic per
     // partition layout and needs no extra shuffle

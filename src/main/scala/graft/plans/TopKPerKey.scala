@@ -113,7 +113,14 @@ object TopK {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val plan = GraftBridge.analyzedPlan(df)
-    val resolve = plan.output.map(a => a.name -> a).toMap
+    val byName = plan.output.groupBy(_.name)
+    def resolve(n: String): Attribute = byName.get(n) match {
+      case Some(Seq(a)) => a
+      case Some(as) => throw new IllegalArgumentException(
+        s"TopK.perKey: column '$n' is ambiguous (${as.size} attributes match)")
+      case None => throw new IllegalArgumentException(
+        s"TopK.perKey: no column '$n' among ${plan.output.map(_.name).mkString(", ")}")
+    }
     val keys = keyCols.map(n => resolve(n): Expression)
     val sortOrder = order.map { case (n, desc) =>
       SortOrder(resolve(n), if (desc) Descending else Ascending)

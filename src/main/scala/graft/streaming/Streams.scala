@@ -78,24 +78,52 @@ object Streams {
       .agg(count(lit(1)).as("n_unique_events"))
   }
 
+  /** Idle horizon for per-user state: a user silent this long past the
+    * watermark is evicted (final count emitted, state removed). Bounds the
+    * state store to recently-active users — with NoTimeout the store grows
+    * monotonically with every user ever seen, which at 100 TB of events is
+    * an unbounded leak. */
+  private[graft] val userIdleGapMs: Long = 30L * 24 * 3600 * 1000
+
   /** Custom state: per-user event counting via mapGroupsWithState —
     * `KeyValueGroupedDataset` custom-state surface (SURVEY.md §7 north
-    * star). Output is robust to multi-batch replays by max-reducing the
-    * running counts. */
-  def userCounts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val updateState = (userId: Long, events: Iterator[Long],
-                       state: GroupState[Long]) => {
-      val total = state.getOption.getOrElse(0L) + events.size
-      state.update(total)
-      (userId, total)
+    * star) with event-time state expiry keyed to the watermark. Output is
+    * robust to multi-batch replays by max-reducing the running counts;
+    * a user returning after eviction restarts from zero (the contract of a
+    * bounded-state counter: counts cover one activity session within the
+    * idle horizon). */
+  private[graft] def userCountsStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val gap = userIdleGapMs
+    val updateState = (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+                       state: GroupState[(Long, Long)]) => {
+      if (state.hasTimedOut) {
+        val total = state.get._1
+        state.remove()
+        (userId, total)
+      } else {
+        var n = 0L; var maxTs = Long.MinValue
+        rows.foreach { r => n += 1; maxTs = math.max(maxTs, r._2.getTime) }
+        val (prev, prevMax) = state.getOption.getOrElse((0L, Long.MinValue))
+        val total = prev + n
+        val m = math.max(prevMax, maxTs)
+        state.update((total, m))
+        // strictly above the watermark, as EventTimeTimeout requires
+        state.setTimeoutTimestamp(math.max(m + gap, state.getCurrentWatermarkMs() + 1))
+        (userId, total)
+      }
     }
-    val counts = eventStream(spark, dir)
-      .select(col("user_id"))
-      .as[Long]
-      .groupByKey(identity)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+    events
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(updateState)
       .toDF("user_id", "n_events")
+  }
+
+  def userCounts(spark: SparkSession, dir: String): DataFrame = {
+    val counts = userCountsStream(
+      eventStream(spark, dir).withWatermark("ts", "1 day"))
     runToTable(counts, spark, OutputMode.Update())
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"))
@@ -124,6 +152,32 @@ object Streams {
       .groupBy(col("p_id"), col("user_id"))
       .agg(count(lit(1)).as("n_signups_7d"))
       .orderBy(col("p_id"))
+  }
+
+  /** Pipeline-1 into a DISTRIBUTED file sink — the 100 TB path (the memory
+    * sink is a finite-test harness only; foreachBatch-JDBC below is
+    * reference parity). Append mode + watermark: each 1-day window emits
+    * exactly once, when the watermark closes it; the parquet sink's
+    * transaction log plus the checkpoint make replays idempotent — a
+    * restarted job re-commits nothing, executors write partitioned files
+    * with no driver collection anywhere. Returns the sink path's current
+    * contents for inspection. */
+  def dailyCountsToParquet(spark: SparkSession, dir: String,
+                           outDir: String, checkpointDir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(to_date(col("w.start")).as("event_day"), col("n_events"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 
   /** Pipeline-1 as a continuous job into the reference's JDBC sink:
@@ -155,8 +209,20 @@ object Streams {
     * hash), each arriving doc emits candidate pairs against everything
     * previously seen in its buckets, and candidates are jaccard-verified
     * against the batch corpus. Output equals the batch
-    * `q_dedup_minhash_lsh` — same exact all-pairs oracle. */
-  def streamingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    * `q_dedup_minhash_lsh` — same exact all-pairs oracle.
+    *
+    * State bounds: dedup state is corpus-lifetime BY CONSTRUCTION — a doc
+    * must be checked against everything previously admitted, and evicting
+    * state would silently re-admit duplicates, so there is no
+    * watermark-driven expiry here (dropping state is a retention POLICY
+    * decision, e.g. "only dedup within a crawl snapshot", applied by
+    * bounding the input, not the operator). What IS bounded is each
+    * bucket's membership list: at most `cap` docs (first arrivals kept,
+    * mirroring the batch `Dedup.bucketCap` smallest-ids cap under in-order
+    * arrival), so one adversarial boilerplate bucket cannot grow a state
+    * row or a per-doc emission quadratically. */
+  def streamingNearDupPairs(spark: SparkSession, dir: String,
+                            cap: Int = graft.operators.Dedup.bucketCap): DataFrame = {
     import spark.implicits._
     import graft.functions.Sketches
     val docSchema = StructType(Seq(
@@ -180,15 +246,19 @@ object Streams {
       .flatMapGroupsWithState[List[Long], (Long, Long)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) { case (_, rows, state: GroupState[List[Long]]) =>
-          val seen = state.getOption.getOrElse(Nil)
+          val seen = state.getOption.getOrElse(Nil) // newest-first
           val arriving = rows.map(_._1).toList.distinct
           val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
           var acc = seen
+          var size = acc.length
           arriving.foreach { d =>
-            acc.foreach { prev =>
-              if (prev != d) out += ((math.min(prev, d), math.max(prev, d)))
+            if (size < cap) { // bucket full → doc neither pairs nor joins it
+              acc.foreach { prev =>
+                if (prev != d) out += ((math.min(prev, d), math.max(prev, d)))
+              }
+              acc = d :: acc
+              size += 1
             }
-            acc = d :: acc
           }
           state.update(acc)
           out.iterator

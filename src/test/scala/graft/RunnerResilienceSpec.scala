@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** The orchestration shell's resilience paths (reference
+  * `daily_transactions_dag.py`: FileSensor poke/timeout, task retry with
+  * failure callback) — exercised with injected clock/sleep, no wall-clock
+  * waits. */
+class RunnerResilienceSpec extends SparkSpec {
+
+  test("withRetry: fails once, backs off, then succeeds") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ListBuffer.empty[Long]
+    var failed: Option[Throwable] = None
+    val got = JobRunner.withRetry(attempts = 2, backoffMs = 300L,
+      sleep = sleeps += _, onFailure = e => failed = Some(e)) { () =>
+      calls += 1
+      if (calls == 1) throw new RuntimeException("transient")
+      42
+    }
+    assert(got == 42 && calls == 2)
+    assert(sleeps.toList == List(300L))
+    assert(failed.isEmpty, "failure hook must not fire on eventual success")
+  }
+
+  test("withRetry: exhaustion throws the last error and fires the hook once") {
+    var calls = 0
+    var hooks = 0
+    val e = intercept[RuntimeException] {
+      JobRunner.withRetry(attempts = 3, backoffMs = 1L, sleep = _ => (),
+        onFailure = _ => hooks += 1) { () =>
+        calls += 1
+        throw new RuntimeException(s"boom $calls")
+      }
+    }
+    assert(e.getMessage == "boom 3" && calls == 3 && hooks == 1)
+  }
+
+  test("pollForInput: times out on a missing path after bounded pokes") {
+    var now = 0L
+    var pokes = 0
+    val ok = JobRunner.pollForInput(spark, "/nonexistent/graft/input",
+      pokeIntervalMs = 300L, timeoutMs = 1000L,
+      clock = () => now, sleep = ms => { pokes += 1; now += ms })
+    assert(!ok)
+    assert(pokes == 4, s"300+300+300+100 ms of pokes expected, got $pokes")
+  }
+
+  test("pollForInput: sees a file that arrives while poking") {
+    val dir = Files.createTempDirectory("graft_sensor").toString
+    val target = s"$dir/events.parquet"
+    var now = 0L
+    val ok = JobRunner.pollForInput(spark, target,
+      pokeIntervalMs = 300L, timeoutMs = 10_000L,
+      clock = () => now,
+      sleep = ms => { now += ms; Files.createFile(Paths.get(target)) })
+    assert(ok)
+  }
+}

@@ -57,4 +57,59 @@ class WatermarkSpec extends SparkSpec {
     // day 3's window never closes before the stream ends → not emitted
     assert(!rows.contains("2024-02-03"), rows.toString)
   }
+
+  test("userCounts evicts idle users once the watermark passes the idle gap") {
+    val dir = Files.createTempDirectory("graft_evict").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // b1: user 1 twice on day 1 → timeout set to ~Jan 31 (30-day gap)
+    Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b1")
+    Thread.sleep(1200)
+    // b2: user 2 far in the future → watermark jumps past user 1's timeout
+    Seq((2L, ts("2024-03-15 00:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b2")
+    Thread.sleep(1200)
+    // b3: user 2 again; user 1 has no data → its state times out HERE
+    Seq((2L, ts("2024-03-16 00:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b3")
+    Thread.sleep(1200)
+    // b4: user 1 returns → count restarts from zero (state was evicted)
+    Seq((1L, ts("2024-03-17 00:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/b4")
+
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/*")
+      .withWatermark("ts", "1 hour")
+    val q = streaming.Streams.userCountsStream(stream)
+      .writeStream.format("memory").queryName("evict_test")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val user1 = spark.table("evict_test").filter($"user_id" === 1L)
+      .select($"n_events").as[Long].collect().toSeq
+    // 2 from b1 (re-emitted on timeout), then a RESTARTED count of 1 in b4
+    // — never 3, which is what unbounded state would produce
+    assert(user1.contains(1L), s"no restart row: $user1")
+    assert(!user1.contains(3L), s"state survived the idle gap: $user1")
+  }
+
+  test("streaming near-dup bucket state caps at `cap` docs per bucket") {
+    val dir = Files.createTempDirectory("graft_cap").toString
+    import java.nio.file.{Files => JFiles, Paths}
+    // 10 identical docs → every band bucket would hold all 10
+    val docs = (0L until 10L).map(d =>
+      (d, "alpha beta gamma delta epsilon zeta eta theta", "en", "t", 8L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/out")
+    val part = JFiles.list(Paths.get(s"$dir/out")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    JFiles.move(Paths.get(part), Paths.get(s"$dir/documents.parquet"))
+
+    val pairs = streaming.Streams.streamingNearDupPairs(spark, dir, cap = 4)
+    // only the first 4 arrivals per bucket pair up: C(4,2), not C(10,2)
+    assert(pairs.count() == 6L, s"got ${pairs.count()} pairs")
+  }
 }
