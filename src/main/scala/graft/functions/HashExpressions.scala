@@ -70,8 +70,34 @@ case class MinHashes(child: Expression, k: Int)
   * band index, so identical sub-signatures in different bands never collide.
   */
 case class BandHashes(child: Expression, r: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // a CodegenFallback PARENT evaluates its whole subtree interpreted, so
+  // this must participate in codegen or the fused minhash below it never
+  // JITs inside bandhashes(shingle_minhashes(...)) pipelines
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sig => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+        |final int $b = $sig.numElements() / $r;
+        |final long[] $out = new long[$b];
+        |for (int $i = 0; $i < $b; $i++) {
+        |  long $h = (long) $i;
+        |  for (int $j = 0; $j < $r; $j++) {
+        |    $h = $xxh.hashLong($sig.getLong($i * $r + $j), $h);
+        |  }
+        |  $out[$i] = $h;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |""".stripMargin
+    })
+
   override def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData]
     val b = sig.numElements() / r
@@ -102,9 +128,54 @@ case class BandHashes(child: Expression, r: Int)
   * exact-jaccard verification still uses string shingles (oracle parity).
   */
 case class ShingleMinHashes(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private lazy val ab = HashUtil.perms(k)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // the LSH pipelines' hottest loop: fused shingle-hash + k permutations,
+  // emitted inline so the whole candidate-generation projection stays in
+  // whole-stage codegen (was CodegenFallback → interpreted per row)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pa = ctx.addReferenceObj("minhashA", ab.map(_._1), "long[]")
+    val pb = ctx.addReferenceObj("minhashB", ab.map(_._2), "long[]")
+    nullSafeCodeGen(ctx, ev, words => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val wh = ctx.freshName("wh")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      s"""
+        |final int $m = $words.numElements();
+        |final long[] $out = new long[$k];
+        |java.util.Arrays.fill($out, Long.MAX_VALUE);
+        |if ($m >= $n) {
+        |  final long[] $wh = new long[$m];
+        |  for (int $i = 0; $i < $m; $i++) {
+        |    if ($words.isNullAt($i)) { $wh[$i] = 0L; } else {
+        |      org.apache.spark.unsafe.types.UTF8String $s = $words.getUTF8String($i);
+        |      $wh[$i] = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+        |    }
+        |  }
+        |  for (int $j = 0; $j <= $m - $n; $j++) {
+        |    long $h = 17L;
+        |    for (int $t = 0; $t < $n; $t++) { $h = $xxh.hashLong($wh[$j + $t], $h); }
+        |    for (int $p = 0; $p < $k; $p++) {
+        |      final long $v = $pa[$p] * $h + $pb[$p];
+        |      if ($v < $out[$p]) { $out[$p] = $v; }
+        |    }
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |""".stripMargin
+    })
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val m = words.numElements()
@@ -142,8 +213,49 @@ case class ShingleMinHashes(child: Expression, n: Int, k: Int)
   * occurrence), matching SimHash64-over-shingle-multiset semantics up to
   * the distinctness the string pipeline applied. */
 case class ShingleSimHash64(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, words => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val wh = ctx.freshName("wh")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val bit = ctx.freshName("bit")
+      val h = ctx.freshName("h")
+      val res = ctx.freshName("res")
+      val s = ctx.freshName("s")
+      s"""
+        |final int $m = $words.numElements();
+        |final int[] $acc = new int[64];
+        |if ($m >= $n) {
+        |  final long[] $wh = new long[$m];
+        |  for (int $i = 0; $i < $m; $i++) {
+        |    if ($words.isNullAt($i)) { $wh[$i] = 0L; } else {
+        |      org.apache.spark.unsafe.types.UTF8String $s = $words.getUTF8String($i);
+        |      $wh[$i] = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+        |    }
+        |  }
+        |  for (int $j = 0; $j <= $m - $n; $j++) {
+        |    long $h = 7L;
+        |    for (int $t = 0; $t < $n; $t++) { $h = $xxh.hashLong($wh[$j + $t], $h); }
+        |    for (int $bit = 0; $bit < 64; $bit++) {
+        |      if ((($h >>> $bit) & 1L) == 1L) { $acc[$bit]++; } else { $acc[$bit]--; }
+        |    }
+        |  }
+        |}
+        |long $res = 0L;
+        |for (int $bit = 0; $bit < 64; $bit++) {
+        |  if ($acc[$bit] > 0) { $res |= (1L << $bit); }
+        |}
+        |${ev.value} = $res;
+        |""".stripMargin
+    })
+
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val m = words.numElements()
@@ -326,12 +438,35 @@ case class Winnow64(child: Expression, k: Int, w: Int)
   */
 case class RandomHyperplaneSig(child: Expression, nBits: Int, dim: Int,
     planeOffset: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   // nBits × dim matrix of ~N(0,1)-ish components in [-1, 1)
   private lazy val planes: Array[Array[Double]] =
     Array.tabulate(nBits, dim)((b, i) =>
       HashUtil.splitmix64((planeOffset + b).toLong * 131071L + i).toDouble / Long.MaxValue.toDouble)
   override def dataType: DataType = LongType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pl = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val p = ctx.freshName("p")
+      s"""
+        |final int $n = java.lang.Math.min($dim, $v.numElements());
+        |long $sig = 0L;
+        |for (int $b = 0; $b < $nBits; $b++) {
+        |  double $dot = 0.0;
+        |  final double[] $p = $pl[$b];
+        |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getFloat($i) * $p[$i]; }
+        |  if ($dot >= 0) { $sig |= (1L << $b); }
+        |}
+        |${ev.value} = $sig;
+        |""".stripMargin
+    })
+  }
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(dim, v.numElements())

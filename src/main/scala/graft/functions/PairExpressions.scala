@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftBridge.{toCol, toExpr}
+
+/** In-bucket LSH pair expansion as tight primitive loops.
+  *
+  * The SQL formulation (`flatten(transform(xs, (x,i) -> transform(slice(
+  * xs,...), y -> struct(...))))`) allocates one Catalyst struct per
+  * candidate pair — 12M+ heap rows for a corpus of a few thousand docs —
+  * and that allocation, not the arithmetic, dominated the LSH queries'
+  * wall time (measured ~7 s of an 8 s query at sf0.1). These expressions
+  * emit each pair as ONE packed long `(a << 32) | b` from a primitive
+  * loop: the downstream `distinct` dedups 8-byte longs instead of structs
+  * and the ids unpack after.
+  *
+  * Packing requires ids in [0, 2^32) — violated ids throw (loudly, not
+  * silently corrupting pairs). A deployment with a wider id space swaps
+  * the pack for the struct-emitting SQL shape at ~4× the constant cost.
+  *
+  * Both expressions run once per BUCKET row (thousands of rows, not
+  * billions), so interpreted eval is fine: the inner loop is plain JVM
+  * code either way (CodegenFallback).
+  */
+object PairPack {
+  val idLimit: Long = 1L << 32
+  @inline def pack(a: Long, b: Long): Long = {
+    if (a < 0 || a >= idLimit || b < 0 || b >= idLimit)
+      throw new IllegalArgumentException(
+        s"packed pair ids must be in [0, 2^32): got ($a, $b)")
+    (a << 32) | b
+  }
+}
+
+/** `packed_pairs(xs)` → all C(n,2) pairs of an ascending array<long> of
+  * ids, packed. Upstream must sort (and cap) the bucket. */
+case class PackedPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = xs.getLong(i)
+      var j = i + 1
+      while (j < n) { out(idx) = PairPack.pack(a, xs.getLong(j)); idx += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PackedPairs = copy(child = c)
+}
+
+/** `hamming_pairs(xs, maxDist)` → pairs of an array<struct<doc_id long,
+  * sig long>> (ascending by doc_id) whose signatures lie within `maxDist`
+  * hamming, packed. The gate runs inside the loop — non-matching pairs
+  * never materialize anywhere. */
+case class HammingPairs(child: Expression, maxDist: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = xs.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= maxDist)
+          out += PairPack.pack(ids(i), ids(j))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+  override protected def withNewChildInternal(c: Expression): HammingPairs = copy(child = c)
+}
+
+object Pairs {
+  def packedPairs(c: Column): Column = toCol(PackedPairs(toExpr(c)))
+  def hammingPairs(c: Column, maxDist: Int): Column =
+    toCol(HammingPairs(toExpr(c), maxDist))
+}

@@ -57,12 +57,13 @@ object Dedup {
         sum(greatest(size(col("xs0")) - cap, lit(0))).as("docs_dropped"),
         sum(when(size(col("xs0")) > cap, 1).otherwise(0)).as("buckets_capped"))
       .select(slice(sort_array(col("xs0")), 1, cap).as("xs"))
-      .select(explode(expr(
-        """flatten(transform(xs, (x, i) ->
-             transform(slice(xs, i + 2, size(xs) - i - 1), y ->
-               struct(x as doc_a, y as doc_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      // pairs expand as packed longs from a primitive loop (see
+      // [[graft.functions.PackedPairs]]) — distinct dedups 8-byte longs,
+      // ids unpack after
+      .select(explode(graft.functions.Pairs.packedPairs(col("xs"))).as("pk"))
       .distinct()
+      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
 
   val queries: Map[String, Q] = Map(
     // exact dedup: hash-groupBy on normalized content; keeper = min doc_id
@@ -130,14 +131,14 @@ object Dedup {
           sum(greatest(size(col("xs0")) - bucketCap, lit(0))).as("docs_dropped"),
           sum(when(size(col("xs0")) > bucketCap, 1).otherwise(0)).as("buckets_capped"))
         .select(slice(sort_array(col("xs0")), 1, bucketCap).as("xs"))
-        .select(explode(expr(
-          """flatten(transform(xs, (x, i) ->
-               transform(slice(xs, i + 2, size(xs) - i - 1), y ->
-                 struct(x.doc_id as doc_a, y.doc_id as doc_b,
-                        bit_count(x.sig ^ y.sig) as hamming))))""")).as("p"))
-        .filter(col("p.hamming") <= 15)
-        .select(col("p.doc_a"), col("p.doc_b"))
+        // the hamming gate runs INSIDE a primitive loop (see
+        // [[graft.functions.HammingPairs]]): non-matching pairs never
+        // materialize — the SQL struct formulation allocated 12M+ Catalyst
+        // rows here just to filter them away (measured ~7 s at sf0.1)
+        .select(explode(graft.functions.Pairs.hammingPairs(col("xs"), 15)).as("pk"))
         .distinct()
+        .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
       val d = docs(s, dir)
       cand
         .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
