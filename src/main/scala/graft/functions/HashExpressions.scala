@@ -485,6 +485,52 @@ case class RandomHyperplaneSig(child: Expression, nBits: Int, dim: Int,
   override protected def withNewChildInternal(c: Expression): RandomHyperplaneSig = copy(child = c)
 }
 
+/** `jaccard_shingles(a, b, n)` → exact Jaccard similarity of the word
+  * n-shingle SETS of two texts, fused into one pass.
+  *
+  * Replaces the SQL formulation `size(array_intersect(sh(a), sh(b))) /
+  * size(array_union(sh(a), sh(b)))` where `sh` builds shingle-string
+  * arrays with `transform(sequence(...), i -> concat_ws(split(c,' ')[i]…))`
+  * — Catalyst does not CSE inside lambdas, so that shape re-ran
+  * `split(text)` per array ELEMENT and the whole sh() twice per side
+  * (intersect + union): ~4 full re-tokenizations per candidate pair,
+  * measured as the dominant cost of the dedup verify joins at scale.
+  * Semantics are identical (split on single space keeping empties,
+  * space-joined shingles, set comparison), so DuckDB oracles are
+  * unaffected: counts are integers and the final division is exact.
+  * Returns null when either text has fewer than n words (candidate
+  * generation already excludes those). */
+case class JaccardShingles(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def shingles(s: String): java.util.HashSet[String] = {
+    val ws = s.split(" ", -1)
+    val set = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= ws.length) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) { if (t > 0) sb.append(' '); sb.append(ws(i + t)); t += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = shingles(l.asInstanceOf[UTF8String].toString)
+    val b = shingles(r.asInstanceOf[UTF8String].toString)
+    if (a.isEmpty || b.isEmpty) return null
+    var inter = 0
+    val it = a.iterator()
+    while (it.hasNext) if (b.contains(it.next())) inter += 1
+    inter.toDouble / (a.size + b.size - inter).toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardShingles =
+    copy(left = l, right = r)
+}
+
 /** `nearest_cells(vec, codebook, n)` → indices of the `n` codebook
   * centroids most cosine-similar to `vec` (ties → lower index), as
   * array<int>.
@@ -553,4 +599,6 @@ object Sketches {
     toCol(RandomHyperplaneSig(toExpr(c), nBits, dim, planeOffset))
   def nearestCells(c: Column, codebook: Seq[Seq[Float]], n: Int): Column =
     toCol(NearestCells(toExpr(c), codebook, n))
+  def jaccardShingles(a: Column, b: Column, n: Int): Column =
+    toCol(JaccardShingles(toExpr(a), toExpr(b), n))
 }

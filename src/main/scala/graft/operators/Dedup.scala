@@ -25,11 +25,6 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** Word-3-shingle set of a text column — used only ABOVE candidate joins
-    * so the arrays are built for candidate rows, not for every doc. */
-  private def shingleOf(c: String): Column = array_distinct(expr(
-    s"transform(sequence(0, size(split($c, ' '))-3), i -> " +
-      s"concat_ws(' ', split($c, ' ')[i], split($c, ' ')[i+1], split($c, ' ')[i+2]))"))
 
   /** Banded rows → distinct candidate pairs (doc_a < doc_b) via
     * groupBy-bucket + in-bucket expansion, NOT a self-join: one exchange on
@@ -89,14 +84,14 @@ object Dedup {
           posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
             .as(Seq("band_idx", "band_hash")))
       val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
-      // join raw text, shingle AFTER the join: the projection sits above
-      // the join so shingle arrays are built only for candidate rows
+      // join raw text and verify AFTER the join, with the fused one-pass
+      // expression — shingle work happens only for candidate rows
       // (~#candidates), not for every doc on both join sides
       val d = docs(s, dir)
       cand
         .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        .withColumn("jaccard", jaccard(shingleOf("text_a"), shingleOf("text_b")))
+        .withColumn("jaccard", Sketches.jaccardShingles(col("text_a"), col("text_b"), 3))
         .filter(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -143,7 +138,7 @@ object Dedup {
       cand
         .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        .filter(jaccard(shingleOf("text_a"), shingleOf("text_b")) >= 0.8)
+        .filter(Sketches.jaccardShingles(col("text_a"), col("text_b"), 3) >= 0.8)
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -183,7 +178,7 @@ object Dedup {
       val dupLosers = cand
         .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        .filter(jaccard(shingleOf("text_a"), shingleOf("text_b")) >= 0.8)
+        .filter(Sketches.jaccardShingles(col("text_a"), col("text_b"), 3) >= 0.8)
         .select(col("doc_b")) // deterministic keep policy: smaller id wins
       val tk = split(lower(col("text")), " ")
       d.join(dupLosers, d("doc_id") === dupLosers("doc_b"), "left_anti")
@@ -228,27 +223,53 @@ object Dedup {
     * background ≤0.3) gets the same recall from b=8 at a fraction of the
     * candidate volume — b, r are the per-corpus tuning knobs. */
   private def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    // exact-dup clustering FIRST (the canonical dup-heavy-corpus shape):
+    // identical vectors collapse to one representative before LSH, so the
+    // candidate problem scales with UNIQUE vectors; pairs re-expand over
+    // cluster members afterwards (their cosines are byte-identical to the
+    // representatives'). On a 10×-replicated probe corpus this cut the
+    // query from 224 s to seconds; on a dup-free corpus it is a no-op
+    // costing one aggregate. Within-cluster pairs (cos(v,v), ~1.0) emit
+    // from the clusters directly.
+    val clusters = e.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"), sort_array(collect_list(col("vec_id"))).as("members"))
     val sigCols = (0 until 4).map(i =>
       graft.functions.Sketches.rhSignature(col("embedding"), 64, 64, i * 64).as(s"s$i"))
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id") +: sigCols: _*)
+    val reps = clusters.select(col("rep").as("vec_id") +: col("embedding") +: sigCols: _*)
     // sigs materialize below the Generate barrier → 4 expression evals per
-    // doc, band values are bit-slices per banded row
-    val banded = e
+    // rep, band values are bit-slices per banded row
+    val banded = reps
       .select(col("vec_id").as("doc_id"),
         array(col("s0"), col("s1"), col("s2"), col("s3")).as("sigs"),
         explode(sequence(lit(0), lit(63))).as("band_idx"))
       .withColumn("band_val",
         expr("shiftrightunsigned(element_at(sigs, cast(band_idx div 16 as int) + 1), (band_idx % 16) * 4) & 15"))
       .select(col("doc_id"), col("band_idx"), col("band_val"))
-    val cand = bucketPairs(banded, Seq("band_idx", "band_val"))
+    val emb = reps.select(col("vec_id"), col("embedding"))
+    val repPairs = bucketPairs(banded, Seq("band_idx", "band_val"))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
-    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .withColumn("cos", round(graft.functions.Sketches.cosineSim(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= 0.45)
+    // cross-cluster expansion: |A|×|B| pairs per qualifying rep pair —
+    // exactly the true output size, no intermediate blow-up
+    val expanded = repPairs
+      .join(clusters.select(col("rep").as("vec_a"), col("members").as("ms_a")), "vec_a")
+      .join(clusters.select(col("rep").as("vec_b"), col("members").as("ms_b")), "vec_b")
+      .select(col("cos"), explode(expr(
+        """flatten(transform(ms_a, a -> transform(ms_b, b ->
+             struct(least(a, b) as vec_a, greatest(a, b) as vec_b))))""")).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("cos"))
+    val within = clusters.filter(size(col("members")) >= 2)
+      .withColumn("cos",
+        round(graft.functions.Sketches.cosineSim(col("embedding"), col("embedding")), 6))
+      .filter(col("cos") >= 0.45) // zero vectors: cos is null → dropped
+      .select(col("cos"), explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
+      .select(shiftrightunsigned(col("pk"), 32).as("vec_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("vec_b"), col("cos"))
+    expanded.unionByName(within)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -24,6 +24,15 @@ case class JdbcConfig(url: String, user: String = "", password: String = "",
   * Executors write partitions concurrently over their own connections; at
   * cluster scale bound the fan-in with `df.coalesce(n)` before the write so
   * the database sees n writers, not one per task.
+  *
+  * Coverage note: the reference classpaths `postgresql-42.7.4.jar` and
+  * writes to Postgres (`Dockerfile:14-15`, `daily_transactions_dag.py:80-86`,
+  * incl. a `DATE PRIMARY KEY` table). This environment has no network and
+  * no Postgres driver jar, so sink semantics (append, overwrite+truncate,
+  * DDL bootstrap idempotence) are verified against embedded Derby only;
+  * Postgres-specific type mapping (DATE PK, TEXT vs VARCHAR) is untested
+  * here and should be smoke-checked once against a real instance when one
+  * is reachable — the code path is identical modulo the JDBC dialect.
   */
 object JdbcSink {
   /** S7: append (`calculate_daily_transactions.py:65-78`). */

@@ -265,17 +265,14 @@ object Streams {
         }
       .toDF("doc_a", "doc_b")
     val cand = runToTable(pairs, spark, OutputMode.Append()).distinct()
-    // jaccard-verify candidates against the batch corpus
+    // jaccard-verify candidates against the batch corpus (fused one-pass
+    // expression, same as the batch pipeline's verify join)
     val d = graft.Tables.load(spark, dir, "documents")
-    def shingleOf(c: String) = array_distinct(expr(
-      s"transform(sequence(0, size(split($c, ' '))-3), i -> " +
-        s"concat_ws(' ', split($c, ' ')[i], split($c, ' ')[i+1], split($c, ' ')[i+2]))"))
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(shingleOf("text_a"), shingleOf("text_b"))).cast("double") /
-          size(array_union(shingleOf("text_a"), shingleOf("text_b"))).cast("double"))
+        graft.functions.Sketches.jaccardShingles(col("text_a"), col("text_b"), 3))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

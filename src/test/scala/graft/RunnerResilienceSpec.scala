@@ -46,6 +46,36 @@ class RunnerResilienceSpec extends SparkSpec {
     assert(pokes == 4, s"300+300+300+100 ms of pokes expected, got $pokes")
   }
 
+  test("retry failures go through slf4j (D5), not stderr") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val events = scala.collection.mutable.ListBuffer.empty[String]
+    val app = new AbstractAppender("graft-capture", null, null, true, Array.empty) {
+      override def append(e: LogEvent): Unit =
+        events.synchronized { events += e.getMessage.getFormattedMessage }
+    }
+    app.start()
+    // attach straight to the core Logger backing JobRunner's slf4j logger
+    val core = LogManager.getLogger("graft.JobRunner$")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    core.addAppender(app)
+    core.setLevel(Level.WARN)
+    try {
+      var calls = 0
+      JobRunner.withRetry(attempts = 2, backoffMs = 1L, sleep = _ => ()) { () =>
+        calls += 1
+        if (calls == 1) throw new RuntimeException("transient-for-log") else ()
+      }
+      val captured = events.synchronized(events.toList)
+      assert(captured.exists(m => m.contains("transient-for-log") && m.contains("retrying")),
+        s"no structured retry log among: $captured")
+    } finally {
+      core.removeAppender(app)
+      app.stop()
+    }
+  }
+
   test("pollForInput: sees a file that arrives while poking") {
     val dir = Files.createTempDirectory("graft_sensor").toString
     val target = s"$dir/events.parquet"
