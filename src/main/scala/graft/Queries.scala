@@ -52,10 +52,12 @@ object Queries {
     parity ++ operators.Relational.queries ++ operators.TextAnalysis.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.Multimodal.queries ++ streaming.Streams.queries ++
-      operators.Stats.queries ++ operators.Temporal.queries
+      operators.Stats.queries ++ operators.Temporal.queries ++
+      operators.Sampling.queries
   def oracle: Map[String, String] =
     parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.Multimodal.oracle ++ streaming.Streams.oracle ++
-      operators.Stats.oracle ++ operators.Temporal.oracle
+      operators.Stats.oracle ++ operators.Temporal.oracle ++
+      operators.Sampling.oracle
 }

@@ -543,9 +543,59 @@ case class JaccardShingles(left: Expression, right: Expression, n: Int)
   * `Window.partitionBy(vec_id)` — a full shuffle of |codebook|× the corpus
   * just to take an argmax. */
 case class NearestCells(child: Expression, codebook: Seq[Seq[Float]], n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private lazy val cb: Array[Array[Float]] = codebook.map(_.toArray).toArray
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // assignment runs once per corpus row in the scan stage — keep it in
+  // whole-stage codegen like the rest of the projection
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", cb, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val k = cb.length
+      val outN = math.min(n, k)
+      val scores = ctx.freshName("scores")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val cv = ctx.freshName("cv")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val best = ctx.freshName("best")
+      val bs = ctx.freshName("bs")
+      s"""
+        |final double[] $scores = new double[$k];
+        |for (int $c = 0; $c < $k; $c++) {
+        |  final float[] $cv = $cbRef[$c];
+        |  final int $m = java.lang.Math.min($v.numElements(), $cv.length);
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $m; $i++) {
+        |    final double $x = (double) $v.getFloat($i);
+        |    final double $y = (double) $cv[$i];
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  }
+        |  $scores[$c] = ($na == 0.0 || $nb == 0.0) ? Double.NEGATIVE_INFINITY
+        |    : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |}
+        |final int[] $out = new int[$outN];
+        |final boolean[] $used = new boolean[$k];
+        |for (int $j = 0; $j < $outN; $j++) {
+        |  int $best = -1; double $bs = Double.NEGATIVE_INFINITY;
+        |  for (int $i = 0; $i < $k; $i++) {
+        |    if (!$used[$i] && $scores[$i] > $bs) { $bs = $scores[$i]; $best = $i; }
+        |  }
+        |  $used[$best] = true; $out[$j] = $best;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |""".stripMargin
+    })
+  }
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val k = cb.length

@@ -98,3 +98,26 @@ object Pairs {
   def hammingPairs(c: Column, maxDist: Int): Column =
     toCol(HammingPairs(toExpr(c), maxDist))
 }
+
+/** Column surface for Spark's internal bloom-filter expressions, which the
+  * function registry does not expose (they normally appear only via the
+  * `InjectRuntimeFilter` rule). Explicit construction lets a pipeline
+  * build a semi-join bloom once and prune a fact scan with it. */
+object Bloom {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.GraftBridge
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  /** Aggregate a bloom filter over `c` (must be xxhash64-hashed longs). */
+  def bloomAgg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    toCol(new BloomFilterAggregate(toExpr(c), Literal(estimatedItems), Literal(numBits))
+      .toAggregateExpression())
+
+  /** `might_contain(<scalar subquery over bloomDf>, value)` — Spark
+    * requires the bloom side to be constant-foldable or a scalar
+    * subquery, so the 1-row bloom DataFrame is embedded as one. */
+  def mightContain(bloomDf: DataFrame, value: Column): Column =
+    toCol(BloomFilterMightContain(
+      ScalarSubquery(GraftBridge.analyzedPlan(bloomDf)), toExpr(value)))
+}

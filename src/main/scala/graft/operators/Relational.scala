@@ -99,6 +99,28 @@ object Relational {
         .limit(10)
     }),
 
+    // Runtime bloom-filter join pruning: a compact bloom built from the
+    // SELECTIVE side's keys broadcasts to the fact scan and drops
+    // non-joining rows BEFORE the join's exchange — at 100 TB the
+    // difference between shuffling the whole fact table and shuffling
+    // only the ~matching fraction. The join afterwards is exact, so a
+    // bloom false positive costs a little extra shuffle, never
+    // correctness: the oracle is the plain join.
+    "q_bloom_prune" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bloom = ord.agg(graft.functions.Bloom
+        .bloomAgg(xxhash64(col("o_orderkey")), 50000L, 400000L).as("bf"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val pruned = li.filter(
+        graft.functions.Bloom.mightContain(bloom, xxhash64(col("l_orderkey"))))
+      pruned.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("order_date"))
+    }),
+
     "q_join_left" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
@@ -455,6 +477,12 @@ object Relational {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_bloom_prune" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |  COUNT(*) AS n_items, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spent

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dataset splitting and sampling for training-data preparation — the
+  * step between corpus cleaning and tokenization: carve train/val/test
+  * and draw per-stratum quotas.
+  *
+  * Determinism is the whole point: assignment must be a pure function of
+  * the ROW (not of partitioning, sample order, or RNG state), so a rerun,
+  * a backfill, or a different cluster layout yields the identical split —
+  * `rand()`-based sampling violates all of that. Rows hash to buckets via
+  * md5 of their id, which both engines compute identically (the oracle
+  * shares the formula), and every operation is a plain scan + filter, no
+  * shuffle at all for the split; the stratified quota is one bounded
+  * window per stratum.
+  */
+object Sampling {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** First hex nibble of md5(doc_id): 16 stable buckets. */
+  private val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+
+  val queries: Map[String, Q] = Map(
+    // 12/2/2 train/val/test split on hash buckets — scan-only, no shuffle;
+    // a row's split never changes as the corpus grows
+    "q_sample_split" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("split",
+          when(bucket <= "b", "train").when(bucket <= "d", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // per-language quota: the 5 hash-first docs per lang — deterministic
+    // stratified downsampling (balances a lang-skewed corpus)
+    "q_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+  )
+}

@@ -55,6 +55,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sim.contains("CartesianProduct"), sim)
   }
 
+  test("bloom prune: might_contain gates the fact scan before the join") {
+    val p = planOf("q_bloom_prune")
+    assert(p.contains("bloom_filter_agg"), p.take(2000))
+    assert(p.contains("might_contain"), p.take(2000))
+    // the bloom test must sit in the lineitem scan stage's Filter, below
+    // the join — i.e. the filter line mentioning might_contain references
+    // the fact-side key, not a post-join attribute
+    val filterLine = p.linesIterator.find(l =>
+      l.contains("might_contain") && l.toLowerCase.contains("filter"))
+    assert(filterLine.exists(_.contains("l_orderkey")), filterLine.toString)
+  }
+
   test("IVF assigns cells in the scan stage: no window, one hash exchange") {
     val p = planOf("q_similarity_ivf")
     assert(!p.contains("Window"), p)
