@@ -50,6 +50,38 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // benchmark decontamination: training docs (id >= 50) sharing any
+    // word-8-gram with the eval set (id < 50). The eval gram set is tiny →
+    // broadcast; the training side streams and only hits shuffle into the
+    // per-doc count — the shape that sweeps 100 TB of training text
+    // against a fixed benchmark suite.
+    "q_decontaminate" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(w)-8), i ->
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                            w[i+4], w[i+5], w[i+6], w[i+7]))"""))).as("gram"))
+      val ev = g.filter(col("doc_id") < 50).select(col("gram")).distinct()
+      g.filter(col("doc_id") >= 50)
+        .join(broadcast(ev), "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // canonical text normalization: lowercase, trim, squeeze runs of
+    // spaces — the pure column-algebra pre-tokenization step (both
+    // engines share the regex subset: a literal-space character class)
+    "q_text_normalize" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(trim(lower(col("text"))), " +", " ").as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-document size/token statistics + BPE-style token estimate
     "q_doc_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -136,6 +168,22 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+        |                              for i in range(1, len(w)-6)])) AS gram
+        |      FROM t WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
+        |SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id >= 50
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text,
+        |  CAST(length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_doc_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS len_chars,
