@@ -40,7 +40,22 @@ object ScaleData {
     def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(Tables.path(src, name))
       val all = (0 until copies).map(i => shift(base, i)).reduce(_ unionAll _)
-      all.write.mode(SaveMode.Overwrite).parquet(Tables.path(out, name))
+      if (name == "events") {
+        // the streaming file source globs for a FILE named events.parquet
+        // — write one flat file, not a directory of parts
+        val tmp = s"$out/.events_tmp"
+        all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val dst = new org.apache.hadoop.fs.Path(Tables.path(out, name))
+        fs.delete(dst, true)
+        fs.rename(part, dst)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      } else {
+        all.write.mode(SaveMode.Overwrite).parquet(Tables.path(out, name))
+      }
       println(s"[scale] $name -> ${copies}x")
     }
 
