@@ -192,6 +192,55 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // THE capstone composite: the complete training-data preparation
+    // pipeline a 100 TB ingestion run executes, end to end in one lazy
+    // plan — near-dup removal (minhash-LSH, smaller id wins), benchmark
+    // decontamination (8-gram overlap with the eval split, broadcast
+    // semi-join), normalization, quality gates, deterministic md5-bucket
+    // train/val/test split, per-split token budget. Every stage is
+    // individually oracle-checked elsewhere; this query checks their
+    // composition.
+    "q_training_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val banded = d
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+            .as(Seq("band_idx", "band_hash")))
+      val losers = bucketPairs(banded, Seq("band_idx", "band_hash"))
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .filter(Sketches.jaccardShingles(col("text_a"), col("text_b"), 3) >= 0.8)
+        .select(col("doc_b").as("doc_id"))
+      val g = d
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(w)-8), i ->
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                            w[i+4], w[i+5], w[i+6], w[i+7]))"""))).as("gram"))
+      val evalGrams = g.filter(col("doc_id") < 50).select(col("gram")).distinct()
+      val contaminated = g.filter(col("doc_id") >= 50)
+        .join(broadcast(evalGrams), "gram").select(col("doc_id")).distinct()
+      val tk = split(regexp_replace(trim(lower(col("text"))), " +", " "), " ")
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+      d.filter(col("doc_id") >= 50) // the eval split is not training data
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(tk).cast("long"))
+        .withColumn("stop_ratio",
+          size(filter(tk, t => t.isInCollection(Seq("the", "a")))).cast("double") /
+            size(tk).cast("double"))
+        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 2000 &&
+          col("stop_ratio") >= 0.01)
+        .withColumn("split",
+          when(bucket <= "b", "train").when(bucket <= "d", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("split"))
+    }),
+
     // embedding-cosine near-dup pairs (custom fused cosine expression);
     // quadratic here, LSH-bucketed path below is the scale variant
     "q_dedup_embedding" -> ((s, dir) => {
@@ -326,6 +375,35 @@ object Dedup {
          |SELECT doc_id, lang, n_tokens, stop_ratio FROM q
          |WHERE n_tokens BETWEEN 10 AND 2000 AND stop_ratio >= 0.01
          |ORDER BY doc_id""".stripMargin,
+    "q_training_mix" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |losers AS (
+         |  SELECT DISTINCT doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8),
+         |g AS (SELECT doc_id,
+         |        unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+         |                              for i in range(1, len(w)-6)])) AS gram
+         |      FROM t WHERE len(w) >= 8),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+         |cont AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram) WHERE doc_id >= 50),
+         |q AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS tk
+         |  FROM documents
+         |  WHERE doc_id >= 50
+         |    AND doc_id NOT IN (SELECT doc_b FROM losers)
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |q2 AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS DOUBLE)
+         |      / len(tk) AS stop_ratio
+         |  FROM q)
+         |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM q2
+         |WHERE n_tokens BETWEEN 10 AND 2000 AND stop_ratio >= 0.01
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_ngram" ->
       """WITH g AS (
         |  SELECT doc_id,
