@@ -387,6 +387,12 @@ case class CosineSim(left: Expression, right: Expression)
   * w). Robust to small edits anywhere outside the changed region —
   * the classic local document fingerprinting scheme (Schleimer et al.,
   * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting").
+  *
+  * FINGERPRINT VERSION 2: v1 XOR'd every window minimum (so a hash re-picked
+  * an even number of times cancelled out); v2 XORs the DISTINCT minima set.
+  * Values differ from v1 — any fingerprints persisted by a v1 run must be
+  * recomputed, never mixed with v2 output. Incremental-dedup stores should
+  * key their tables by this version.
   */
 case class Winnow64(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
@@ -590,6 +596,9 @@ case class NearestCells(child: Expression, codebook: Seq[Seq[Float]], n: Int)
         |  for (int $i = 0; $i < $k; $i++) {
         |    if (!$used[$i] && $scores[$i] > $bs) { $bs = $scores[$i]; $best = $i; }
         |  }
+        |  if ($best < 0) { // zero-norm input: every score -inf; take first unused
+        |    for (int $i = 0; $i < $k; $i++) { if (!$used[$i]) { $best = $i; break; } }
+        |  }
         |  $used[$best] = true; $out[$j] = $best;
         |}
         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -624,6 +633,10 @@ case class NearestCells(child: Expression, codebook: Seq[Seq[Float]], n: Int)
       while (i < k) {
         if (!used(i) && scores(i) > bs) { bs = scores(i); best = i }
         i += 1
+      }
+      if (best < 0) { // zero-norm input: every score -inf; take first unused
+        i = 0
+        while (i < k && best < 0) { if (!used(i)) best = i; i += 1 }
       }
       used(best) = true; out(j) = best
       j += 1

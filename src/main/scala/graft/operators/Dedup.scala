@@ -334,6 +334,12 @@ object Dedup {
       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       |FROM s a JOIN s b ON a.doc_id < b.doc_id""".stripMargin
 
+  // PRECONDITION for the LSH oracles below: they assert equality with the
+  // exact all-pairs set, which holds only while no band bucket exceeds the
+  // bucketPairs hot-bucket cap (1024). On a corpus with a hotter bucket the
+  // cap (by design) drops candidates and the comparison fails on recall, not
+  // on a bug — check the `graft.bucket_cap` observed metric first when
+  // adjudicating a pair-set mismatch.
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS content_hash, COUNT(*) AS n_docs,

@@ -13,11 +13,12 @@ class CodegenParitySpec extends SparkSpec {
 
   private def interpreted[A](f: => A): A = {
     val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try f finally {
       spark.conf.set("spark.sql.codegen.wholeStage", ws)
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
     }
   }
 

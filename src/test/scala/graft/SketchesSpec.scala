@@ -77,6 +77,19 @@ class SketchesSpec extends SparkSpec {
     assert(fps(4L) == 0L)
   }
 
+  test("nearestCells: zero-norm vector falls back deterministically, no crash") {
+    // all cell scores are -inf for a zero vector; selection must fall back
+    // to the first unused index rather than index -1 (ADVICE r2)
+    val cb = Seq(Seq(1f, 0f), Seq(0f, 1f), Seq(1f, 1f))
+    val df = Seq((1L, Seq(0f, 0f)), (2L, Seq(3f, 1f)), (3L, Seq.empty[Float]))
+      .toDF("id", "v")
+    val rows = df.select($"id", nearestCells($"v", cb, 2).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows(1L) == Seq(0, 1), "zero vector takes cells in index order")
+    assert(rows(3L) == Seq(0, 1), "empty vector takes cells in index order")
+    assert(rows(2L).head == 0, "real vector still picks true argmax first")
+  }
+
   test("rhSignature: deterministic; similar vectors share more bits") {
     val v = (1 to 64).map(i => math.sin(i.toDouble).toFloat)
     val near = v.updated(0, v(0) + 0.01f)
