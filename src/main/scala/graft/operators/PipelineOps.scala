@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators beyond cleaning/dedup (SURVEY.md §7.2):
+  * PII redaction, repetition analysis (Gopher-style quality signals),
+  * incremental dedup against a persisted fingerprint store, deterministic
+  * shard assignment, and sequence packing into fixed token-budget bins.
+  *
+  * Scale shapes:
+  *  - PII redaction and repetition metrics are single-scan column algebra —
+  *    no shuffle except repetition's bounded per-doc token aggregate
+  *    (map-side combined, keyed by doc_id: never skewed).
+  *  - Incremental dedup is the production posture for a growing corpus: the
+  *    store of already-kept fingerprints persists (at cluster scale as a
+  *    bucketed table, see [[graft.sources.Layouts.writeBucketed]]) and each
+  *    new batch anti-joins it AFTER collapsing in-batch copies — the join
+  *    input is one row per distinct fingerprint, not per document.
+  *  - Shard assignment is a pure function of the row id (md5 nibble), so a
+  *    rerun or backfill lands every doc in the same shard; packing windows
+  *    are PARTITIONED BY shard — 100 TB packs as 16+ independent sequential
+  *    streams, never a single global window.
+  *
+  * Regex note: patterns stay inside the Java-regex ∩ RE2 subset (char
+  * classes + bounded repeats) so the DuckDB oracle computes the identical
+  * redaction — see the oracle-parity rules in the repo skill.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val phoneRe = "[0-9]{3}-[0-9]{2,}"
+
+  /** The corpus is synthetic word soup with no PII, so the query plants a
+    * deterministic doc_id-derived email/phone/IP per document (identically
+    * in the oracle) — the redaction itself is what's under test. */
+  private val augmented: Column = concat(
+    col("text"), lit(" contact user"), col("doc_id"),
+    lit("@mail.example or call 555-01"),
+    lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+    lit(" from 10.0."), pmod(col("doc_id"), lit(256)),
+    lit("."), pmod(col("doc_id"), lit(100)))
+
+  /** 16 stable shards from the first md5 hex nibble of the doc id — the
+    * same pure-function-of-the-row contract as [[Sampling]]'s split. */
+  private val shard: Column =
+    (instr(lit("0123456789abcdef"),
+      substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).cast("long")
+
+  private val estTok: Column = ceil(length(col("text")) / 4.0).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // PII scrub: count then redact emails → IPs → phones, in that order
+    // (fixed order makes the output deterministic when patterns could
+    // overlap). Single scan, codegen'd regexes, no shuffle.
+    "q_pii_redact" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), augmented.as("aug"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("aug"), lit(ipRe)).cast("long").as("n_ips"),
+          regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            emailRe, "[EMAIL]"), ipRe, "[IP]"), phoneRe, "[PHONE]")
+            .as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals: duplicate-word fraction, duplicate-
+    // bigram fraction, most-frequent-token share. Array algebra for the
+    // n-gram stats; the per-doc token mode goes through explode →
+    // two-level aggregate (partial combine per partition, keys are
+    // (doc_id, token) — cardinality-bounded, skew-free).
+    "q_doc_repetition" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val stats = base.select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+        when(size(col("w")) >= 2, expr(
+          "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+          .otherwise(array().cast("array<string>")).as("bg"))
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"))
+      val top = base.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).cast("long").as("top_tok_cnt"))
+      stats.join(top, "doc_id")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"), 6)
+            .as("dup_word_ratio"),
+          when(col("n_bigrams") > 0,
+            round(lit(1.0) - col("n_uniq_bigrams").cast("double") / col("n_bigrams"), 6))
+            .otherwise(0.0).as("dup_bigram_ratio"),
+          col("top_tok_cnt"),
+          round(col("top_tok_cnt").cast("double") / col("n_tokens"), 6)
+            .as("top_tok_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental dedup: the store (doc_id < 250 here; in production a
+    // persisted fingerprint table) is never re-deduped — the new batch
+    // collapses its own copies first (one row per fp), then anti-joins
+    // the store. Fingerprint = md5 of the sorted distinct word set, an
+    // order-independent bag-of-words identity.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val f = docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(
+            split(lower(col("text")), " "))), " ").cast("binary")).as("fp"))
+      val store = f.filter(col("doc_id") < 250).select(col("fp")).distinct()
+      f.filter(col("doc_id") >= 250)
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_batch_copies"))
+        .join(store, Seq("fp"), "left_anti")
+        .orderBy(col("fp"))
+    }),
+
+    // Deterministic shard histogram: doc → shard is a pure row function,
+    // so the writer ( [[graft.sources.Layouts.writeSharded]] ) produces
+    // identical shards on every rerun. One bounded 16-key aggregate.
+    "q_shard_assign" -> ((s, dir) => {
+      docs(s, dir)
+        .select(shard.as("shard"), estTok.as("tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).cast("long").as("total_est_tokens"))
+        .orderBy(col("shard"))
+    }),
+
+    // Sequence packing (concat-and-chunk): docs stream in md5 order within
+    // their shard; a doc belongs to the 2048-token bin its start offset
+    // falls in. The window is partitioned by shard — packing 100 TB is N
+    // independent sequential scans, not one global sort. 2048 = 2^11 keeps
+    // the double division exact, so Spark and the oracle floor identically.
+    "q_pack_sequences" -> ((s, dir) => {
+      val t = docs(s, dir).select(
+        col("doc_id"), shard.as("shard"), estTok.as("tok"),
+        md5(col("doc_id").cast("string")).as("mk"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("mk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("tok")) / lit(2048.0)).cast("long"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).cast("long").as("bin_tokens"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example or call 555-01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' from 10.0.' ||
+        |    (doc_id % 256) || '.' || (doc_id % 100) AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{2,}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '[0-9]{3}-[0-9]{2,}', '[PHONE]', 'g') AS clean_text
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q_doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+        |s AS (SELECT doc_id, len(w) n_tokens, len(list_distinct(w)) n_uniq,
+        |  CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |       ELSE CAST([] AS VARCHAR[]) END bg FROM t),
+        |s2 AS (SELECT doc_id, n_tokens, n_uniq, len(bg) n_bigrams,
+        |       len(list_distinct(bg)) n_uniq_bigrams FROM s),
+        |tp AS (SELECT doc_id, MAX(c) top_tok_cnt FROM (
+        |  SELECT doc_id, tok, COUNT(*) c FROM (SELECT doc_id, unnest(w) tok FROM t)
+        |  GROUP BY doc_id, tok) GROUP BY doc_id)
+        |SELECT s2.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(1 - CAST(n_uniq AS DOUBLE)/n_tokens, 6) AS dup_word_ratio,
+        |  CASE WHEN n_bigrams > 0 THEN round(1 - CAST(n_uniq_bigrams AS DOUBLE)/n_bigrams, 6)
+        |       ELSE 0.0 END AS dup_bigram_ratio,
+        |  CAST(top_tok_cnt AS BIGINT) AS top_tok_cnt,
+        |  round(CAST(top_tok_cnt AS DOUBLE)/n_tokens, 6) AS top_tok_ratio
+        |FROM s2 JOIN tp USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies
+        |FROM f WHERE doc_id >= 250
+        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
+        |GROUP BY fp ORDER BY fp""".stripMargin,
+    "q_shard_assign" ->
+      """SELECT CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(CEIL(length(text)/4.0) AS BIGINT)) AS BIGINT) AS total_est_tokens
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) shard,
+        |    CAST(CEIL(length(text)/4.0) AS BIGINT) tok,
+        |    md5(CAST(doc_id AS VARCHAR)) mk
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, tok,
+        |    SUM(tok) OVER (PARTITION BY shard ORDER BY mk, doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |  FROM t)
+        |SELECT shard, CAST(FLOOR((cum - tok)/2048.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+  )
+}

@@ -38,4 +38,34 @@ object Layouts {
     df.repartitionByRange(n, col(sortCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(path)
+
+  /** Training-shard writer: hive-partition by a deterministic shard column
+    * (e.g. [[graft.operators.PipelineOps]]'s md5-nibble shard), with the
+    * rows for each shard co-located first so every shard directory holds
+    * exactly `filesPerShard` files — not one file per (input partition ×
+    * shard) pair, which is the small-file explosion partitionBy produces
+    * when fed unclustered data. */
+  def writeSharded(df: DataFrame, shardCol: String, path: String,
+                   filesPerShard: Int = 1): Unit =
+    df.repartition(filesPerShard, col(shardCol))
+      .write.mode("overwrite")
+      .partitionBy(shardCol)
+      .parquet(path)
+
+  /** Compact a parquet directory toward `targetBytes` per output file —
+    * the small-file remedy for long-running ingest (thousands of tiny
+    * files make the scan's file index, not the I/O, the bottleneck).
+    * Output file count = ceil(input bytes / target), minimum 1; data is
+    * round-robin repartitioned, so files come out uniform. */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              targetBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

@@ -43,6 +43,25 @@ object Readers {
   def literal(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
 
+  /** CSV scan with explicit schema. FAILFAST: at ingest scale a silently
+    * null-filled malformed row (the PERMISSIVE default) poisons downstream
+    * dedup/statistics — better to fail the file and quarantine it.
+    * An explicit schema also skips the full-data inference pass. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON-lines scan with explicit schema (multiline off: JSONL splits by
+    * line, so a 100 GB file still reads as parallel partitions; a single
+    * multiline JSON document cannot be split). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
   /** Schema-drift reconciliation (the reference's mode 2, SURVEY.md §1.3):
     * NYC TLC changed physical column types across monthly files (e.g.
     * PULocationID int32 → int64), which `mergeSchema` refuses to merge —

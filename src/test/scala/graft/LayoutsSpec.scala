@@ -56,6 +56,42 @@ class LayoutsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("writeSharded: one file per shard directory, rows land by shard") {
+    val out = Files.createTempDirectory("graft_shard").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).cast("long"))
+    Layouts.writeSharded(docs, "shard", out, filesPerShard = 1)
+    val fs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+    assert(fs.length == 16, s"expected 16 shard dirs, got ${fs.length}")
+    // each shard dir holds exactly one data file (no small-file explosion)
+    fs.foreach { d =>
+      val data = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(data.length == 1, s"${d.getName}: ${data.length} files")
+    }
+    // rereading by shard prunes + returns exactly that shard's docs
+    val one = spark.read.parquet(out).filter(col("shard") === 3)
+    val expected = docs.filter(col("shard") === 3).count()
+    assert(one.count() == expected)
+  }
+
+  test("compact: many small files → ceil(bytes/target) uniform files") {
+    val small = Files.createTempDirectory("graft_small").toString
+    val out = Files.createTempDirectory("graft_compacted").toString
+    Tables.load(spark, sfDir, "documents").repartition(64).write
+      .mode("overwrite").parquet(small)
+    val nSmall = new java.io.File(small).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nSmall == 64)
+    val n = Layouts.compact(spark, small, out, targetBytes = 512L * 1024)
+    val nOut = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nOut == n && nOut < nSmall, s"compacted to $nOut (plan $n) from $nSmall")
+    assert(spark.read.parquet(out).count() ==
+      Tables.load(spark, sfDir, "documents").count())
+  }
+
   test("saltedCount equals plain groupBy count") {
     val ev = Tables.load(spark, sfDir, "events")
     val plain = ev.groupBy(col("user_id")).count()

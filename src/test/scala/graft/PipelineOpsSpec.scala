@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan shape of the training-data pipeline operators
+  * (PII redaction, repetition metrics, incremental dedup, sharding,
+  * sequence packing). The DuckDB oracle covers value equality; these
+  * tests freeze the invariants the oracle can't see. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def q(name: String) = Queries.all(name)(spark, sfDir)
+
+  test("pii redaction leaves no matching PII behind") {
+    val out = q("q_pii_redact").cache()
+    try {
+      // every doc got exactly one planted email/ip/phone, and all are gone
+      assert(out.filter(col("n_emails") =!= 1 || col("n_ips") =!= 1 ||
+        col("n_phones") =!= 1).isEmpty)
+      val residue = out.filter(
+        col("clean_text").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}") ||
+        col("clean_text").rlike("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}") ||
+        col("clean_text").rlike("[0-9]{3}-[0-9]{2,}"))
+      assert(residue.isEmpty, "redacted text still matches a PII pattern")
+      assert(out.filter(!col("clean_text").contains("[EMAIL]")).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("repetition ratios are in [0,1] and top token bounds the mode") {
+    val bad = q("q_doc_repetition").filter(
+      col("dup_word_ratio") < 0 || col("dup_word_ratio") > 1 ||
+      col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") > 1 ||
+      col("top_tok_ratio") <= 0 || col("top_tok_ratio") > 1 ||
+      col("top_tok_cnt") < 1 || col("top_tok_cnt") > col("n_tokens"))
+    assert(bad.isEmpty)
+  }
+
+  test("incremental dedup: output disjoint from store, collapses batch copies") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fp = md5(array_join(array_sort(array_distinct(
+      split(lower(col("text")), " "))), " ").cast("binary"))
+    val storeFps = docs.filter(col("doc_id") < 250).select(fp.as("fp")).distinct()
+    val out = q("q_dedup_incremental").cache()
+    try {
+      assert(out.join(storeFps, "fp").isEmpty,
+        "a kept fingerprint already exists in the store")
+      assert(out.filter(col("keep_id") < 250).isEmpty)
+      // the corpus has real cross-split and in-batch duplicates — the op
+      // must actually drop something, not just pass the batch through
+      val batchN = docs.filter(col("doc_id") >= 250).count()
+      assert(out.count() < batchN, s"no dedup happened (out=${out.count()}, batch=$batchN)")
+    } finally out.unpersist()
+  }
+
+  test("shard assignment is total and deterministic across reruns") {
+    val a = q("q_shard_assign").collect()
+    val b = q("q_shard_assign").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getLong(0)).toSeq == (0L until 16L))
+    assert(a.map(_.getLong(1)).sum ==
+      Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("packing: bins partition each shard's docs; token totals conserved") {
+    val out = q("q_pack_sequences").collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    val totalTok = docs.select(sum(ceil(length(col("text")) / 4.0).cast("long")))
+      .head.getLong(0)
+    assert(out.map(_.getLong(3)).sum == totalTok, "token mass not conserved")
+    // bins within a shard are dense from 0 (concat-and-chunk never skips a
+    // bin unless a single doc overflows the budget; est tokens ≪ 2048 here)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0L && bins.toSeq == (0L until bins.length))
+    }
+  }
+
+  test("packing plan: window partitioned by shard, never a single partition") {
+    val qe = Queries.all("q_pack_sequences")(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global window would serialize packing:\n$plan")
+  }
+
+  test("incremental dedup plan: anti join over the aggregated batch") {
+    val plan = Queries.all("q_dedup_incremental")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

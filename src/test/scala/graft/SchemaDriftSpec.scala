@@ -48,4 +48,36 @@ class SchemaDriftSpec extends SparkSpec {
     val s = Readers.footerSchema(spark, s"$dir/f.parquet")
     assert(s("k").dataType == IntegerType)
   }
+
+  test("csv round-trips with explicit schema; FAILFAST rejects malformed rows") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Tables.load(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    src.write.option("header", "true").csv(s"$dir/docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = Readers.csv(spark, s"$dir/docs", schema)
+    assert(back.count() == src.count())
+    assert(back.agg(org.apache.spark.sql.functions.sum("n_chars")).head.getLong(0) ==
+      src.agg(org.apache.spark.sql.functions.sum("n_chars")).head.getLong(0))
+    // a non-numeric value in a LongType column must fail loudly, not null-fill
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.csv"),
+      "doc_id,lang,n_chars\nnot_a_number,en,7\n".getBytes)
+    intercept[Exception] {
+      Readers.csv(spark, s"$dir/bad.csv", schema).collect()
+    }
+  }
+
+  test("jsonl round-trips with explicit schema") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val src = Tables.load(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    src.write.json(s"$dir/docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = Readers.jsonl(spark, s"$dir/docs", schema)
+    assert(back.count() == src.count())
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      src.select("doc_id", "lang", "n_chars").orderBy("doc_id").collect().toSeq)
+  }
 }
