@@ -53,11 +53,13 @@ object Queries {
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.Multimodal.queries ++ streaming.Streams.queries ++
       operators.Stats.queries ++ operators.Temporal.queries ++
-      operators.Sampling.queries ++ operators.PipelineOps.queries
+      operators.Sampling.queries ++ operators.PipelineOps.queries ++
+      operators.SqlSurface.queries
   def oracle: Map[String, String] =
     parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.Multimodal.oracle ++ streaming.Streams.oracle ++
       operators.Stats.oracle ++ operators.Temporal.oracle ++
-      operators.Sampling.oracle ++ operators.PipelineOps.oracle
+      operators.Sampling.oracle ++ operators.PipelineOps.oracle ++
+      operators.SqlSurface.oracle
 }

@@ -56,6 +56,14 @@ object PipelineOps {
 
   private val estTok: Column = ceil(length(col("text")) / 4.0).cast("long")
 
+  /** Uniform 8-bit hash value of the doc id (two md5 nibbles) — the
+    * deterministic coin for rate-limited sampling. */
+  private val u256: Column =
+    (instr(lit("0123456789abcdef"),
+       substring(md5(col("doc_id").cast("string")), 1, 1)) - 1) * 16 +
+    (instr(lit("0123456789abcdef"),
+       substring(md5(col("doc_id").cast("string")), 2, 1)) - 1)
+
   val queries: Map[String, Q] = Map(
     // PII scrub: count then redact emails → IPs → phones, in that order
     // (fixed order makes the output deterministic when patterns could
@@ -142,6 +150,30 @@ object PipelineOps {
         .orderBy(col("shard"))
     }),
 
+    // Mixture rebalance: clip each language to a uniform share of the
+    // corpus by deterministic hash-threshold sampling — keep a doc iff its
+    // 8-bit md5 value falls under floor(rate*256). The rate table is 4-ish
+    // rows (broadcast); the corpus side is scan + filter, no shuffle of the
+    // data itself. 256 = 2^8 keeps the threshold arithmetic float-exact.
+    "q_domain_rebalance" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), u256.as("u256"))
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      val g = d.agg(count(lit(1)).as("t"), countDistinct(col("lang")).as("k"))
+      val rates = counts.crossJoin(g).select(
+        col("lang"), col("n_before"),
+        floor(least(lit(1.0),
+          col("t").cast("double") / col("k") / col("n_before")) * 256)
+          .as("thresh"))
+      val after = d.join(broadcast(rates), "lang")
+        .filter(col("u256") < col("thresh"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+      rates.join(after, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          col("thresh").cast("long").as("thresh"))
+        .orderBy(col("lang"))
+    }),
+
     // Sequence packing (concat-and-chunk): docs stream in md5 order within
     // their shard; a doc belongs to the 2048-token bin its start offset
     // falls in. The window is partitioned by shard — packing 100 TB is N
@@ -205,6 +237,23 @@ object PipelineOps {
         |FROM f WHERE doc_id >= 250
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
         |GROUP BY fp ORDER BY fp""".stripMargin,
+    "q_domain_rebalance" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS u256
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) n_before FROM d GROUP BY lang),
+        |g AS (SELECT COUNT(*) t, COUNT(DISTINCT lang) k FROM d),
+        |r AS (SELECT lang, n_before,
+        |        FLOOR(LEAST(1.0, CAST(t AS DOUBLE) / k / n_before) * 256) thresh
+        |      FROM c, g),
+        |a AS (SELECT d.lang, COUNT(*) n_after
+        |      FROM d JOIN r ON d.lang = r.lang AND d.u256 < r.thresh
+        |      GROUP BY d.lang)
+        |SELECT r.lang, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+        |  CAST(thresh AS BIGINT) AS thresh
+        |FROM r LEFT JOIN a ON r.lang = a.lang ORDER BY r.lang""".stripMargin,
     "q_shard_assign" ->
       """SELECT CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
         |  COUNT(*) AS n_docs,

@@ -74,6 +74,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("domain rebalance: clips only over-represented langs, never upsamples") {
+    val rows = q("q_domain_rebalance").collect()
+    val total = rows.map(_.getLong(1)).sum
+    val k = rows.length
+    rows.foreach { r =>
+      val (before, after, thresh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(after <= before, s"${r.getString(0)}: upsampled")
+      assert(thresh <= 256)
+      // a lang at or under its uniform share keeps every doc
+      if (before <= total / k) assert(after == before && thresh == 256,
+        s"${r.getString(0)}: under-represented lang was clipped")
+    }
+    // rerun is identical (hash sampling, not rand())
+    assert(q("q_domain_rebalance").collect().toSeq == rows.toSeq)
+  }
+
+  test("sql surface plans like the column API: pruned scan, partial agg") {
+    val p = Queries.all("q_sql_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // reads only the three referenced columns, not text/source
+    assert(!p.contains("text"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("packing plan: window partitioned by shard, never a single partition") {
     val qe = Queries.all("q_pack_sequences")(spark, sfDir).queryExecution
     val plan = qe.executedPlan.toString
