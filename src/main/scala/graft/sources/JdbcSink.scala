@@ -59,4 +59,20 @@ object JdbcSink {
       try st.execute(ddl) finally st.close()
     } finally c.close()
   }
+
+  /** JDBC source, single connection — for dimension-sized tables only. */
+  def read(spark: org.apache.spark.sql.SparkSession, conf: JdbcConfig,
+           table: String): DataFrame =
+    spark.read.jdbc(conf.url, table, conf.connProps)
+
+  /** Partitioned JDBC source: N executors each issue a range-bounded query
+    * on `partCol` (`WHERE partCol >= lo AND partCol < hi`), so a large
+    * table streams in parallel instead of through one connection — the
+    * read-side mirror of the sink's bounded fan-in. Filters pushed on top
+    * of this frame reach the database as SQL (JDBCRelation pushdown). */
+  def readPartitioned(spark: org.apache.spark.sql.SparkSession,
+                      conf: JdbcConfig, table: String, partCol: String,
+                      lower: Long, upper: Long, numPartitions: Int): DataFrame =
+    spark.read.jdbc(conf.url, table, partCol, lower, upper, numPartitions,
+      conf.connProps)
 }

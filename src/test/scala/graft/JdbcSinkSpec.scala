@@ -38,6 +38,22 @@ class JdbcSinkSpec extends SparkSpec {
     assert(replaced.head().getLong(1) == 7L)
   }
 
+  test("partitioned JDBC read: N range-bounded partitions, filters push to SQL") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, s"u$i", i % 7)).toDF("id", "name", "grp")
+    JdbcSink.append(rows, conf, "users_src")
+    val back = JdbcSink.readPartitioned(spark, conf, "users_src", "id",
+      lower = 0L, upper = 1000L, numPartitions = 8)
+    assert(back.rdd.getNumPartitions == 8)
+    assert(back.count() == 1000)
+    // a filter over the partitioned frame reaches the database as pushed
+    // predicates (JDBCRelation), not a post-scan Spark filter of all rows
+    val filtered = back.filter($"grp" === 3)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("grp"), scan)
+    assert(filtered.count() == rows.filter($"grp" === 3).count())
+  }
+
   test("streaming daily counts land in the JDBC sink via foreachBatch") {
     streaming.Streams.dailyCountsToJdbc(spark, sfDir, conf, "stream_daily")
     val sunk = spark.read.jdbc(conf.url, "stream_daily", conf.connProps)
