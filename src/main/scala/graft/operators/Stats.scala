@@ -116,6 +116,21 @@ object Stats {
         .orderBy(col("l_returnflag"))
     }),
 
+    // fixed-width histogram: bin width 8192 = 2^13 keeps the double
+    // division exact so both engines floor identically; one bounded
+    // aggregate (≤13 bins), map-side combined — the profile-a-column
+    // primitive at any scale
+    "q_histogram" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") / 8192.0).cast("long").as("bin"),
+          col("l_extendedprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("bin"))
+    }),
+
     // custom typed Aggregator over Dataset[LineSlim]
     "q_typed_agg" -> ((s, dir) => {
       import s.implicits._
@@ -157,6 +172,11 @@ object Stats {
         |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         |  CAST(len(list(DISTINCT l_suppkey)) AS BIGINT) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 8192.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
     "q_typed_agg" ->
       """SELECT l_returnflag,
         |  (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
