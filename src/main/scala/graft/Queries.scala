@@ -54,12 +54,14 @@ object Queries {
       operators.Multimodal.queries ++ streaming.Streams.queries ++
       operators.Stats.queries ++ operators.Temporal.queries ++
       operators.Sampling.queries ++ operators.PipelineOps.queries ++
-      operators.SqlSurface.queries ++ operators.Ids.queries
+      operators.SqlSurface.queries ++ operators.Ids.queries ++
+      operators.DataQuality.queries
   def oracle: Map[String, String] =
     parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.Multimodal.oracle ++ streaming.Streams.oracle ++
       operators.Stats.oracle ++ operators.Temporal.oracle ++
       operators.Sampling.oracle ++ operators.PipelineOps.oracle ++
-      operators.SqlSurface.oracle ++ operators.Ids.oracle
+      operators.SqlSurface.oracle ++ operators.Ids.oracle ++
+      operators.DataQuality.oracle
 }

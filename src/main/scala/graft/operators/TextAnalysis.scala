@@ -157,6 +157,27 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer-vocabulary coverage: tokens holding ≥2% of total mass form
+    // the vocab; report its size and the corpus fraction it covers. The
+    // relative threshold keeps the query meaningful at any corpus size
+    // (an absolute min-count saturates as the corpus grows).
+    "q_vocab" -> ((s, dir) => {
+      val c = docs(s, dir)
+        .select(explode(toks(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val g = c.agg(sum(col("n")).as("t"))
+      c.crossJoin(g)
+        .agg(
+          sum(when(col("n").cast("double") >= col("t") * 0.02, 1).otherwise(0))
+            .as("n_vocab"),
+          sum(when(col("n").cast("double") >= col("t") * 0.02, col("n"))
+            .otherwise(0L)).as("kept_mass"),
+          sum(col("n")).as("total_mass"))
+        .select(col("n_vocab"), col("kept_mass"), col("total_mass"),
+          round(col("kept_mass").cast("double") / col("total_mass"), 6)
+            .as("coverage"))
+    }),
+
     // winnowed rolling-hash fingerprint (custom catalyst expression; robust
     // to local edits — no SQL oracle, rows-only + unit-tested)
     "q_doc_winnow" -> ((s, dir) => {
@@ -230,5 +251,16 @@ object TextAnalysis {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      """WITH tf AS (SELECT unnest(string_split(lower(text), ' ')) tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) n FROM tf GROUP BY tok),
+        |g AS (SELECT SUM(n) t FROM c)
+        |SELECT
+        |  CAST(SUM(CASE WHEN CAST(n AS DOUBLE) >= t * 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab,
+        |  CAST(SUM(CASE WHEN CAST(n AS DOUBLE) >= t * 0.02 THEN n ELSE 0 END) AS BIGINT) AS kept_mass,
+        |  CAST(SUM(n) AS BIGINT) AS total_mass,
+        |  round(CAST(SUM(CASE WHEN CAST(n AS DOUBLE) >= t * 0.02 THEN n ELSE 0 END) AS DOUBLE)
+        |    / SUM(n), 6) AS coverage
+        |FROM c, g""".stripMargin,
   )
 }
