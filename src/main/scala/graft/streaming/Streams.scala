@@ -278,9 +278,35 @@ object Streams {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stateless streaming text hygiene — the ingest-time stage of the
+    * training-data pipeline run ON THE STREAM (normalize + length gate as
+    * documents arrive), so the batch corpus-clean never sees raw text.
+    * Stateless transforms need no state store or watermark: each
+    * micro-batch maps through the same codegen'd expressions as the batch
+    * query, and the source's file listing is the only scaling surface. */
+  def docCleanStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val cleaned = docs
+      .filter(col("n_chars") >= 100 && col("n_chars") <= 2000)
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(trim(lower(col("text"))), " +", " ").as("norm_text"))
+    runToTable(cleaned, spark, OutputMode.Append()).orderBy(col("doc_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q_stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupCount(s, dir)),
     "q_stream_user_counts" -> ((s, dir) => userCounts(s, dir)),
@@ -290,6 +316,12 @@ object Streams {
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
   val oracle: Map[String, String] = Map(
+    "q_stream_doc_clean" ->
+      """SELECT doc_id, lang,
+        |  regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text
+        |FROM documents
+        |WHERE n_chars >= 100 AND n_chars <= 2000
+        |ORDER BY doc_id""".stripMargin,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
         |       COUNT(*) AS n_events

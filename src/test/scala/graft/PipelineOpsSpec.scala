@@ -51,6 +51,24 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("incremental dedup composes: store keeps ∪ batch keeps == full-corpus keeps") {
+    // the algebraic contract that makes batch-at-a-time dedup sound: doing
+    // the store first and the batch incrementally must select exactly the
+    // keep-set a single full-corpus dedup would (store ids < batch ids, so
+    // a fingerprint in both halves keeps its store minimum either way)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fp = md5(array_join(array_sort(array_distinct(
+      split(lower(col("text")), " "))), " ").cast("binary"))
+    def keeps(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.groupBy(fp.as("fp")).agg(min(col("doc_id")).as("k"))
+        .collect().map(_.getLong(1)).toSet
+    val fullKeeps = keeps(docs)
+    val storeKeeps = keeps(docs.filter(col("doc_id") < 250))
+    val batchKeeps = q("q_dedup_incremental")
+      .collect().map(_.getLong(1)).toSet
+    assert((storeKeeps ++ batchKeeps) == fullKeeps)
+  }
+
   test("shard assignment is total and deterministic across reruns") {
     val a = q("q_shard_assign").collect()
     val b = q("q_shard_assign").collect()
