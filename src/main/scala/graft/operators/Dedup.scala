@@ -60,6 +60,66 @@ object Dedup {
       .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
 
+  /** MinHash-LSH candidate generation + exact-jaccard verification →
+    * (doc_a, doc_b, jaccard) near-dup pairs. Shared by the pair query, the
+    * cleaning composites, and clustering. Fused shingle+minhash evaluates
+    * once per doc; shingle work for verification happens only on candidate
+    * rows. */
+  private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val banded = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
+    val d = docs(s, dir)
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .withColumn("jaccard", Sketches.jaccardShingles(col("text_a"), col("text_b"), 3))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Connected components over a pair set via iterative min-label
+    * propagation: every node adopts the minimum label among itself and its
+    * neighbors until fixpoint. Each iteration is one shuffle (join +
+    * aggregate) and converges in O(component diameter) rounds — near-dup
+    * clusters are shallow (chains of a few edits), so 3-4 rounds in
+    * practice; pathological long-chain graphs would want the
+    * large-star/small-star variant instead. `localCheckpoint` cuts the
+    * lineage each round so the plan does not grow with iterations (at
+    * cluster scale use a persisted checkpoint dir for fault tolerance).
+    *
+    * This is the step that turns PAIRS into a dedup decision: jaccard is
+    * not transitive, so keep-smallest-of-each-pair can drop both docs of a
+    * chain a-b-c; one keeper PER COMPONENT is the sound policy. */
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbr, labels("id") === nbr("src"), "left_outer")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nbr_min"), labels("label"))).as("label"))
+        .localCheckpoint()
+      done = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: hash-groupBy on normalized content; keeper = min doc_id
     "q_dedup_exact" -> ((s, dir) => {
@@ -73,28 +133,20 @@ object Dedup {
     // with exact shingle-set Jaccard ≥ 0.8. At the corpus' similarity
     // separation (dup pairs ≥0.98, background ≤0.1) LSH recall is ~1-1e-18,
     // so the output equals the exact all-pairs oracle.
-    "q_dedup_minhash_lsh" -> ((s, dir) => {
-      // fused shingle+minhash candidate generation (no shingle strings);
-      // generator expression evaluates once per doc, nothing downstream
-      // references the signature
-      val banded = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
-            .as(Seq("band_idx", "band_hash")))
-      val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
-      // join raw text and verify AFTER the join, with the fused one-pass
-      // expression — shingle work happens only for candidate rows
-      // (~#candidates), not for every doc on both join sides
-      val d = docs(s, dir)
-      cand
-        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        .withColumn("jaccard", Sketches.jaccardShingles(col("text_a"), col("text_b"), 3))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      minhashNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // near-dup CLUSTERS: connected components over the verified pair set —
+    // one row per clustered doc with its component representative (the
+    // keeper) and component size. Jaccard is not transitive, so this, not
+    // per-pair keep-smallest, is the sound dedup decision.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val labels = connectedComponents(minhashNearDupPairs(s, dir))
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
     }),
 
     // SimHash over word-3-shingles, banded 16×4 bits: by pigeonhole, any
@@ -167,19 +219,9 @@ object Dedup {
     // (token count + stopword ratio) — the query an ingestion job runs
     // over the whole corpus before tokenization
     "q_corpus_clean" -> ((s, dir) => {
-      val banded = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
-            .as(Seq("band_idx", "band_hash")))
-      val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
       val d = docs(s, dir)
-      val dupLosers = cand
-        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        .filter(Sketches.jaccardShingles(col("text_a"), col("text_b"), 3) >= 0.8)
-        .select(col("doc_b")) // deterministic keep policy: smaller id wins
+      // deterministic keep policy: smaller id wins
+      val dupLosers = minhashNearDupPairs(s, dir).select(col("doc_b"))
       val tk = split(lower(col("text")), " ")
       d.join(dupLosers, d("doc_id") === dupLosers("doc_b"), "left_anti")
         .withColumn("n_tokens", size(tk).cast("long"))
@@ -202,17 +244,7 @@ object Dedup {
     // composition.
     "q_training_mix" -> ((s, dir) => {
       val d = docs(s, dir)
-      val banded = d
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
-            .as(Seq("band_idx", "band_hash")))
-      val losers = bucketPairs(banded, Seq("band_idx", "band_hash"))
-        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        .filter(Sketches.jaccardShingles(col("text_a"), col("text_b"), 3) >= 0.8)
-        .select(col("doc_b").as("doc_id"))
+      val losers = minhashNearDupPairs(s, dir).select(col("doc_b").as("doc_id"))
       val g = d
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
@@ -348,6 +380,21 @@ object Dedup {
     "q_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure of the exact pair set via recursive min-label
+    // reachability — the ground truth for the distributed label propagation
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS x FROM n
+         |  UNION
+         |  SELECT r.id, e.b AS x FROM reach r JOIN e ON r.x = e.a
+         |)
+         |SELECT id AS doc_id, CAST(MIN(x) AS BIGINT) AS cluster_rep,
+         |  CAST(COUNT(DISTINCT x) AS BIGINT) AS cluster_size
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // simhash banding (pigeonhole-deterministic to hamming 15) + exact
     // jaccard verification ⇒ the pair set equals the exact near-dup set;
     // the signature is not SQL-computable so the query emits pairs only
