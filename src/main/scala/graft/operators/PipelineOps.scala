@@ -64,6 +64,18 @@ object PipelineOps {
     (instr(lit("0123456789abcdef"),
        substring(md5(col("doc_id").cast("string")), 2, 1)) - 1)
 
+  /** (pos, doc_id) under the seed's permutation. Permutation key =
+    * md5(seed:doc_id) with a fixed-width doc_id suffix for total order. */
+  private[graft] def seededShuffle(d: DataFrame, seed: String): DataFrame = {
+    val keyed = d.select(col("doc_id"),
+      concat(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))
+          .cast("binary")),
+        lit("-"), lpad(col("doc_id").cast("string"), 12, "0"))
+        .as("shuffle_key"))
+    Ids.contiguous(keyed, "shuffle_key")
+      .select(col("seq_id").as("pos"), col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PII scrub: count then redact emails → IPs → phones, in that order
     // (fixed order makes the output deterministic when patterns could
@@ -194,6 +206,15 @@ object PipelineOps {
           sum(col("tok")).cast("long").as("bin_tokens"))
         .orderBy(col("shard"), col("bin"))
     }),
+    // Seeded global shuffle for training order: each epoch seed yields a
+    // fresh, decorrelated, fully reproducible permutation of the corpus
+    // (resume mid-epoch = re-run the same seed). Permutation key =
+    // md5(seed:doc_id) with a fixed-width doc_id suffix for total order;
+    // the order is realized distributively — range-repartition on the key +
+    // per-partition zipWithIndex ([[Ids.contiguous]]), never a one-task
+    // global sort.
+    "q_shuffle_seeded" -> ((s, dir) =>
+      seededShuffle(docs(s, dir), "epoch-0").orderBy(col("pos"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -272,5 +293,13 @@ object PipelineOps {
         |SELECT shard, CAST(FLOOR((cum - tok)/2048.0) AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // the distributed permutation must equal the global-order row_number
+    // over the same seeded key
+    "q_shuffle_seeded" ->
+      """SELECT CAST(row_number() OVER (ORDER BY
+        |    md5('epoch-0:' || CAST(doc_id AS VARCHAR)) || '-' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 12, '0')) - 1 AS BIGINT) AS pos,
+        |  doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
   )
 }

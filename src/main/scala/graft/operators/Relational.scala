@@ -153,6 +153,24 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // Skew-salted join: the big side scatters each (possibly hot) key over
+    // `salts` sub-keys, the small side replicates once per salt — shuffle
+    // skew drops to S/salts at the cost of a salts× small-side blowup.
+    // Semantics are exactly the plain join (the oracle IS the plain join);
+    // at 100 TB this is the fallback when AQE can't split the skew (e.g.
+    // aggregation states over a hot key, broadcast-side explosions). The
+    // synthetic corpus is uniform, so this query proves equivalence, not
+    // speedup; SkewSpec covers the hot-key case.
+    "q_join_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Skew.saltedJoin(li, supp, Seq("l_suppkey"), salts = 8)
+        .groupBy(col("l_suppkey").as("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Full outer join over two pre-aggregated sides (aggregate-then-join:
     // shuffles #groups rows, not #fact rows).
     "q_join_full" -> ((s, dir) => {
@@ -503,6 +521,13 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-07-01')
         |ORDER BY c_custkey""".stripMargin,
+    // the salted join's oracle is the PLAIN join — salting must be
+    // invisible in the result
+    "q_join_salted" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "q_join_full" ->
       """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
         |  CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,

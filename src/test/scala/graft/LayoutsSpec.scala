@@ -56,6 +56,25 @@ class LayoutsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin on a hot key: equal to plain join, big side scattered") {
+    import spark.implicits._
+    // 10k rows on ONE key — the shape AQE can't always split (e.g. when the
+    // downstream agg state is the problem, not the sort-merge partition)
+    val hot = (1 to 10000).map(i => (42L, i.toLong)) ++ (1 to 100).map(i => (i.toLong, 0L))
+    val big = hot.toDF("k", "v").repartition(8)
+    val dim = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k"))
+      .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), salts = 8)
+      .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain && salted(42L) == 10001L)
+    // the hot key really scatters: pre-join salt cardinality on key 42 is 8
+    val saltsUsed = big.filter(col("k") === 42)
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(saltsUsed == 8L, s"hot key spread over $saltsUsed salts, want 8")
+  }
+
   test("writeSharded: one file per shard directory, rows land by shard") {
     val out = Files.createTempDirectory("graft_shard").toString
     val docs = Tables.load(spark, sfDir, "documents")

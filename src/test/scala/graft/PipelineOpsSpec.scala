@@ -84,6 +84,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(chainLabels == Set(1L))
   }
 
+  test("seeded shuffle: reproducible per seed, decorrelated across seeds") {
+    val d = Tables.load(spark, sfDir, "documents")
+    def perm(seed: String): Seq[Long] =
+      operators.PipelineOps.seededShuffle(d, seed)
+        .orderBy(col("pos")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    val e0 = perm("epoch-0")
+    assert(e0 == perm("epoch-0"), "same seed must reproduce exactly")
+    val e1 = perm("epoch-1")
+    assert(e0.toSet == e1.toSet, "a permutation: same docs")
+    assert(e0 != e1, "different seeds must decorrelate the order")
+    assert(e0 != e0.sorted, "shuffled, not identity order")
+  }
+
   test("shard assignment is total and deterministic across reruns") {
     val a = q("q_shard_assign").collect()
     val b = q("q_shard_assign").collect()
