@@ -129,6 +129,31 @@ object Dedup {
         .orderBy(col("content_hash"))
     }),
 
+    // sub-document (chunk-level) dedup — the CCNet/RefinedWeb line-dedup
+    // shape on a corpus without newlines: the doc splits into consecutive
+    // 10-word chunks, the first occurrence of each distinct chunk (min
+    // (doc_id, idx)) is the keeper, and the per-doc duplicate-chunk count
+    // comes back. Keeper election is a partial-aggregatable min-struct —
+    // a corpus-wide boilerplate chunk collapses map-side instead of
+    // flooding one task the way a window row_number over the chunk would.
+    "q_dedup_chunks" -> ((s, dir) => {
+      val ch = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),
+             i -> concat_ws(' ', slice(w, i*10+1, 10)))""")))
+        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      val keeper = ch.groupBy(col("chunk"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+        .select(col("chunk"), col("k.doc_id").as("k_doc"), col("k.idx").as("k_idx"))
+      ch.join(keeper, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") =!= col("k_doc") || col("idx") =!= col("k_idx"),
+            1L).otherwise(0L)).as("n_dup_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash (k=64) + LSH (16 bands × 4 rows) near-dup pairs, verified
     // with exact shingle-set Jaccard ≥ 0.8. At the corpus' similarity
     // separation (dup pairs ≥0.98, background ≤0.1) LSH recall is ~1-1e-18,
@@ -377,6 +402,21 @@ object Dedup {
       """SELECT md5(lower(text)) AS content_hash, COUNT(*) AS n_docs,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(w[idx*10+1 : idx*10+10], ' ') AS chunk
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS idx
+        |        FROM t)),
+        |m AS (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY chunk
+        |                           ORDER BY doc_id, idx) AS rn
+        |      FROM ch)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,

@@ -57,6 +57,42 @@ object Temporal {
         .orderBy(col("event_id"))
     }),
 
+    // hopping (sliding) window in batch: width 2 h, slide 1 h — every
+    // event lands in exactly width/slide = 2 windows. Built-in `window()`
+    // explodes each row into its windows BEFORE the shuffle, so partial
+    // aggregation still applies: the exchange carries one partial count
+    // per (task, window), not 2× the events.
+    "q_hopping_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("w_start"))
+    }),
+
+    // log compaction: latest-wins current-state snapshot of a keyed change
+    // log (the Kafka-compacted-topic / CDC-snapshot primitive). `max_by`
+    // over a (ts, event_id) struct is partial-aggregatable — each map task
+    // keeps ONE candidate row per key and the exchange merges candidates —
+    // unlike the window row_number shape, which shuffles every version of
+    // a hot key into a single task's sort.
+    "q_log_compact" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(struct(col("ts"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"),
+          col("last.ts").as("last_ts"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"),
+          col("n_versions"))
+        .orderBy(col("user_id"))
+    }),
+
     // range join against a small interval dimension — broadcast the
     // intervals so the fact side streams through a nested-loop probe of a
     // handful of ranges (never shuffle the fact table for this)
@@ -108,6 +144,29 @@ object Temporal {
         |FROM p ASOF JOIN s
         |  ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts
         |ORDER BY event_id""".stripMargin,
+    // each event's two window starts enumerated explicitly: the hour
+    // floor and the hour floor minus the slide
+    "q_hopping_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |x AS (SELECT user_id,
+        |        unnest([to_timestamp(floor(epoch(ts)/3600)*3600),
+        |                to_timestamp(floor(epoch(ts)/3600)*3600 - 3600)]) AS w
+        |      FROM e)
+        |SELECT CAST(w AS TIMESTAMP) AS w_start,
+        |  CAST(w + INTERVAL 2 HOUR AS TIMESTAMP) AS w_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x GROUP BY 1, 2 ORDER BY w_start""".stripMargin,
+    "q_log_compact" ->
+      """WITH m AS (SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events)
+        |SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+        |  event_type AS last_type, value AS last_value,
+        |  CAST(n_versions AS BIGINT) AS n_versions
+        |FROM m WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_range_join" ->
       """SELECT period, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

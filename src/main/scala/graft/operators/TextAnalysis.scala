@@ -178,6 +178,50 @@ object TextAnalysis {
             .as("coverage"))
     }),
 
+    // TF-IDF: top-3 most distinctive terms per document. tf and df are
+    // two partial-aggregatable counts (explode → per-(doc,term) → per-term);
+    // the scalar corpus size joins in as a broadcast literal frame; the
+    // final rank is a window partitioned BY DOCUMENT (never global).
+    // ln goes through [[graft.functions.PortableLn]] (Math.log): Spark's
+    // built-in log is StrictMath.log, off-by-one-ULP vs DuckDB's libm ln on
+    // ~7% of this domain. Each score is a single product — no
+    // order-dependent double summation.
+    "q_tfidf" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(toks(lower(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfreq, "token").crossJoin(n)
+        .withColumn("tfidf", col("tf").cast("double") *
+          graft.functions.PortableMath.lnPortable(
+            col("n_docs").cast("double") / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+    }),
+
+    // corpus bigram counts (top 20): the n-gram LM statistics sweep.
+    // Bigrams materialize per row inside the scan projection (transform
+    // over the token array), then the word-count shape: partial agg per
+    // partition, tiny final shuffle.
+    "q_ngram_counts" -> ((s, dir) => {
+      docs(s, dir)
+        .select(split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // winnowed rolling-hash fingerprint (custom catalyst expression; robust
     // to local edits — no SQL oracle, rows-only + unit-tested)
     "q_doc_winnow" -> ((s, dir) => {
@@ -251,6 +295,32 @@ object TextAnalysis {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf
+        |        FROM toks GROUP BY doc_id, token),
+        |dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY token),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) DESC,
+        |               token) AS rk
+        |  FROM tfc JOIN dfc USING (token), nd)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  tfidf
+        |FROM scored WHERE rk <= 3
+        |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+    "q_ngram_counts" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT unnest([array_to_string(w[i:i+1], ' ')
+        |                     for i in range(1, len(w))]) AS bigram
+        |      FROM t WHERE len(w) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM g
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "q_vocab" ->
       """WITH tf AS (SELECT unnest(string_split(lower(text), ' ')) tok FROM documents),
         |c AS (SELECT tok, COUNT(*) n FROM tf GROUP BY tok),

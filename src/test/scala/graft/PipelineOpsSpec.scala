@@ -97,6 +97,71 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e0 != e0.sorted, "shuffled, not identity order")
   }
 
+  test("tfidf: 3 rows per doc, df consistent, rare terms outscore common") {
+    val out = q("q_tfidf").cache()
+    try {
+      val perDoc = out.groupBy("doc_id").count().select("count").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(perDoc == Set(3L), s"expected exactly 3 terms per doc, got $perDoc")
+      // a token's df must equal its number of distinct docs in the output's
+      // underlying tf frame; spot-check via recompute on the corpus
+      val docs = Tables.load(spark, sfDir, "documents")
+      val nDocs = docs.count()
+      val dfReal = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+        .groupBy("t").agg(countDistinct("doc_id").as("df_real"))
+      val bad = out.join(dfReal, out("token") === dfReal("t"))
+        .filter(col("df") =!= col("df_real")).count()
+      assert(bad == 0, s"$bad tokens with df != true document frequency")
+      // every emitted score positive (df < N for any chosen distinctive term)
+      assert(out.filter(col("tfidf") <= 0.0).count() == 0)
+      assert(out.filter(col("df") > nDocs).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("ngram counts: bigram totals conserve (sum over all = Σ(len-1))") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val expected = docs
+      .select((size(split(lower(col("text")), " ")) - 1).as("n"))
+      .filter(col("n") >= 1).agg(sum("n")).head().getLong(0)
+    val allBigrams = docs
+      .select(split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("bigram"))
+      .groupBy("bigram").count().agg(sum("count")).head().getLong(0)
+    assert(allBigrams == expected)
+    // the registered query is the top-20 slice of that frame
+    assert(q("q_ngram_counts").count() == 20)
+  }
+
+  test("chunk dedup: totals conserve; a doc never dups against itself only") {
+    val out = q("q_dedup_chunks").cache()
+    try {
+      // every chunk counted exactly once across the corpus
+      val docs = Tables.load(spark, sfDir, "documents")
+      val totalChunks = docs
+        .select(ceil(size(split(col("text"), " ")) / 10.0).cast("long").as("n"))
+        .agg(sum("n")).head().getLong(0)
+      assert(out.agg(sum("n_chunks")).head().getLong(0) == totalChunks)
+      // dups never exceed chunks; at least one doc has zero dups (the
+      // first-occurrence keeper of every distinct chunk family)
+      assert(out.filter(col("n_dup_chunks") > col("n_chunks")).count() == 0)
+      assert(out.filter(col("n_dup_chunks") === 0).count() >= 1)
+      // corpus-wide: kept = distinct chunk strings
+      val distinctChunks = docs
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          """transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),
+             i -> concat_ws(' ', slice(w, i*10+1, 10)))""")).as("c"))
+        .distinct().count()
+      val kept = totalChunks - out.agg(sum("n_dup_chunks")).head().getLong(0)
+      assert(kept == distinctChunks,
+        s"kept $kept chunks but corpus has $distinctChunks distinct")
+    } finally out.unpersist()
+  }
+
   test("shard assignment is total and deterministic across reruns") {
     val a = q("q_shard_assign").collect()
     val b = q("q_shard_assign").collect()

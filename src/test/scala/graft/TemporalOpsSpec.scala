@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-3 event-log operators: hopping-window
+  * aggregation and log compaction. The DuckDB oracle covers value
+  * equality; these freeze the structural invariants. */
+class TemporalOpsSpec extends SparkSpec {
+
+  private def q(name: String) = Queries.all(name)(spark, sfDir)
+
+  test("hopping window: every event lands in exactly width/slide windows") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val out = q("q_hopping_window").cache()
+    try {
+      val nEvents = ev.count()
+      val windowed = out.agg(sum("n_events")).head().getLong(0)
+      assert(windowed == 2 * nEvents,
+        s"2h/1h hop must double-count: $windowed != 2 * $nEvents")
+      // windows are slide-aligned (whole hours) and exactly width long
+      val misaligned = out.filter(
+        unix_timestamp(col("w_start")) % 3600 =!= 0 ||
+        unix_timestamp(col("w_end")) - unix_timestamp(col("w_start")) =!= 7200)
+        .count()
+      assert(misaligned == 0)
+      // distinct users per window never exceeds the event count
+      assert(out.filter(col("n_users") > col("n_events")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("log compaction: one row per key, latest version, counts conserve") {
+    val ev = Tables.load(spark, sfDir, "events").cache()
+    val out = q("q_log_compact").cache()
+    try {
+      assert(out.count() == ev.select("user_id").distinct().count())
+      assert(out.agg(sum("n_versions")).head().getLong(0) == ev.count())
+      // the compacted ts is the max ts per key
+      val maxTs = ev.groupBy("user_id").agg(max("ts").as("max_ts"))
+      val stale = out.join(maxTs, "user_id")
+        .filter(col("last_ts") =!= col("max_ts")).count()
+      assert(stale == 0, s"$stale keys compacted to a non-latest version")
+    } finally { out.unpersist(); ev.unpersist() }
+  }
+}
