@@ -67,6 +67,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(filterLine.exists(_.contains("l_orderkey")), filterLine.toString)
   }
 
+  test("log compaction is a pure aggregate: no window, partial agg present") {
+    val p = planOf("q_log_compact")
+    assert(!p.contains("Window"), p)
+    // partial max_by before the exchange — one candidate per key per task
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || p.linesIterator.exists(l => l.contains("HashAggregate")
+           && l.contains("max_by")), p.take(3000))
+  }
+
+  test("hopping window aggregates partially (explode before shuffle, agg after)") {
+    val p = planOf("q_hopping_window")
+    assert(!p.contains("CartesianProduct"), p)
+    // the window() explode compiles to Expand/Generate feeding a partial
+    // HashAggregate — the shuffle carries partial counts, not raw events
+    assert(p.contains("Expand") || p.contains("Generate"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("tfidf windows per document and never globally; chunk dedup agg-joins") {
+    val p = planOf("q_tfidf")
+    // every Window partitions by doc_id — no empty partition spec anywhere
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")), winLines.mkString("\n"))
+    val ch = planOf("q_dedup_chunks")
+    assert(!ch.contains("Window"), "chunk keeper election must be the " +
+      "partial-aggregatable min-struct, not a window row_number")
+    assert(!ch.contains("CartesianProduct"), ch)
+  }
+
   test("IVF assigns cells in the scan stage: no window, one hash exchange") {
     val p = planOf("q_similarity_ivf")
     assert(!p.contains("Window"), p)
