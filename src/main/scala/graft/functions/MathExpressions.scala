@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -31,9 +31,54 @@ case class PortableLn(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `bit_interleave(a, b)` → Morton (Z-order) code: the low `bits` bits of
+  * `a` and `b` interleaved (a on odd positions), as a long.
+  *
+  * The space-filling-curve kernel of multi-dimensional data clustering
+  * ([[graft.sources.Layouts.writeZOrdered]]): rows sorted by z-value land
+  * in files whose min/max footer stats bound a hyper-rectangle of the
+  * (a, b) plane, so a range predicate on EITHER column skips most files —
+  * a 1-D sort can only cluster its own column. Inputs are expected to be
+  * rank-space bucket ids in [0, 2^bits); higher bits are masked off.
+  */
+case class BitInterleave(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val z = ctx.freshName("z")
+      val k = ctx.freshName("k")
+      s"""
+        |long $z = 0L;
+        |for (int $k = 0; $k < $bits; $k++) {
+        |  $z |= ((((long) $a >> $k) & 1L) << (2 * $k + 1))
+        |      | ((((long) $b >> $k) & 1L) << (2 * $k));
+        |}
+        |${ev.value} = $z;
+        |""".stripMargin
+    })
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Int].toLong
+    val b = r.asInstanceOf[Int].toLong
+    var z = 0L
+    var k = 0
+    while (k < bits) {
+      z |= (((a >> k) & 1L) << (2 * k + 1)) | (((b >> k) & 1L) << (2 * k))
+      k += 1
+    }
+    z
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitInterleave =
+    copy(left = l, right = r)
+}
+
 object PortableMath {
   import org.apache.spark.sql.GraftBridge.{toCol, toExpr}
   /** Column surface for [[PortableLn]]. */
   def lnPortable(c: Column): Column =
     toCol(PortableLn(toExpr(c.cast("double"))))
+  /** Column surface for [[BitInterleave]] over int bucket ids. */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    toCol(BitInterleave(toExpr(a.cast("int")), toExpr(b.cast("int")), bits))
 }

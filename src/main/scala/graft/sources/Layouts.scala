@@ -52,6 +52,39 @@ object Layouts {
       .partitionBy(shardCol)
       .parquet(path)
 
+  /** Z-order (Morton-curve) clustering on two columns — the layout for
+    * tables queried by range on EITHER of two dimensions (a 1-D sort
+    * clusters only its own column; every file then spans the full range of
+    * the other, so nothing skips).
+    *
+    * Rank-based, like production z-ordering: each column maps to a 256-way
+    * quantile-bucket id (two distributed `approxQuantile` sketches — skew
+    * cannot collapse the curve the way min/max normalization would), the
+    * bucket ids interleave into a 16-bit z-value
+    * ([[graft.functions.BitInterleave]]), and rows range-partition + sort
+    * by it. Files come out covering ~√(1/nFiles) of EACH dimension, so a
+    * selective predicate on either column prunes most files via parquet
+    * footer min/max — at 100 TB this is the difference between scanning a
+    * few files and scanning the table. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, nFiles: Int,
+                    path: String): Unit = {
+    val buckets = 256
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Array(splitsA, splitsB) =
+      Array(colA, colB).map(c =>
+        df.select(col(c).cast("double").as(c)).stat.approxQuantile(c, probs, 0.001))
+    def bucketOf(c: String, splits: Array[Double]) = {
+      val arr = array(splits.toSeq.map(lit): _*)
+      size(filter(arr, s => s <= col(c).cast("double")))
+    }
+    df.withColumn("__z", graft.functions.PortableMath.zValue(
+        bucketOf(colA, splitsA), bucketOf(colB, splitsB), bits = 8))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact a parquet directory toward `targetBytes` per output file —
     * the small-file remedy for long-running ingest (thousands of tiny
     * files make the scan's file index, not the I/O, the bottleneck).

@@ -75,6 +75,38 @@ class LayoutsSpec extends SparkSpec {
     assert(saltsUsed == 8L, s"hot key spread over $saltsUsed salts, want 8")
   }
 
+  test("z-order clusters BOTH dimensions; 1-D range layout leaves one unclustered") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val zdir = Files.createTempDirectory("graft_z").toString
+    val rdir = Files.createTempDirectory("graft_r").toString
+    Layouts.writeZOrdered(ev, "value", "user_id", 8, zdir)
+    Layouts.writeRangeClustered(ev, "value", 8, rdir)
+    // mean per-file span of a column as a fraction of its global span —
+    // the proxy for footer min/max skippability under range predicates
+    def meanSpan(dir: String, c: String): Double = {
+      val d = spark.read.parquet(dir).select(col(c).cast("double").as("v"))
+      val Array(lo, hi) = d.agg(min("v"), max("v")).head()
+        .toSeq.map(_.asInstanceOf[Double]).toArray
+      val per = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c).cast("double")) - min(col(c).cast("double"))).as("s"))
+        .agg(avg("s")).head().getDouble(0)
+      per / (hi - lo)
+    }
+    // both layouts cluster the lead column tightly
+    assert(meanSpan(rdir, "value") < 0.3)
+    assert(meanSpan(zdir, "value") < 0.75)
+    // ...but only z-order clusters the second: the 1-D layout's files each
+    // span (almost) the whole user_id range
+    val zUser = meanSpan(zdir, "user_id")
+    val rUser = meanSpan(rdir, "user_id")
+    assert(zUser < 0.75, s"z-order user_id span $zUser")
+    assert(rUser > 0.85, s"range layout should NOT cluster user_id, span $rUser")
+    // layout is a pure reorder — no rows gained or lost
+    assert(spark.read.parquet(zdir).count() == ev.count())
+  }
+
   test("writeSharded: one file per shard directory, rows land by shard") {
     val out = Files.createTempDirectory("graft_shard").toString
     val docs = Tables.load(spark, sfDir, "documents")

@@ -77,6 +77,26 @@ class SketchesSpec extends SparkSpec {
     assert(fps(4L) == 0L)
   }
 
+  test("bitInterleave: known mortons, locality, codegen/interpreted parity") {
+    import graft.functions.{BitInterleave, PortableMath}
+    // hand-checked 4-bit mortons: a=0b1010, b=0b0101 → alternating bits
+    val df = Seq((0b1010, 0b0101), (0, 0), (15, 15), (255, 255))
+      .toDF("a", "b")
+    val got = df.select(PortableMath.zValue($"a", $"b", 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0b10011001L, 0L, 0b11111111L, 0xFFFFL))
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = Seq((0b1010, 0b0101), (255, 255)).map { case (a, b) =>
+      BitInterleave(Literal(a), Literal(b), 8).eval(null)
+    }
+    assert(interp == Seq(0b10011001L, 0xFFFFL))
+    // locality: adjacent bucket pairs differ less in z than distant ones
+    val z = (a: Int, b: Int) =>
+      BitInterleave(Literal(a), Literal(b), 8).eval(null).asInstanceOf[Long]
+    assert(math.abs(z(10, 10) - z(10, 11)) < math.abs(z(10, 10) - z(10, 200)))
+  }
+
   test("nearestCells: zero-norm vector falls back deterministically, no crash") {
     // all cell scores are -inf for a zero vector; selection must fall back
     // to the first unused index rather than index -1 (ADVICE r2)
