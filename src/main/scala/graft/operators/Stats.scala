@@ -103,6 +103,26 @@ object Stats {
         .orderBy(col("l_returnflag"))
     }),
 
+    // robust-stats outlier gate (winsorize fences): per event_type, the
+    // exact p05/p95 fences — rounded to 6 dp, the proven cross-engine
+    // percentile discipline — and how many rows each fence would clip.
+    // Two passes: a bounded percentile aggregate (one tiny row per type),
+    // broadcast back onto the scan for the counting pass. Fence comparison
+    // uses the ROUNDED bounds so both engines compare identical doubles.
+    "q_winsorize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val fences = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.05)"), 6).as("p05"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      ev.join(broadcast(fences), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_above"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("event_type"))
+    }),
+
     // DataSketches HLL: a mergeable distinct sketch — unlike
     // approx_count_distinct's internal HLL++, the sketch itself is a
     // column, so it can be stored and re-merged incrementally (the shape a
@@ -167,6 +187,18 @@ object Stats {
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
         |  round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 6) AS iqr_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_winsorize" ->
+      """WITH f AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS p05,
+        |    round(quantile_cont(value, 0.95), 6) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, f.p05, f.p95,
+        |  CAST(SUM(CASE WHEN e.value < f.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN e.value > f.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  COUNT(*) AS n_total
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type, f.p05, f.p95
+        |ORDER BY e.event_type""".stripMargin,
     "q_collect" ->
       """SELECT l_returnflag,
         |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,

@@ -67,6 +67,20 @@ object Streams {
     runToTable(agg, spark, OutputMode.Complete()).orderBy(col("event_day"))
   }
 
+  /** Hopping (sliding) event-time window as a stream: width 2 h, slide
+    * 1 h. Same state story as the tumbling window — one state row per
+    * OPEN window (2× the tumbling count for width/slide = 2), each closed
+    * and evicted once the watermark passes its end. */
+  def hopCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("n_events"))
+    runToTable(agg, spark, OutputMode.Complete()).orderBy(col("w_start"))
+  }
+
   /** Streaming exact dedup on event_id (state-store keyed dedup), then a
     * batch count over the deduped sink — the streaming half of the dedup
     * family. */
@@ -308,6 +322,7 @@ object Streams {
   val queries: Map[String, Q] = Map(
     "q_stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
+    "q_stream_hop_counts" -> ((s, dir) => hopCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupCount(s, dir)),
     "q_stream_user_counts" -> ((s, dir) => userCounts(s, dir)),
     "q_stream_stream_join" -> ((s, dir) => purchaseAttribution(s, dir)),
@@ -326,6 +341,15 @@ object Streams {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_hop_counts" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT unnest([to_timestamp(floor(epoch(ts)/3600)*3600),
+        |                     to_timestamp(floor(epoch(ts)/3600)*3600 - 3600)]) AS w
+        |      FROM e)
+        |SELECT CAST(w AS TIMESTAMP) AS w_start,
+        |  CAST(w + INTERVAL 2 HOUR AS TIMESTAMP) AS w_end,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY 1, 2 ORDER BY w_start""".stripMargin,
     "q_stream_dedup" ->
       "SELECT COUNT(DISTINCT event_id) AS n_unique_events FROM events",
     "q_stream_user_counts" ->

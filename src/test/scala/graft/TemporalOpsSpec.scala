@@ -28,6 +28,15 @@ class TemporalOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("streaming hop counts equal the batch hopping window") {
+    val batch = q("q_hopping_window").select("w_start", "w_end", "n_events")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    val stream = q("q_stream_hop_counts")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(stream == batch,
+      "finite stream must agree with the batch window aggregation")
+  }
+
   test("log compaction: one row per key, latest version, counts conserve") {
     val ev = Tables.load(spark, sfDir, "events").cache()
     val out = q("q_log_compact").cache()
