@@ -122,5 +122,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteToDatePredicates)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    graft.functions.SqlFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.SqlFunctions", name),
+        b))
+    }
   }
 }

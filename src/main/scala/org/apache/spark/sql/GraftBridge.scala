@@ -27,4 +27,14 @@ object GraftBridge {
     ext.buildOptimizerRules(spark)
   def builtPlannerStrategies(ext: SparkSessionExtensions, spark: SparkSession) =
     ext.buildPlannerStrategies(spark)
+
+  /** Register a session-scoped SQL function backed by a catalyst
+    * expression builder (`sessionState.functionRegistry` is private[sql];
+    * this is the supported path for a library registering functions on an
+    * already-built classic session — config-based wiring goes through
+    * `SparkSessionExtensions.injectFunction` instead). Idempotent. */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
