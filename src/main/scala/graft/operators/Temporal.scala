@@ -93,6 +93,29 @@ object Temporal {
         .orderBy(col("user_id"))
     }),
 
+    // cohort retention: users grouped by first-activity ISO week; for each
+    // (cohort, week offset) the count and fraction of the cohort still
+    // active. Three bounded aggregates (per-user min, per-cohort size,
+    // per-cell distinct count) — the fact table shuffles once on user_id
+    // and once into the tiny (cohort, offset) grid; cohort sizes broadcast
+    // back. The standard product-analytics query, engine-shaped.
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
     // range join against a small interval dimension — broadcast the
     // intervals so the fact side streams through a nested-loop probe of a
     // handful of ranges (never shuffle the fact table for this)
@@ -167,6 +190,19 @@ object Temporal {
         |  event_type AS last_type, value AS last_value,
         |  CAST(n_versions AS BIGINT) AS n_versions
         |FROM m WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |s AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM c GROUP BY cohort_wk),
+        |a AS (SELECT c.cohort_wk,
+        |        CAST(date_diff('day', c.cohort_wk, e.wk) / 7 AS BIGINT) AS week_offset,
+        |        COUNT(DISTINCT e.user_id) AS n_active
+        |      FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_wk, a.week_offset, a.n_active, s.cohort_size,
+        |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM a JOIN s USING (cohort_wk)
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
     "q_range_join" ->
       """SELECT period, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

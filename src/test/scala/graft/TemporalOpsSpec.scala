@@ -37,6 +37,23 @@ class TemporalOpsSpec extends SparkSpec {
       "finite stream must agree with the batch window aggregation")
   }
 
+  test("retention: week 0 is the full cohort; later weeks never exceed it") {
+    val out = q("q_retention").cache()
+    try {
+      val w0 = out.filter(col("week_offset") === 0)
+      assert(w0.filter(col("n_active") =!= col("cohort_size")).count() == 0,
+        "every user is active in their own first week by construction")
+      assert(out.filter(col("n_active") > col("cohort_size")).count() == 0)
+      assert(out.filter(col("retention") > 1.0 || col("retention") <= 0.0).count() == 0)
+      // cohort sizes partition the user base
+      val users = Tables.load(spark, sfDir, "events")
+        .select("user_id").distinct().count()
+      val sized = out.select("cohort_wk", "cohort_size").distinct()
+        .agg(sum("cohort_size")).head().getLong(0)
+      assert(sized == users)
+    } finally out.unpersist()
+  }
+
   test("log compaction: one row per key, latest version, counts conserve") {
     val ev = Tables.load(spark, sfDir, "events").cache()
     val out = q("q_log_compact").cache()
