@@ -93,6 +93,52 @@ object Temporal {
         .orderBy(col("user_id"))
     }),
 
+    // peak concurrency per day (sweep line): each event opens a 1-hour
+    // session (clipped at midnight — sessions count toward the day they
+    // start; stated semantics, not an accident); +1/-1 deltas sorted
+    // within the DAY partition, running sum, per-day max. The window is
+    // day-partitioned — bounded, parallel — never a global sort. Ends are
+    // exclusive: at equal timestamps the -1 applies first (d sorts before
+    // +1), so back-to-back sessions don't double-count.
+    "q_concurrency" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), to_date(col("ts")).as("day"))
+      val starts = ev.select(col("day"), col("ts").as("t"), lit(1).as("d"))
+      val ends = ev.select(col("day"),
+        least(col("ts") + expr("INTERVAL 1 HOUR"),
+          (col("day") + lit(1)).cast("timestamp")).as("t"),
+        lit(-1).as("d"))
+      val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      starts.unionByName(ends)
+        .withColumn("running", sum(col("d")).over(w))
+        .groupBy(col("day"))
+        .agg(max(col("running")).cast("long").as("peak_concurrent"))
+        .orderBy(col("day"))
+    }),
+
+    // conversion funnel view → click → purchase, strictly ordered per
+    // user: stage k counts users whose earliest stage-k event follows
+    // their earliest qualifying stage-(k-1) event. Three bounded per-user
+    // aggregates chained by join — each pass shuffles one row per user,
+    // never the event log itself twice.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_view_click"),
+          count(col("t_purchase")).as("n_view_click_purchase"))
+    }),
+
     // cohort retention: users grouped by first-activity ISO week; for each
     // (cohort, week offset) the count and fraction of the cohort still
     // active. Three bounded aggregates (per-user min, per-cohort size,
@@ -190,6 +236,38 @@ object Temporal {
         |  event_type AS last_type, value AS last_value,
         |  CAST(n_versions AS BIGINT) AS n_versions
         |FROM m WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_concurrency" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |pts AS (
+        |  SELECT day, ts AS t, 1 AS d FROM e
+        |  UNION ALL
+        |  SELECT day,
+        |    least(ts + INTERVAL 1 HOUR,
+        |          CAST(day + INTERVAL 1 DAY AS TIMESTAMP)) AS t, -1 AS d
+        |  FROM e),
+        |r AS (SELECT day,
+        |        SUM(d) OVER (PARTITION BY day ORDER BY t, d
+        |                     ROWS UNBOUNDED PRECEDING) AS running
+        |      FROM pts)
+        |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT COUNT(v.t_view) AS n_view,
+        |  COUNT(c.t_click) AS n_view_click,
+        |  COUNT(p.t_purchase) AS n_view_click_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |             CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -37,6 +37,30 @@ class TemporalOpsSpec extends SparkSpec {
       "finite stream must agree with the batch window aggregation")
   }
 
+  test("concurrency: bounded by day volume, positive, one row per active day") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"))
+    val perDay = ev.groupBy("day").count()
+    val out = q("q_concurrency")
+    val joined = out.join(perDay, "day").cache()
+    try {
+      assert(out.count() == perDay.count())
+      assert(joined.filter(col("peak_concurrent") < 1).count() == 0)
+      assert(joined.filter(col("peak_concurrent") > col("count")).count() == 0,
+        "peak concurrency cannot exceed the day's session count")
+    } finally joined.unpersist()
+  }
+
+  test("funnel stages are monotone and stage 1 matches viewing users") {
+    val r = q("q_funnel").head()
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np && np >= 0)
+    val viewers = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(nv == viewers)
+  }
+
   test("retention: week 0 is the full cohort; later weeks never exceed it") {
     val out = q("q_retention").cache()
     try {
