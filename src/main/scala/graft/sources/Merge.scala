@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   * the target untouched; stale stage dirs are cleaned on the next run).
   */
 object Merge {
+  /** Keyed MERGE (SCD-1 by primary key, no partition assumption): updates
+    * win on key collision, unmatched base rows survive, new keys insert.
+    * If `updates` may carry several versions of a key, compact it first
+    * (e.g. the `q_log_compact` max_by shape) — this function treats
+    * `updates` as one-row-per-key.
+    *
+    * Scale contract: ONE anti-join shuffle of the base by key (the
+    * irreducible cost of keyed merge on sorted-nothing parquet). On a
+    * bucketed base table ([[Layouts.writeBucketed]]) the exchange on the
+    * base side disappears and only `updates` shuffles. */
+  def upsertKeyed(base: DataFrame, updates: DataFrame,
+                  keyCols: Seq[String]): DataFrame = {
+    val survivors = base.join(updates.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    survivors.unionByName(updates.select(base.columns.map(col): _*))
+  }
+
   def upsertPartitioned(spark: SparkSession, targetDir: String,
                         updates: DataFrame, keyCols: Seq[String],
                         partCol: String): Unit = {

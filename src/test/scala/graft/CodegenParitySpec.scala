@@ -25,7 +25,7 @@ class CodegenParitySpec extends SparkSpec {
   test("codegen and interpreted paths agree on every sketch query") {
     val names = Seq("q_dedup_minhash_lsh", "q_dedup_simhash",
       "q_dedup_embedding_lsh", "q_similarity_lsh", "q_similarity_ivf",
-      "q_doc_winnow", "q_doc_fingerprint", "q_tfidf")
+      "q_doc_winnow", "q_doc_fingerprint", "q_tfidf", "q_sql_fn")
     for (n <- names) {
       val gen = Queries.all(n)(spark, sfDir).collect().toSeq
       val interp = interpreted(Queries.all(n)(spark, sfDir).collect().toSeq)

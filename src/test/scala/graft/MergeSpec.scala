@@ -52,6 +52,24 @@ class MergeSpec extends SparkSpec {
     assert(rows2 == 6)
   }
 
+  test("keyed upsert: updates win, survivors stay, inserts add, one row per key") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "B", 21), (4L, "d", 40)).toDF("k", "name", "v")
+    val merged = Merge.upsertKeyed(base, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(merged == Map(
+      1L -> ("a", 10),   // survivor
+      2L -> ("B", 21),   // update wins
+      3L -> ("c", 30),   // survivor
+      4L -> ("d", 40)))  // insert
+    // idempotent: applying the same updates again changes nothing
+    val again = Merge.upsertKeyed(
+      Merge.upsertKeyed(base, updates, Seq("k")), updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(again == merged)
+  }
+
   test("contiguous id assignment equals global-order numbering at any nPart") {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "lang")
     val expect = docs.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
