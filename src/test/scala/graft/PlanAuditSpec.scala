@@ -96,6 +96,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ch.contains("CartesianProduct"), ch)
   }
 
+  test("analytics ops: day-bounded windows, broadcast sizes, no windows in funnel") {
+    // concurrency's only window partitions by day — never an empty spec
+    val conc = planOf("q_concurrency")
+    val winLines = conc.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("day")), winLines.mkString("\n"))
+    // funnel is pure agg+join — no window, no cartesian
+    val fun = planOf("q_funnel")
+    assert(!fun.contains("Window") && !fun.contains("CartesianProduct"), fun.take(2000))
+    // retention broadcasts the tiny cohort-size side
+    assert(planOf("q_retention").contains("BroadcastHashJoin"))
+    // winsorize broadcasts the per-type fences back onto the scan
+    assert(planOf("q_winsorize").contains("BroadcastHashJoin"))
+  }
+
   test("IVF assigns cells in the scan stage: no window, one hash exchange") {
     val p = planOf("q_similarity_ivf")
     assert(!p.contains("Window"), p)
