@@ -194,6 +194,49 @@ object Streams {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming materialized view by key (CDC apply): each micro-batch
+    * merges into a parquet key-value state and the merge re-compacts
+    * state ∪ batch with the same latest-wins `max_by` as `q_log_compact` —
+    * so the result is independent of batch boundaries AND of replays:
+    * re-processing any suffix (or the whole) of the log converges to the
+    * same state. The swap is staged (write stage dir, then replace)
+    * because the merge plan reads the live state dir; a crash mid-write
+    * leaves the previous state intact. At scale the state is a bucketed
+    * table and the per-batch cost is one key-shuffle of batch + state. */
+  def compactedStateToParquet(spark: SparkSession, dir: String,
+                              stateDir: String, checkpointDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+    val q = eventStream(spark, dir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val statePath = new Path(stateDir)
+        val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val b = batch.select(cols.map(col): _*)
+        val unioned =
+          if (fs.exists(statePath)) s.read.parquet(stateDir).unionByName(b)
+          else b
+        val merged = unioned.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("l"))
+          .select(col("user_id"), col("l.ts").as("ts"),
+            col("l.event_id").as("event_id"),
+            col("l.event_type").as("event_type"), col("l.value").as("value"))
+        val stage = new Path(statePath.getParent, s".${statePath.getName}_stage")
+        fs.delete(stage, true)
+        merged.write.parquet(stage.toString)
+        fs.delete(statePath, true)
+        fs.rename(stage, statePath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(stateDir)
+  }
+
   /** Pipeline-1 as a continuous job into the reference's JDBC sink:
     * windowed counts upserted per micro-batch via foreachBatch (the
     * streaming writer JDBC lacks natively). Complete-mode output +

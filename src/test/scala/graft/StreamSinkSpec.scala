@@ -39,4 +39,43 @@ class StreamSinkSpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toSeq
     assert(second == Seq("2024-02-01" -> 3L), second.toString)
   }
+
+  test("compacted-state view: latest wins, replay and full-reprocess converge") {
+    val base = Files.createTempDirectory("graft_mview").toString
+    val ns = 1000L * 1000 * 1000
+    def at(day: Int, hour: Int): Long =
+      (java.time.LocalDateTime.of(2024, 2, day, hour, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * ns
+    val events = Seq(
+      (1L, at(1, 9), 10L, "a", 1.0, "{}"), (2L, at(1, 10), 10L, "b", 2.0, "{}"),
+      (3L, at(1, 11), 11L, "a", 3.0, "{}"), (4L, at(2, 9), 10L, "c", 4.0, "{}"),
+      (5L, at(2, 10), 12L, "a", 5.0, "{}"), (6L, at(3, 0), 13L, "a", 6.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$base/raw")
+    val part = Files.list(Paths.get(s"$base/raw")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    Files.move(Paths.get(part), Paths.get(s"$base/events.parquet"))
+
+    def stateOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String, Double)] =
+      df.collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value")))).toMap
+    val expected = Map(
+      10L -> ((4L, "c", 4.0)), 11L -> ((3L, "a", 3.0)),
+      12L -> ((5L, "a", 5.0)), 13L -> ((6L, "a", 6.0)))
+
+    val state = s"$base/state"
+    val first = stateOf(
+      streaming.Streams.compactedStateToParquet(spark, base, state, s"$base/c1"))
+    assert(first == expected, first.toString)
+    // same checkpoint: no new input, state untouched
+    val replay = stateOf(
+      streaming.Streams.compactedStateToParquet(spark, base, state, s"$base/c1"))
+    assert(replay == expected)
+    // FRESH checkpoint: the whole log re-merges into existing state — the
+    // latest-wins merge must converge, not duplicate or regress
+    val reproc = stateOf(
+      streaming.Streams.compactedStateToParquet(spark, base, state, s"$base/c2"))
+    assert(reproc == expected)
+  }
 }
