@@ -80,4 +80,23 @@ object SketchProps extends Properties("sketches") {
       def fp(s: String) = w.nullSafeEval(UTF8String.fromString(s))
       fp(a) == fp(a) && fp(a + "xxxxxxxxxx") != fp(a + "yyyyyyyyyy")
     }
+
+  private val bucket: Gen[Int] = Gen.choose(0, 255)
+
+  property("bitInterleave is a bijection on 8-bit pairs (deinterleave inverts)") =
+    forAll(bucket, bucket) { (a, b) =>
+      val z = graft.functions.BitInterleave(Literal(a), Literal(b), 8)
+        .eval(null).asInstanceOf[Long]
+      def deinterleave(z: Long, odd: Boolean): Int = {
+        var v = 0; var k = 0
+        while (k < 8) {
+          val pos = 2 * k + (if (odd) 1 else 0)
+          if (((z >> pos) & 1L) == 1L) v |= (1 << k)
+          k += 1
+        }
+        v
+      }
+      z >= 0 && z < 65536 &&
+        deinterleave(z, odd = true) == a && deinterleave(z, odd = false) == b
+    }
 }
