@@ -199,9 +199,9 @@ object Streams {
     * state ∪ batch with the same latest-wins `max_by` as `q_log_compact` —
     * so the result is independent of batch boundaries AND of replays:
     * re-processing any suffix (or the whole) of the log converges to the
-    * same state. The swap is staged (write stage dir, then replace)
-    * because the merge plan reads the live state dir; a crash mid-write
-    * leaves the previous state intact. At scale the state is a bucketed
+    * same state. The swap is staged (write stage dir, then backup-swap)
+    * because the merge plan reads the live state dir; at every instant an
+    * intact copy of the state exists on disk. At scale the state is a bucketed
     * table and the per-batch cost is one key-shuffle of batch + state. */
   def compactedStateToParquet(spark: SparkSession, dir: String,
                               stateDir: String, checkpointDir: String): DataFrame = {
@@ -224,11 +224,17 @@ object Streams {
           .select(col("user_id"), col("l.ts").as("ts"),
             col("l.event_id").as("event_id"),
             col("l.event_type").as("event_type"), col("l.value").as("value"))
+        // backup-swap: at every instant either the old or the new state
+        // directory exists intact — a crash between the renames leaves the
+        // backup for manual (or next-run) recovery, never zero copies
         val stage = new Path(statePath.getParent, s".${statePath.getName}_stage")
+        val backup = new Path(statePath.getParent, s".${statePath.getName}_bak")
         fs.delete(stage, true)
         merged.write.parquet(stage.toString)
-        fs.delete(statePath, true)
+        fs.delete(backup, true)
+        if (fs.exists(statePath)) fs.rename(statePath, backup)
         fs.rename(stage, statePath)
+        fs.delete(backup, true)
         ()
       }
       .trigger(Trigger.AvailableNow())
