@@ -120,6 +120,25 @@ object Dedup {
     labels
   }
 
+  /** (doc_id, idx, chunk, k_doc, k_idx): every 10-word chunk of every doc,
+    * tagged with the corpus-wide first occurrence (min (doc_id, idx)) of
+    * that chunk's text. Keeper election is a partial-aggregatable
+    * min-struct — a corpus-wide boilerplate chunk collapses map-side
+    * instead of flooding one task the way a window row_number over the
+    * chunk would. */
+  private def chunksWithKeeper(s: SparkSession, dir: String): DataFrame = {
+    val ch = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),
+           i -> concat_ws(' ', slice(w, i*10+1, 10)))""")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+    val keeper = ch.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .select(col("chunk"), col("k.doc_id").as("k_doc"), col("k.idx").as("k_idx"))
+    ch.join(keeper, "chunk")
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: hash-groupBy on normalized content; keeper = min doc_id
     "q_dedup_exact" -> ((s, dir) => {
@@ -137,20 +156,30 @@ object Dedup {
     // a corpus-wide boilerplate chunk collapses map-side instead of
     // flooding one task the way a window row_number over the chunk would.
     "q_dedup_chunks" -> ((s, dir) => {
-      val ch = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),
-             i -> concat_ws(' ', slice(w, i*10+1, 10)))""")))
-        .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
-      val keeper = ch.groupBy(col("chunk"))
-        .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
-        .select(col("chunk"), col("k.doc_id").as("k_doc"), col("k.idx").as("k_idx"))
-      ch.join(keeper, "chunk")
-        .groupBy(col("doc_id"))
+      val tagged = chunksWithKeeper(s, dir)
+      tagged.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("doc_id") =!= col("k_doc") || col("idx") =!= col("k_idx"),
             1L).otherwise(0L)).as("n_dup_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the APPLY half of chunk dedup: emit the cleaned corpus itself —
+    // each doc's surviving (first-occurrence) chunks reassembled in
+    // original order. Docs whose every chunk lost its election disappear,
+    // exactly like a fully-boilerplate page. The rebuild is one per-doc
+    // aggregate (array_sort over (idx, chunk) structs — bounded by doc
+    // size), so the cleaned 100 TB corpus streams out with one shuffle
+    // beyond the keeper election.
+    "q_dedup_chunks_apply" -> ((s, dir) => {
+      chunksWithKeeper(s, dir)
+        .filter(col("doc_id") === col("k_doc") && col("idx") === col("k_idx"))
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk)"),
+            " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -417,6 +446,22 @@ object Dedup {
         |SELECT doc_id, COUNT(*) AS n_chunks,
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_chunks_apply" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(w[idx*10+1 : idx*10+10], ' ') AS chunk
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS idx
+        |        FROM t)),
+        |m AS (SELECT doc_id, idx, chunk,
+        |        row_number() OVER (PARTITION BY chunk
+        |                           ORDER BY doc_id, idx) AS rn
+        |      FROM ch)
+        |SELECT doc_id,
+        |  string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+        |  COUNT(*) AS n_kept
+        |FROM m WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,

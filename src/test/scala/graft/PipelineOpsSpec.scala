@@ -162,6 +162,23 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("chunk dedup apply: kept counts reconcile; clean text has kept chunks") {
+    val counts = q("q_dedup_chunks").cache()
+    val applied = q("q_dedup_chunks_apply").cache()
+    try {
+      // per doc: n_kept == n_chunks - n_dup_chunks (docs with 0 kept absent)
+      val mismatch = counts.join(applied, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_kept"), lit(0L)) =!=
+          col("n_chunks") - col("n_dup_chunks")).count()
+      assert(mismatch == 0)
+      // clean text word count == 10*(n_kept-1) + last-chunk size ≤ 10*n_kept
+      val bad = applied.filter(
+        size(split(col("clean_text"), " ")) > col("n_kept") * 10 ||
+        size(split(col("clean_text"), " ")) <= (col("n_kept") - 1) * 10).count()
+      assert(bad == 0)
+    } finally { counts.unpersist(); applied.unpersist() }
+  }
+
   test("shard assignment is total and deterministic across reruns") {
     val a = q("q_shard_assign").collect()
     val b = q("q_shard_assign").collect()
