@@ -107,6 +107,23 @@ class LayoutsSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).count() == ev.count())
   }
 
+  test("ANALYZE TABLE feeds CBO: catalog stats reach the optimized plan") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    li.write.mode("overwrite").saveAsTable("li_stats")
+    spark.sql("ANALYZE TABLE li_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+    val cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val plan = spark.table("li_stats").queryExecution.optimizedPlan
+      val stats = plan.stats
+      assert(stats.rowCount.isDefined && stats.rowCount.get.toLong == li.count(),
+        s"rowCount stat missing or wrong: $stats")
+      assert(stats.attributeStats.nonEmpty,
+        "column-level stats must reach the optimizer for CBO join decisions")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cbo)
+  }
+
   test("writeSharded: one file per shard directory, rows land by shard") {
     val out = Files.createTempDirectory("graft_shard").toString
     val docs = Tables.load(spark, sfDir, "documents")
