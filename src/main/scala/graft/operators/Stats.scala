@@ -42,6 +42,34 @@ object Stats {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Misra–Gries heavy-hitters sketch: at most `k` counters; any item with
+    * frequency > n/(k+1) is GUARANTEED to survive (candidates may include
+    * false positives — callers verify). `merge` is the standard mergeable
+    * form: combine counters, then decrement all by the (k+1)-largest count
+    * so at most k survive. Buffer is k entries regardless of input size —
+    * the bounded-state first pass of heavy-hitters at 100 TB. */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (b.contains(a)) b.updated(a, b(a) + 1L)
+      else if (b.size < k) b.updated(a, 1L)
+      else b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = (x.keySet ++ y.keySet).iterator
+        .map(t => t -> (x.getOrElse(t, 0L) + y.getOrElse(t, 0L))).toMap
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+  }
+
   val queries: Map[String, Q] = Map(
     // variance / stddev / correlation from exact moment sums
     "q_stats_agg" -> ((s, dir) => {
@@ -123,6 +151,32 @@ object Stats {
         .orderBy(col("event_type"))
     }),
 
+    // heavy hitters, two-phase: a Misra–Gries pass (bounded k=29-counter
+    // state, mergeable, ONE scan) nominates candidates — provably a
+    // superset of every token with frequency > n/30 — then an exact
+    // counting pass over candidates only verifies. The collected sketch is
+    // ≤ 29 entries (the approxQuantile pattern: driver reads a bounded
+    // summary, never data). The verified output is exact, hence
+    // oracle-checkable; the integer filter 30·count > total avoids
+    // division entirely. k = 29 sits just under this corpus' 31-token
+    // vocabulary, so the sketch genuinely evicts (a k ≥ vocab sketch
+    // degenerates to an exact count) while φ = 1/30 still admits ~15
+    // heavy hitters at every SF.
+    "q_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      val sketch: Map[String, Long] = toks.as[String]
+        .select(new MisraGries(29).toColumn).head()
+      val tot = toks.agg(count(lit(1)).as("t"))
+      toks.filter(col("token").isInCollection(sketch.keys.toSeq.sorted))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .crossJoin(tot)
+        .filter(col("n") * 30 > col("t"))
+        .select(col("token"), col("n"), col("t").as("total"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // DataSketches HLL: a mergeable distinct sketch — unlike
     // approx_count_distinct's internal HLL++, the sketch itself is a
     // column, so it can be stored and re-merged incrementally (the shape a
@@ -187,6 +241,14 @@ object Stats {
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
         |  round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 6) AS iqr_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH tf AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |           FROM documents),
+        |tot AS (SELECT COUNT(*) AS t FROM tf)
+        |SELECT token, COUNT(*) AS n, (SELECT t FROM tot) AS total
+        |FROM tf GROUP BY token
+        |HAVING COUNT(*) * 30 > (SELECT t FROM tot)
+        |ORDER BY n DESC, token""".stripMargin,
     "q_winsorize" ->
       """WITH f AS (SELECT event_type,
         |    round(quantile_cont(value, 0.05), 6) AS p05,

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 /** Accuracy check for the approximate-distinct sketch (rows-only in the
   * oracle gate — HLL estimates are engine-specific). */
 class StatsSpec extends SparkSpec {
+  test("Misra-Gries: bounded state; candidates cover all true heavy hitters") {
+    import spark.implicits._
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+    val k = 29
+    val sketch: Map[String, Long] = toks.as[String]
+      .select(new operators.Stats.MisraGries(k).toColumn).head()
+    assert(sketch.size <= k, s"sketch must hold at most $k counters")
+    val n = toks.count()
+    val trueHeavy = toks.groupBy("token").count()
+      .filter(col("count") * (k + 1) > n)
+      .collect().map(_.getString(0)).toSet
+    assert(trueHeavy.subsetOf(sketch.keySet),
+      s"MG guarantee violated: ${trueHeavy -- sketch.keySet} missing")
+    // and the registered query's verified output IS the exact heavy set
+    val out = Queries.all("q_heavy_hitters")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    assert(out == trueHeavy)
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val exact = li.groupBy(col("l_returnflag"))
