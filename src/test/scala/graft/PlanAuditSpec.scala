@@ -94,6 +94,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ch.contains("Window"), "chunk keeper election must be the " +
       "partial-aggregatable min-struct, not a window row_number")
     assert(!ch.contains("CartesianProduct"), ch)
+    // the apply half rebuilds text inside a per-doc aggregate — same rules
+    val app = planOf("q_dedup_chunks_apply")
+    assert(!app.contains("Window") && !app.contains("CartesianProduct"), app.take(2000))
+    // heavy hitters: candidate filter + count, no window; the only
+    // nested-loop join is the deliberate 1-row total broadcast
+    val hh = planOf("q_heavy_hitters")
+    assert(!hh.contains("Window") && !hh.contains("CartesianProduct"), hh.take(2000))
   }
 
   test("analytics ops: day-bounded windows, broadcast sizes, no windows in funnel") {
