@@ -25,6 +25,22 @@ class StatsSpec extends SparkSpec {
     assert(out == trueHeavy)
   }
 
+  test("MG verified output is partition-invariant (merge order doesn't leak)") {
+    import spark.implicits._
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+    val n = toks.count()
+    val trueHeavy = toks.groupBy("token").count()
+      .filter(col("count") * 30 > n).collect().map(_.getString(0)).toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch: Map[String, Long] = toks.repartition(parts).as[String]
+        .select(new operators.Stats.MisraGries(29).toColumn).head()
+      // the CANDIDATE set may vary with merge order; the guarantee may not
+      assert(trueHeavy.subsetOf(sketch.keySet),
+        s"parts=$parts lost ${trueHeavy -- sketch.keySet}")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val exact = li.groupBy(col("l_returnflag"))
