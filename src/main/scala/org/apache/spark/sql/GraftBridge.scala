@@ -28,6 +28,13 @@ object GraftBridge {
   def builtPlannerStrategies(ext: SparkSessionExtensions, spark: SparkSession) =
     ext.buildPlannerStrategies(spark)
 
+  /** Function names an extensions hook would register (testing aid). */
+  def builtFunctionNames(ext: SparkSessionExtensions): Seq[String] = {
+    val reg = new catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
+
   /** Register a session-scoped SQL function backed by a catalyst
     * expression builder (`sessionState.functionRegistry` is private[sql];
     * this is the supported path for a library registering functions on an

@@ -15,6 +15,11 @@ class ExtensionsSpec extends SparkSpec {
     val strategies = GraftBridge.builtPlannerStrategies(ext, spark)
     assert(rules.contains(RewriteToDatePredicates), rules.toString)
     assert(strategies.contains(TopKPerKeyStrategy), strategies.toString)
+    // config-based wiring registers every graft_* SQL function too
+    val fns = GraftBridge.builtFunctionNames(ext)
+    graft.functions.SqlFunctions.builders.foreach { case (name, _) =>
+      assert(fns.contains(name), s"$name missing from extension registry")
+    }
   }
 
   test("SQL-registered graft_* functions match the column API") {
