@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON. Two sbt
+// behaviors break that: (a) forked-run output is logged with an "[info] "
+// prefix; (b) sbt appends "[success] Total time: …" after the app exits.
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess drops the trailer, so the app's final JSON line IS the
+// final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,6 +17,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional subset (comma-separated names) — scaling probes time the
+    // expensive queries at large derived SFs without paying for all 100+
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,6 +35,7 @@ object Bench {
     // compilation, the second measures steady-state execution
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // a crashing query must NOT masquerade as a fast pass: failures are
         // recorded as -1 with the name listed under "failed"
@@ -65,7 +70,12 @@ object Bench {
       "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_similarity_topk",
       "q_corpus_clean", "q_training_mix", "q_stream_stream_join")
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"failed":$failed,"sf":"$sfDir"}""")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"failed":$failed,"sf":"$sfDir"}"""
+    // belt-and-braces artifact in case stdout is mangled by the launcher
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (compact + "\n").getBytes("UTF-8"))
+    println(compact)
     spark.stop()
   }
 }
