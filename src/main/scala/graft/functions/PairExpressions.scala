@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.GraftBridge.{toCol, toExpr}
@@ -22,9 +22,12 @@ import org.apache.spark.sql.GraftBridge.{toCol, toExpr}
   * silently corrupting pairs). A deployment with a wider id space swaps
   * the pack for the struct-emitting SQL shape at ~4× the constant cost.
   *
-  * Both expressions run once per BUCKET row (thousands of rows, not
-  * billions), so interpreted eval is fine: the inner loop is plain JVM
-  * code either way (CodegenFallback).
+  * Both expressions carry `doGenCode`: the loop itself is plain JVM code
+  * either way, but a CodegenFallback expression splits the enclosing
+  * WholeStageCodegen span, dropping the whole bucket→pairs→explode
+  * projection to the interpreted path. Generated and interpreted paths
+  * share `PairPack.pack` (a static forwarder callable from Janino) so the
+  * id-range contract throws identically in both.
   */
 object PairPack {
   val idLimit: Long = 1L << 32
@@ -39,8 +42,29 @@ object PairPack {
 /** `packed_pairs(xs)` → all C(n,2) pairs of an ascending array<long> of
   * ids, packed. Upstream must sort (and cap) the bucket. */
 case class PackedPairs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      s"""
+        |final int $n = $v.numElements();
+        |final long[] $out = new long[$n * ($n - 1) / 2];
+        |int $idx = 0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final long $a = $v.getLong($i);
+        |  for (int $j = $i + 1; $j < $n; $j++) {
+        |    $out[$idx++] = graft.functions.PairPack.pack($a, $v.getLong($j));
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |""".stripMargin
+    })
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
@@ -63,8 +87,41 @@ case class PackedPairs(child: Expression)
   * hamming, packed. The gate runs inside the loop — non-matching pairs
   * never materialize anywhere. */
 case class HammingPairs(child: Expression, maxDist: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val ids = ctx.freshName("ids")
+      val sigs = ctx.freshName("sigs")
+      val row = ctx.freshName("row")
+      val buf = ctx.freshName("buf")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+        |final int $n = $v.numElements();
+        |final long[] $ids = new long[$n];
+        |final long[] $sigs = new long[$n];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final org.apache.spark.sql.catalyst.InternalRow $row = $v.getStruct($i, 2);
+        |  $ids[$i] = $row.getLong(0);
+        |  $sigs[$i] = $row.getLong(1);
+        |}
+        |long[] $buf = new long[8];
+        |int $cnt = 0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  for (int $j = $i + 1; $j < $n; $j++) {
+        |    if (java.lang.Long.bitCount($sigs[$i] ^ $sigs[$j]) <= $maxDist) {
+        |      if ($cnt == $buf.length) $buf = java.util.Arrays.copyOf($buf, $buf.length * 2);
+        |      $buf[$cnt++] = graft.functions.PairPack.pack($ids[$i], $ids[$j]);
+        |    }
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  java.util.Arrays.copyOf($buf, $cnt));
+        |""".stripMargin
+    })
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
