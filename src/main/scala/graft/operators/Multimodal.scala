@@ -7,19 +7,22 @@ import graft.Tables
 
 /** Multimodal-column plumbing (SURVEY.md §7 north star): image/audio/video
   * payloads as opaque `binary` columns with typed metadata, plus a batched
-  * decode/feature-extract path.
+  * decode/feature-extract path with a REAL image codec.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB — but the Spark-side plumbing is real:
-  * binary column handling, schema of the feature output, partition-parallel
-  * batched processing via `mapPartitions` over a typed Dataset (the Scala
+  * The codec is JDK-builtin `javax.imageio` (PNG encode/decode — no
+  * external libraries), exercised end-to-end: deterministic grayscale PNGs
+  * are synthesized per document (standing in for media arrival; the corpus
+  * parquet has no binary table and `/root/testdata` is read-only), carried
+  * as a `binary` payload column, then decoded back and feature-extracted
+  * partition-parallel via `mapPartitions` over a typed Dataset (the Scala
   * analog of `mapInPandas`: one iterator per partition, amortized per-batch
-  * setup, no per-row driver round-trips), and pushdown-friendly metadata
-  * predicates.
+  * codec setup, no per-row driver round-trips).
   *
-  * The corpus has no binary table, so `documents.text` bytes stand in for
-  * encoded media (cast to binary); a real deployment swaps the stub for a
-  * codec and nothing else changes.
+  * Because PNG is lossless and the synthesized pixels are an affine
+  * function of (x, y), every decoded feature — dims, gray stats, 2×2
+  * box-downscale stats — has a closed form in `doc_id`, so the query is
+  * hash-checkable against a pure-SQL DuckDB oracle even though the Spark
+  * side really round-trips through the codec.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -27,33 +30,76 @@ object Multimodal {
   /** Raw media row as it would arrive: payload + declared kind. */
   case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features (what a decoder would emit per media object).
-    * `resized_*`: output dims/bytes of the stubbed 2× downscale. */
-  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
-                           checksum: Long, head_mean: Double,
-                           resized_w: Int, resized_h: Int, resized_bytes: Long)
+  /** Features extracted from a DECODED image: geometry, gray stats, and
+    * the stats of a real 2×2 box-average downscale of the decoded raster. */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           mean_gray: Double, min_gray: Int, max_gray: Int,
+                           resized_w: Int, resized_h: Int, resized_mean: Double)
 
-  /** STUB decode + resize: a real implementation would decode image/audio
-    * frames and rescale here (per-partition codec init, then per-row
-    * decode). The stub derives deterministic pseudo-features and a fake
-    * 2×-downscale geometry from the payload bytes so the pipeline shape —
-    * batched partition iteration, typed output schema, resize metadata —
-    * is fully exercised and testable without codecs. */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-    // per-partition "codec" setup would go here
+  /** Deterministic test-pattern geometry: even dims (4–14 × 4–10) and a
+    * base offset, all pure functions of doc_id; gray(x,y) = base + 7x + 13y
+    * (max 31 + 7·13 + 13·9 = 239 < 256, so no clipping anywhere). */
+  @inline private def geom(docId: Long): (Int, Int, Int) =
+    (2 * ((docId % 6) + 2).toInt, 2 * ((docId % 4) + 2).toInt, (docId % 32).toInt)
+
+  /** Encode the doc's test pattern as a real PNG via javax.imageio. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val (w, h, base) = geom(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, base + 7 * x + 13 * y); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched decode + feature-extract: per-partition iterator, one real
+    * `ImageIO.read` per row, stats and a genuine 2×2 box-average downscale
+    * computed from the DECODED raster (not from the generator's formula —
+    * the oracle's closed form is only valid because PNG round-trips
+    * losslessly, which `MultimodalSpec` pins). */
+  def decodeImages(rows: Iterator[MediaRow]): Iterator[ImageFeatures] = {
+    // per-partition codec setup would go here (ImageIO is stateless)
     rows.map { r =>
-      var sum = 0L
-      var i = 0
-      while (i < r.payload.length) { sum = 31 * sum + (r.payload(i) & 0xff); i += 1 }
-      val head = r.payload.take(16)
-      val mean = if (head.isEmpty) 0.0
-        else head.map(b => (b & 0xff).toDouble).sum / head.length
-      // fake source geometry from the payload size, then a 2× downscale
-      val w = math.max(1, (r.payload.length % 64) + 1)
-      val h = math.max(1, r.payload.length / math.max(1, w))
-      val (rw, rh) = (math.max(1, w / 2), math.max(1, h / 2))
-      MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, sum, mean,
-        rw, rh, rw.toLong * rh)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable payload for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L; var mn = 255; var mx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      // real 2×2 box-average downscale over decoded pixels (even dims by
+      // construction; general images would need edge handling)
+      val rw = w / 2; val rh = h / 2
+      var rsum = 0L
+      var ry = 0
+      while (ry < rh) {
+        var rx = 0
+        while (rx < rw) {
+          rsum += (raster.getSample(2 * rx, 2 * ry, 0)
+            + raster.getSample(2 * rx + 1, 2 * ry, 0)
+            + raster.getSample(2 * rx, 2 * ry + 1, 0)
+            + raster.getSample(2 * rx + 1, 2 * ry + 1, 0)) / 4
+          rx += 1
+        }
+        ry += 1
+      }
+      ImageFeatures(r.doc_id, w, h, sum.toDouble / (w * h), mn, mx,
+        rw, rh, rsum.toDouble / (rw * rh))
     }
   }
 
@@ -88,18 +134,39 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
-    // batched decode via mapPartitions over Dataset[MediaRow] (stubbed
-    // codec, real plumbing) — rows-only check + unit test
+    // REAL codec round-trip: synthesize PNG payloads (media arrival),
+    // decode with javax.imageio, feature-extract — all partition-parallel;
+    // hash-green against the closed-form DuckDB oracle below
     "q_multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      media(s, dir).as[MediaRow]
-        .mapPartitions(decodeStub)
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, "image", encodePng(id))))
+        .mapPartitions(decodeImages)
         .toDF()
         .orderBy(col("doc_id"))
     }),
   )
 
   val oracle: Map[String, String] = Map(
+    // closed forms of the decoded-pixel stats (valid because the PNG
+    // round-trip is lossless and gray(x,y) = base + 7x + 13y is affine):
+    //   mean = base + 7(w-1)/2 + 13(h-1)/2
+    //   min  = base ; max = base + 7(w-1) + 13(h-1)
+    //   2×2 box downscale pixel = base + 14rx + 26ry + 10
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(2*((doc_id % 6) + 2) AS INTEGER) AS width,
+        |  CAST(2*((doc_id % 4) + 2) AS INTEGER) AS height,
+        |  CAST((doc_id % 32) + 7*(2*((doc_id % 6) + 2) - 1)/2.0
+        |       + 13*(2*((doc_id % 4) + 2) - 1)/2.0 AS DOUBLE) AS mean_gray,
+        |  CAST(doc_id % 32 AS INTEGER) AS min_gray,
+        |  CAST((doc_id % 32) + 7*(2*((doc_id % 6) + 2) - 1)
+        |       + 13*(2*((doc_id % 4) + 2) - 1) AS INTEGER) AS max_gray,
+        |  CAST((doc_id % 6) + 2 AS INTEGER) AS resized_w,
+        |  CAST((doc_id % 4) + 2 AS INTEGER) AS resized_h,
+        |  CAST((doc_id % 32) + 10 + 7*((doc_id % 6) + 1)
+        |       + 13*((doc_id % 4) + 1) AS DOUBLE) AS resized_mean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
       """SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
