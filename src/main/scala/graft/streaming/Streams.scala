@@ -32,6 +32,28 @@ object Streams {
     counter += 1; s"${prefix}_$counter"
   }
 
+  /** The RocksDB state-store provider shipped with Spark. The default
+    * (HDFSBackedStateStoreProvider) keeps every state row on the executor
+    * heap — fine for bounded test state, an OOM at 100 TB-scale key
+    * cardinality. RocksDB spills state to local disk with changelog
+    * checkpointing, so state size is bounded by disk, not heap. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the given state-store provider class. The conf is
+    * read at streaming-query START, so setting it around query
+    * construction + start is sufficient; restored afterwards so batch
+    * work in the same session is unaffected. */
+  def withStateStoreProvider[A](spark: SparkSession, providerClass: String)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** File-source stream over events with ns→µs conversion applied. */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
