@@ -50,11 +50,14 @@ object JobRunner {
     val deadline = clock() + timeoutMs
     var found = fs.exists(p)
     while (!found && clock() < deadline) {
-      log.info("input {} absent, next poke in {} ms", path, pokeIntervalMs)
+      StructuredLog.info("input_poll", "path" -> path,
+        "next_poke_ms" -> pokeIntervalMs)
       sleep(math.min(pokeIntervalMs, math.max(1, deadline - clock())))
       found = fs.exists(p)
     }
-    if (!found) log.error("input {} still absent after {} ms", path, timeoutMs)
+    if (!found)
+      StructuredLog.error("input_timeout", "path" -> path,
+        "timeout_ms" -> timeoutMs)
     found
   }
 
@@ -73,11 +76,14 @@ object JobRunner {
           last = e; i += 1
           if (i < attempts) {
             log.warn(s"attempt $i/$attempts failed (${e.getMessage}), retrying in ${backoffMs * i} ms")
+            StructuredLog.warn("task_retry", "attempt" -> i,
+              "attempts" -> attempts, "backoff_ms" -> backoffMs * i,
+              "error" -> e.getMessage)
             sleep(backoffMs * i)
           }
       }
     }
-    log.error(s"all $attempts attempts failed", last)
+    StructuredLog.error("task_exhausted", last, "attempts" -> attempts)
     onFailure(last)
     throw last
   }
@@ -91,16 +97,24 @@ object JobRunner {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StructuredLog.info("job_start", "job" -> job,
+      "execution_date" -> execDate, "data_dir" -> dataDir, "table" -> table)
     val rc =
       try {
         if (!pollForInput(spark, Tables.path(dataDir, "events"))) 2
         else {
           withRetry(attempts = 2, backoffMs = 300_000L)(() =>
             run(spark, job, LocalDate.parse(execDate), dataDir, sinkUri, table))
+          StructuredLog.info("job_success", "job" -> job,
+            "execution_date" -> execDate)
           0
         }
       } catch {
-        case e: Throwable => log.error(s"job $job failed", e); 1
+        case e: Throwable =>
+          log.error(s"job $job failed", e)
+          StructuredLog.error("job_failed", e, "job" -> job,
+            "execution_date" -> execDate)
+          1
       } finally spark.stop()
     if (rc != 0) sys.exit(rc)
   }
@@ -109,6 +123,8 @@ object JobRunner {
           dataDir: String, sinkUri: String, table: String): Unit = {
     val processDate = executionDate.minusDays(1) // X6
     val events = Tables.load(spark, dataDir, "events")
+    StructuredLog.info("stage_read", "job" -> job, "source" -> dataDir,
+      "process_date" -> processDate)
     if (events.isEmpty) // D1 (df.isEmpty, not the reference's rdd.isEmpty)
       throw new IllegalStateException(s"no input rows under $dataDir")
 
@@ -118,8 +134,12 @@ object JobRunner {
           .withColumn("calculated_at", current_timestamp())
         val n = r.head().getLong(1) // D2/D3
         if (n < 0) throw new IllegalStateException(s"negative count $n")
-        if (n == 0)
-          log.warn(s"no rows for $processDate, writing 0") // D5: slf4j, not stderr
+        if (n == 0) { // D5: structured slf4j, not stderr
+          log.warn(s"no rows for $processDate, writing 0")
+          StructuredLog.warn("empty_day", "job" -> job,
+            "process_date" -> processDate, "count" -> 0)
+        }
+        StructuredLog.info("stage_validate", "job" -> job, "count" -> n)
         r
       case "top_zones" =>
         TopZones.topZones(events, "ts", "user_id", processDate, 5)
@@ -127,14 +147,18 @@ object JobRunner {
       case other => throw new IllegalArgumentException(s"unknown job $other")
     }
 
-    if (sinkUri.startsWith("jdbc:")) {
-      val conf = JdbcConfig(sinkUri)
-      job match {
-        case "daily_transactions" => JdbcSink.append(result, conf, table)
-        case "top_zones" => JdbcSink.overwriteTruncate(result, conf, table)
+    val mode =
+      if (sinkUri.startsWith("jdbc:")) {
+        val conf = JdbcConfig(sinkUri)
+        job match {
+          case "daily_transactions" => JdbcSink.append(result, conf, table); "jdbc_append"
+          case "top_zones" => JdbcSink.overwriteTruncate(result, conf, table); "jdbc_overwrite_truncate"
+        }
+      } else {
+        result.write.mode("overwrite").parquet(s"$sinkUri/$table")
+        "parquet_overwrite"
       }
-    } else {
-      result.write.mode("overwrite").parquet(s"$sinkUri/$table")
-    }
+    StructuredLog.info("stage_write", "job" -> job, "sink" -> sinkUri,
+      "table" -> table, "mode" -> mode)
   }
 }

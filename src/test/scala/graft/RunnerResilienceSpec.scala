@@ -76,6 +76,43 @@ class RunnerResilienceSpec extends SparkSpec {
     }
   }
 
+  test("structured lifecycle logs carry machine-parseable fields (D5 full)") {
+    val lines = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val l = (level: String, line: String) =>
+      lines.synchronized { lines += ((level, line)); () }
+    StructuredLog.addListener(l)
+    try {
+      // retry path: task_retry then task_exhausted with attempt fields
+      intercept[RuntimeException] {
+        JobRunner.withRetry(attempts = 2, backoffMs = 1L, sleep = _ => ()) {
+          () => throw new RuntimeException("structured boom")
+        }
+      }
+      // sensor path: input_poll then input_timeout with path fields
+      var now = 0L
+      JobRunner.pollForInput(spark, "/nonexistent/graft/structured",
+        pokeIntervalMs = 100L, timeoutMs = 200L,
+        clock = () => now, sleep = ms => now += ms)
+      val got = lines.synchronized(lines.toList)
+      def field(line: String, k: String) = line.split(" ").find(_.startsWith(s"$k="))
+      val retry = got.collectFirst {
+        case ("WARN", m) if m.startsWith("event=task_retry ") => m
+      }.getOrElse(fail(s"no task_retry among: $got"))
+      assert(field(retry, "attempt").contains("attempt=1")
+        && field(retry, "attempts").contains("attempts=2")
+        && retry.contains("error=\"structured boom\""))
+      val exhausted = got.collectFirst {
+        case ("ERROR", m) if m.startsWith("event=task_exhausted ") => m
+      }.getOrElse(fail(s"no task_exhausted among: $got"))
+      assert(field(exhausted, "attempts").contains("attempts=2"))
+      val timeout = got.collectFirst {
+        case ("ERROR", m) if m.startsWith("event=input_timeout ") => m
+      }.getOrElse(fail(s"no input_timeout among: $got"))
+      assert(field(timeout, "path").contains("path=/nonexistent/graft/structured")
+        && field(timeout, "timeout_ms").contains("timeout_ms=200"))
+    } finally StructuredLog.removeListener(l)
+  }
+
   test("pollForInput: sees a file that arrives while poking") {
     val dir = Files.createTempDirectory("graft_sensor").toString
     val target = s"$dir/events.parquet"
