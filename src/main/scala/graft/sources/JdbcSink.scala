@@ -48,6 +48,29 @@ object JdbcSink {
     df.write.mode("overwrite").option("truncate", "true")
       .jdbc(conf.url, table, conf.connProps)
 
+  /** Dialect-correct `CREATE TABLE IF NOT EXISTS` DDL for a schema — what
+    * [[ensureTable]] should execute. Column types come from Spark's own
+    * `JdbcDialect` for the url (Postgres: TEXT/BIGINT/DATE/…), so the
+    * bootstrap DDL creates exactly the table `DataFrameWriter.jdbc` would —
+    * no drift between the sensor-time bootstrap and the write path. Extra
+    * table constraints (e.g. the reference's `DATE PRIMARY KEY`,
+    * `daily_transactions_dag.py:34-40`) append via `constraints`. */
+  def createTableDdl(schema: org.apache.spark.sql.types.StructType,
+                     table: String, url: String,
+                     constraints: String = ""): String = {
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val cols = org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+      .schemaString(dialect, schema, caseSensitive = false, None)
+    val tail = if (constraints.isEmpty) "" else s", $constraints"
+    s"CREATE TABLE IF NOT EXISTS $table ($cols$tail)"
+  }
+
+  /** The dialect's TRUNCATE statement — what `overwrite` + `truncate=true`
+    * issues under the hood (Postgres: `TRUNCATE TABLE ONLY t`, so child
+    * partitions of an inherited table are NOT clobbered). */
+  def truncateSql(table: String, url: String): String =
+    org.apache.spark.sql.jdbc.JdbcDialects.get(url).getTruncateQuery(table)
+
   /** S10: idempotent sink DDL bootstrap — plain JDBC, the job-runner
     * equivalent of the DAG's `CREATE TABLE IF NOT EXISTS` step
     * (`daily_transactions_dag.py:34-40,67-73`). */
