@@ -86,6 +86,8 @@ object Similarity {
     }),
 
     "q_similarity_ivf" -> ((s, dir) => ivf(s, dir)),
+
+    "q_similarity_pq" -> ((s, dir) => pq(s, dir)),
   )
 
   /** Spherical k-means codebook, trained driver-side on a bounded
@@ -155,6 +157,113 @@ object Similarity {
       Seq(("score", true), ("vec_id", false)), topK)
     // rank stamp over the ≤k survivors per query: sorted collect + position,
     // reusing TopK's hash partitioning — no Window, no extra exchange
+    top.groupBy(col("qid"))
+      .agg(sort_array(collect_list(
+        struct((-col("score")).as("neg"), col("vec_id").as("vec_id"),
+          col("score").as("score")))).as("xs"))
+      .select(col("qid"), posexplode(col("xs")).as(Seq("pos", "x")))
+      .select(col("qid"), col("x.vec_id").as("vec_id"), col("x.score").as("score"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Per-subspace L2 k-means codebooks for product quantization — same
+    * bounded-deterministic training contract as [[trainCodebook]]: a
+    * constant-size sample (never the corpus), first-k-distinct init, Lloyd
+    * iterations; stable across runs. Returns M codebooks of K centroids of
+    * dim/M floats each. */
+  private[operators] def trainPqCodebooks(e: DataFrame, m: Int = 8, k: Int = 16,
+      sampleN: Int = 256, iters: Int = 8): Seq[Seq[Seq[Float]]] = {
+    val sample: Array[Array[Double]] = e.filter(col("vec_id") < sampleN)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.length >= k, s"need ≥$k sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { mi =>
+      val subs = sample.map(_.slice(mi * dsub, (mi + 1) * dsub))
+      val init = subs.distinct.take(k)
+      var centroids = Array.tabulate(k)(i => init(i % init.length).clone)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        subs.foreach { v =>
+          var best = 0; var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var dist = 0.0; var i = 0
+            while (i < dsub) { val df = v(i) - centroids(c)(i); dist += df * df; i += 1 }
+            if (dist < bd) { bd = dist; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        centroids = Array.tabulate(k)(c =>
+          if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c)))
+      }
+      centroids.map(_.map(_.toFloat).toSeq).toSeq
+    }
+  }
+
+  /** PQ ANN (asymmetric distance): the corpus is scanned as M-byte PQ codes
+    * ([[graft.functions.PqEncode]], scan-stage, no shuffle) — at 100 TB the
+    * ANN pass reads ~64× less than raw vectors. Each of the (bounded,
+    * broadcast) queries carries a precomputed lookup table
+    * `lut[m*K + c] = <q_m, centroid_{m,c}>`, so the approximate inner
+    * product per corpus row is M array lookups via built-in `aggregate` —
+    * whole-stage codegen, no custom scoring expression needed. The ADC
+    * shortlist (8×k per query, bounded [[graft.plans.TopKPerKey]] heaps)
+    * is re-ranked by exact cosine; recall vs the exact baseline is pinned
+    * in PqSpec (ADC is an approximation — rows-only check, IVF precedent). */
+  private def pq(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val e = Tables.load(s, dir, "embeddings")
+    // m=16 subspaces of 4 dims, 16 centroids each: 16 bytes/vector (16×
+    // compression); on this structure-free corpus (top-5 at cos 0.25-0.51
+    // vs background ~0.2) coarser m=8 drops recall below 0.8
+    val m = 16; val kCent = 16
+    val cb = trainPqCodebooks(e, m, kCent)
+    val codes = e.select(col("vec_id"), col("embedding"),
+      graft.functions.Pq.pqEncode(col("embedding"), cb).as("code"))
+    // bounded driver-side LUT build: nQueries rows, like the codebook sample
+    val qRows = e.filter(col("vec_id") < nQueries).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+    val dsub = cb.head.head.length
+    val lutRows = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      val lut = Array.tabulate(m * kCent) { i =>
+        val (mi, ci) = (i / kCent, i % kCent)
+        var dot = 0.0; var d = 0
+        while (d < dsub) { dot += qv(mi * dsub + d) * cb(mi)(ci)(d); d += 1 }
+        dot
+      }
+      org.apache.spark.sql.Row(qid, qv.toSeq, lut.toSeq)
+    }
+    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("lut",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val luts = s.createDataFrame(lutRows.toSeq.asJava, lutSchema)
+    val adc = codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+           |  (acc, mm) -> acc + element_at(lut, mm * $kCent + element_at(code, mm + 1) + 1))"""
+          .stripMargin))
+      .select(col("qid"), col("qv"), col("vec_id"), col("embedding"), col("adc"))
+    val shortlist = graft.plans.TopK.perKey(adc, Seq("qid"),
+      Seq(("adc", true), ("vec_id", false)), 8 * topK)
+    val exact = shortlist
+      .withColumn("score", round(Sketches.cosineSim(col("qv"), col("embedding")), 6))
+      .select(col("qid"), col("vec_id"), col("score"))
+    val top = graft.plans.TopK.perKey(exact, Seq("qid"),
+      Seq(("score", true), ("vec_id", false)), topK)
     top.groupBy(col("qid"))
       .agg(sort_array(collect_list(
         struct((-col("score")).as("neg"), col("vec_id").as("vec_id"),

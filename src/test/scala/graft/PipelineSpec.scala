@@ -39,6 +39,31 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("PQ ANN recall ≥ 0.8 of brute-force top-5 on the test corpus") {
+    // ADC over 4-bit-style codebooks is a lossy approximation; the exact
+    // cosine re-rank of the 8×k shortlist recovers most of the loss
+    val bf = Queries.all("q_similarity_topk")(spark, sfDir)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Queries.all("q_similarity_pq")(spark, sfDir)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("PqEncode picks the L2-argmin sub-centroid, ties to the lower index") {
+    import graft.functions.Pq
+    // 2 subspaces of dim 2; centroids chosen so expected codes are obvious
+    val cb = Seq(
+      Seq(Seq(0f, 0f), Seq(10f, 10f)),
+      Seq(Seq(5f, 5f), Seq(5f, 5f), Seq(-5f, -5f)))
+    val df = Seq((1L, Seq(1f, 1f, 4f, 6f)), (2L, Seq(9f, 9f, -4f, -6f)))
+      .toDF("id", "v")
+    val got = df.select($"id", Pq.pqEncode($"v", cb).as("code"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(got(1L) == Seq(0, 0), "tie between equal centroids must pick index 0")
+    assert(got(2L) == Seq(1, 2))
+  }
+
   test("embedding LSH pairs equal the exact pairs (recall-1 band config)") {
     val exact = Queries.all("q_dedup_embedding")(spark, sfDir)
       .select($"vec_a", $"vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
