@@ -388,10 +388,32 @@ object Streams {
     runToTable(cleaned, spark, OutputMode.Append()).orderBy(col("doc_id"))
   }
 
+  /** Streaming sessionization: the state-store-native expression of the
+    * batch q_session_window — `session_window` merges a user's events into
+    * gap-bounded sessions as they arrive, the watermark closes (and
+    * evicts) a session once event time passes its end + gap. State per
+    * user is the OPEN sessions only, so at 100 TB of events the store
+    * holds active users, not history. Spark rejects Update mode for
+    * session aggregations (merging sessions can't be expressed as an
+    * upsert); production uses Append (sessions emit once closed by the
+    * watermark) — the finite harness uses Complete so the LAST sessions,
+    * which no later watermark advance ever closes, still reach the sink. */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+    runToTable(agg, spark, OutputMode.Complete())
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "q_stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
+    "q_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
     "q_stream_hop_counts" -> ((s, dir) => hopCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupCount(s, dir)),
@@ -402,6 +424,23 @@ object Streams {
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
   val oracle: Map[String, String] = Map(
+    "q_stream_session" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM x),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_doc_clean" ->
       """SELECT doc_id, lang,
         |  regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text
