@@ -247,6 +247,23 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // Deterministic bounded per-key sample — the reservoir-sampling use
+    // case (n rows per key for eval sets / debugging) made shuffle-free
+    // deterministic: rank by md5 of the row id (a uniform, engine-portable
+    // hash) and keep the bottom-k per key through the same bounded-heap
+    // TopKPerKey operator — O(n log k), no per-key sort, reproducible
+    // across runs/engines (true reservoir sampling is order-dependent and
+    // unverifiable against an oracle).
+    "q_sample_per_key" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          md5(col("o_orderkey").cast("string")).as("h"))
+      graft.plans.TopK.perKey(o, Seq("o_custkey"),
+          Seq("h" -> false, "o_orderkey" -> false), 2)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Running total with an explicit ROWS frame and a total deterministic
     // order (shipdate, orderkey, linenumber is unique).
     "q_window_running" -> ((s, dir) => {
@@ -570,6 +587,13 @@ object Relational {
         |  FROM orders
         |) WHERE rn <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_sample_per_key" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
