@@ -45,15 +45,27 @@ case class BitInterleave(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
   require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  // NOTE: assign the casts to locals and split the two |= terms — Janino
+  // rejects the fused one-liner ("(((long) v >> k) & 1L) << (2*k+1)" parses
+  // as a type), which silently dropped this expression to the interpreted
+  // path (ERROR CodeGenerator in logs, fallback, no wrong results).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val z = ctx.freshName("z")
       val k = ctx.freshName("k")
+      val av = ctx.freshName("av")
+      val bv = ctx.freshName("bv")
+      val ab = ctx.freshName("ab")
+      val bb = ctx.freshName("bb")
       s"""
+        |final long $av = (long) $a;
+        |final long $bv = (long) $b;
         |long $z = 0L;
         |for (int $k = 0; $k < $bits; $k++) {
-        |  $z |= ((((long) $a >> $k) & 1L) << (2 * $k + 1))
-        |      | ((((long) $b >> $k) & 1L) << (2 * $k));
+        |  final long $ab = ($av >> $k) & 1L;
+        |  final long $bb = ($bv >> $k) & 1L;
+        |  $z |= $ab << (2 * $k + 1);
+        |  $z |= $bb << (2 * $k);
         |}
         |${ev.value} = $z;
         |""".stripMargin

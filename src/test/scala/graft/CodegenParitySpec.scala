@@ -25,7 +25,8 @@ class CodegenParitySpec extends SparkSpec {
   test("codegen and interpreted paths agree on every sketch query") {
     val names = Seq("q_dedup_minhash_lsh", "q_dedup_simhash",
       "q_dedup_embedding_lsh", "q_similarity_lsh", "q_similarity_ivf",
-      "q_doc_winnow", "q_doc_fingerprint", "q_tfidf", "q_sql_fn")
+      "q_similarity_pq", "q_doc_winnow", "q_doc_fingerprint", "q_tfidf",
+      "q_sql_fn")
     for (n <- names) {
       val gen = Queries.all(n)(spark, sfDir).collect().toSeq
       val interp = interpreted(Queries.all(n)(spark, sfDir).collect().toSeq)
@@ -62,6 +63,27 @@ class CodegenParitySpec extends SparkSpec {
     for (e <- Seq(eGen, eInt))
       assert(e.getMessage.contains("packed pair ids must be in [0, 2^32)"),
         s"unexpected error: ${e.getMessage}")
+  }
+
+  test("BitInterleave compiles under CODEGEN_ONLY (no silent fallback)") {
+    // the original fused one-liner didn't parse under Janino: every use
+    // fell back to interpreted eval with only an ERROR log. CODEGEN_ONLY
+    // turns a compile failure into a test failure.
+    import spark.implicits._
+    import graft.functions.PortableMath
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val z = Seq((3, 5)).toDF("a", "b")
+        .select(PortableMath.zValue($"a", $"b", 8)).collect().head.getLong(0)
+      // a=3 → z bits 1,3 (odd slots); b=5 → z bits 0,4: 2+8+1+16
+      assert(z == 27L)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+    }
   }
 
   test("JaccardShingles matches the SQL array formulation incl. edge cases") {
