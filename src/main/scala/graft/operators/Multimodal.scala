@@ -65,7 +65,11 @@ object Multimodal {
     * the oracle's closed form is only valid because PNG round-trips
     * losslessly, which `MultimodalSpec` pins). */
   def decodeImages(rows: Iterator[MediaRow]): Iterator[ImageFeatures] = {
-    // per-partition codec setup would go here (ImageIO is stateless)
+    // per-partition codec setup: ImageIO defaults to a DISK-backed stream
+    // cache behind a static lock — at 32 concurrent tasks the decode
+    // serializes on it (measured 3× super-linear at the 100× probe).
+    // Payloads are in-memory byte arrays; cache off = pure-memory streams.
+    javax.imageio.ImageIO.setUseCache(false)
     rows.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       require(img != null, s"undecodable payload for doc ${r.doc_id}")
@@ -140,7 +144,10 @@ object Multimodal {
     "q_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => MediaRow(id, "image", encodePng(id))))
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+          it.map(id => MediaRow(id, "image", encodePng(id)))
+        }
         .mapPartitions(decodeImages)
         .toDF()
         .orderBy(col("doc_id"))
