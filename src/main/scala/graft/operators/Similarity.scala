@@ -88,6 +88,29 @@ object Similarity {
     "q_similarity_ivf" -> ((s, dir) => ivf(s, dir)),
 
     "q_similarity_pq" -> ((s, dir) => pq(s, dir)),
+
+    // int8 symmetric quantization of the embedding column — 4× smaller
+    // vectors for shuffle/storage (the cheap first rung of the
+    // compression ladder below PQ's 16×). Pure scan-stage column algebra:
+    // per-vector absmax scale, round-to-int codes, and the max
+    // dequantization error (∞-norm) for a quality gate. Oracle-exact:
+    // both engines compute in widened doubles with the same op order,
+    // and round() is half-away-from-zero in both.
+    "q_embed_quantize" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = transform(col("embedding"), x => x.cast("double"))
+      e.select(col("vec_id"), v.as("v"))
+        .withColumn("scale",
+          greatest(abs(array_max(col("v"))), abs(array_min(col("v")))))
+        .withColumn("qv", transform(col("v"),
+          x => round(x / col("scale") * 127).cast("int")))
+        .withColumn("max_err", aggregate(
+          zip_with(col("v"), col("qv"),
+            (x, q) => abs(x - q.cast("double") * col("scale") / 127)),
+          lit(0.0), (acc, d) => greatest(acc, d)))
+        .select(col("vec_id"), col("scale"), col("qv"), col("max_err"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   /** Spherical k-means codebook, trained driver-side on a bounded
@@ -275,6 +298,18 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(abs(list_max(v)), abs(list_min(v))) AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER)) AS qv
+        |      FROM s)
+        |SELECT vec_id, scale, qv,
+        |  list_max(list_transform(list_zip(v, qv),
+        |    p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale / 127))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

@@ -50,6 +50,14 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("int8 quantization error stays within the round-to-nearest bound") {
+    // |x/s·127 − round(x/s·127)| ≤ 0.5 ⟹ |x − q·s/127| ≤ s/254 — every
+    // vector must satisfy the bound (tiny fp slack for the re-scaling)
+    val bad = Queries.all("q_embed_quantize")(spark, sfDir)
+      .filter($"max_err" > $"scale" / 254 * 1.0000001).count()
+    assert(bad == 0, s"$bad vectors exceed the s/254 dequantization bound")
+  }
+
   test("PqEncode picks the L2-argmin sub-centroid, ties to the lower index") {
     import graft.functions.Pq
     // 2 subspaces of dim 2; centroids chosen so expected codes are obvious
