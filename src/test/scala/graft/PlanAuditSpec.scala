@@ -127,4 +127,30 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning"))
     assert(hashEx <= 1, s"$hashEx hash exchanges:\n$p")
   }
+
+  test("PQ encodes in the scan stage; LUTs broadcast; no window") {
+    val p = planOf("q_similarity_pq")
+    assert(!p.contains("Window"), p)
+    // the corpus side never hash-shuffles raw vectors for scoring: the
+    // only hash exchanges are TopKPerKey's qid clusterings (ADC shortlist
+    // + exact re-rank), carrying ≤8k/≤k rows per query per mapper
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"$hashEx hash exchanges:\n$p")
+    assert(p.contains("TopKPerKeyPartial"), p.take(3000))
+    // the 10-row LUT side broadcasts (the deliberate 1×n nested loop)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
+  test("quantize and per-key sample keep their scan-stage/bounded shapes") {
+    // int8 quantization is pure per-row column algebra — no exchange at
+    // all before the presentation sort, no window, no join
+    val q = planOf("q_embed_quantize")
+    assert(!q.contains("Window") && !q.contains("Join"), q.take(3000))
+    assert(!q.contains("Exchange hashpartitioning"), q.take(3000))
+    // per-key sampling rides the bounded-heap operator, not a window sort
+    val s = planOf("q_sample_per_key")
+    assert(s.contains("TopKPerKeyPartial") && s.contains("TopKPerKeyFinal"), s.take(3000))
+    assert(!s.contains("Window"), s.take(3000))
+  }
 }
