@@ -341,6 +341,36 @@ object Dedup {
     }),
 
     "q_dedup_embedding_lsh" -> ((s, dir) => embeddingLshPairs(s, dir)),
+
+    // semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+    // arXiv:2303.09540): connected components over the embedding near-dup
+    // graph, ONE representative kept per component — chosen by max vector
+    // norm (rounded to the oracle's 6dp, ties to the lower vec_id), a
+    // deterministic stand-in for the paper's quality criterion. Keeper
+    // election is a partial-aggregatable max-struct per label — never a
+    // window over members — and singletons join in with a left join, so
+    // the output is the full deduped corpus in one pass over the labels.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val norms = e.select(col("vec_id"), expr(
+        """round(sqrt(aggregate(embedding, cast(0.0 as double),
+          |  (acc, x) -> acc + cast(x as double) * cast(x as double))), 6)"""
+          .stripMargin).as("norm"))
+      val pairs = embeddingLshPairs(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val labels = connectedComponents(pairs)
+      val memb = norms.join(labels, norms("vec_id") === labels("id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("label"),
+          col("norm"))
+      val keep = memb.groupBy(col("label")).agg(
+        max(struct(col("norm"), (-col("vec_id")).as("negid"))).as("k"),
+        count(lit(1)).cast("long").as("cluster_size"))
+        .select(col("label"), (-col("k.negid")).as("keeper"), col("cluster_size"))
+      memb.join(keep, "label")
+        .filter(col("vec_id") === col("keeper"))
+        .select(col("vec_id"), col("cluster_size"), col("norm"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   /** LSH-bucketed embedding near-dup: hyperplane-signature buckets generate
@@ -500,6 +530,34 @@ object Dedup {
         |WHERE round(list_inner_product(a.v, b.v)
         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // semantic dedup ground truth: recursive closure of the exact
+    // embedding near-dup graph, keeper = max 6dp-rounded norm (tie → lower
+    // vec_id; the oracle's window formulation vs the engine's
+    // partial-aggregatable max-struct)
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, round(sqrt(list_inner_product(v, v)), 6) AS norm FROM e),
+        |p AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE round(list_inner_product(a.v, b.v)
+        |        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.45),
+        |ed AS (SELECT pa AS a, pb AS b FROM p UNION SELECT pb, pa FROM p),
+        |nn AS (SELECT DISTINCT a AS id FROM ed),
+        |reach AS (
+        |  SELECT id, id AS x FROM nn
+        |  UNION
+        |  SELECT r.id, ed.b AS x FROM reach r JOIN ed ON r.x = ed.a),
+        |lab AS (SELECT id, MIN(x) AS label FROM reach GROUP BY id),
+        |memb AS (SELECT n.vec_id, COALESCE(l.label, n.vec_id) AS label, n.norm
+        |         FROM n LEFT JOIN lab l ON n.vec_id = l.id),
+        |k AS (SELECT label, vec_id AS keeper FROM (
+        |        SELECT label, vec_id,
+        |          row_number() OVER (PARTITION BY label ORDER BY norm DESC, vec_id) AS rn
+        |        FROM memb) WHERE rn = 1),
+        |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM memb GROUP BY label)
+        |SELECT m.vec_id, sz.cluster_size, m.norm
+        |FROM memb m JOIN k USING (label) JOIN sz USING (label)
+        |WHERE m.vec_id = k.keeper ORDER BY m.vec_id""".stripMargin,
     "q_corpus_clean" ->
       s"""WITH losers AS (
          |  SELECT DISTINCT doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8),
