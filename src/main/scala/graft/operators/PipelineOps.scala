@@ -186,6 +186,29 @@ object PipelineOps {
         .orderBy(col("lang"))
     }),
 
+    // Temperature-based domain UPSAMPLING — the complement of
+    // q_domain_rebalance (which only drops): low-resource domains repeat
+    // round(sqrt(max_n/n_d)) times (the T=2 temperature-mix rule of
+    // multilingual-corpus sampling), majority domains stay at 1 epoch.
+    // Deterministic integer repetition via explode(sequence(1, mult)) —
+    // no RNG, every copy tagged with its epoch index so downstream
+    // shuffling/packing treats copies as distinct rows. The multiplier
+    // frame is domain-sized and broadcast; the corpus side never shuffles.
+    "q_domain_upsample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val mx = counts.agg(max(col("n_docs")).as("max_n"))
+      val mult = counts.crossJoin(mx).select(col("lang"), col("n_docs"),
+        greatest(lit(1L), round(sqrt(
+          col("max_n").cast("double") / col("n_docs").cast("double")))
+          .cast("long")).as("mult"))
+      d.join(broadcast(mult), "lang")
+        .select(col("doc_id"), col("lang"), col("mult"),
+          explode(sequence(lit(1L), col("mult"))).as("copy_idx"))
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // Sequence packing (concat-and-chunk): docs stream in md5 order within
     // their shard; a doc belongs to the 2048-token bin its start offset
     // falls in. The window is partitioned by shard — packing 100 TB is N
@@ -258,6 +281,16 @@ object PipelineOps {
         |FROM f WHERE doc_id >= 250
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
         |GROUP BY fp ORDER BY fp""".stripMargin,
+    "q_domain_upsample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT MAX(n_docs) AS max_n FROM c),
+        |r AS (SELECT lang,
+        |        GREATEST(1, CAST(round(sqrt(CAST(max_n AS DOUBLE) / n_docs)) AS BIGINT)) AS mult
+        |      FROM c, m)
+        |SELECT doc_id, d.lang,
+        |  unnest(generate_series(1, r.mult)) AS copy_idx
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "q_domain_rebalance" ->
       """WITH d AS (SELECT doc_id, lang,
         |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
