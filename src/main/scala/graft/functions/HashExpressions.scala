@@ -395,10 +395,21 @@ case class CosineSim(left: Expression, right: Expression)
   * key their tables by this version.
   */
 case class Winnow64(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  // static-call codegen: the loop body lives once in the companion (a
+  // static forwarder Janino can call), so whole-stage codegen stays
+  // unbroken without duplicating the algorithm in generated-Java text
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.Winnow64.compute($v, $k, $w)")
+  override def nullSafeEval(input: Any): Any =
+    Winnow64.compute(input.asInstanceOf[UTF8String], k, w)
+  override protected def withNewChildInternal(c: Expression): Winnow64 = copy(child = c)
+}
+
+object Winnow64 {
+  def compute(u: UTF8String, k: Int, w: Int): Long = {
+    val s = u.toString
     if (s.length < k) return 0L
     val n = s.length - k + 1
     val hashes = new Array[Long](n)
@@ -429,7 +440,6 @@ case class Winnow64(child: Expression, k: Int, w: Int)
     }
     res
   }
-  override protected def withNewChildInternal(c: Expression): Winnow64 = copy(child = c)
 }
 
 /** `rh_signature(vec, nBits)` → LSH signature of a float vector under
@@ -507,10 +517,31 @@ case class RandomHyperplaneSig(child: Expression, nBits: Int, dim: Int,
   * Returns null when either text has fewer than n words (candidate
   * generation already excludes those). */
 case class JaccardShingles(left: Expression, right: Expression, n: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  private def shingles(s: String): java.util.HashSet[String] = {
+  // static-call codegen (this expression runs once per CANDIDATE PAIR in
+  // every LSH verify join — the dedup family's hot loop): the generated
+  // code calls the boxed companion method, keeping the surrounding
+  // bucket→pairs→verify projection inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("jac")
+      s"""
+        |final java.lang.Double $res = graft.functions.JaccardShingles.computeBoxed($a, $b, $n);
+        |if ($res == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $res.doubleValue(); }
+        |""".stripMargin
+    })
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaccardShingles.computeBoxed(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], n)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardShingles =
+    copy(left = l, right = r)
+}
+
+object JaccardShingles {
+  private def shingles(s: String, n: Int): java.util.HashSet[String] = {
     val ws = s.split(" ", -1)
     val set = new java.util.HashSet[String]()
     val sb = new java.lang.StringBuilder()
@@ -524,17 +555,16 @@ case class JaccardShingles(left: Expression, right: Expression, n: Int)
     }
     set
   }
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = shingles(l.asInstanceOf[UTF8String].toString)
-    val b = shingles(r.asInstanceOf[UTF8String].toString)
+  /** Boxed so generated code can branch on the below-n null contract. */
+  def computeBoxed(l: UTF8String, r: UTF8String, n: Int): java.lang.Double = {
+    val a = shingles(l.toString, n)
+    val b = shingles(r.toString, n)
     if (a.isEmpty || b.isEmpty) return null
     var inter = 0
     val it = a.iterator()
     while (it.hasNext) if (b.contains(it.next())) inter += 1
     inter.toDouble / (a.size + b.size - inter).toDouble
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardShingles =
-    copy(left = l, right = r)
 }
 
 /** `nearest_cells(vec, codebook, n)` → indices of the `n` codebook
