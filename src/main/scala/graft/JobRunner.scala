@@ -119,6 +119,26 @@ object JobRunner {
     if (rc != 0) sys.exit(rc)
   }
 
+  /** Idempotent range backfill (Airflow catchup, Spark-first): ONE
+    * range-pushdown job computes every day in [start, endExclusive), then
+    * dynamic partition overwrite replaces exactly those day partitions of
+    * the parquet table. Rerunning any sub-range REPLACES it — the
+    * reference's append-mode daily job duplicates a day when Airflow
+    * re-runs it. Untouched days are never read or rewritten (the Merge
+    * module's scale contract). */
+  def backfillDaily(spark: SparkSession, dataDir: String, outDir: String,
+                    start: LocalDate, endExclusive: LocalDate): Unit = {
+    val events = Tables.load(spark, dataDir, "events")
+    val r = DailyTransactions.dayCountRange(events, "ts", start, endExclusive)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try r.write.mode("overwrite").partitionBy("transaction_date").parquet(outDir)
+    finally spark.conf.set(key, prev)
+    StructuredLog.info("backfill_complete", "start" -> start,
+      "end_exclusive" -> endExclusive, "sink" -> outDir)
+  }
+
   def run(spark: SparkSession, job: String, executionDate: LocalDate,
           dataDir: String, sinkUri: String, table: String): Unit = {
     val processDate = executionDate.minusDays(1) // X6

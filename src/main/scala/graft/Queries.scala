@@ -25,6 +25,14 @@ object Queries {
       operators.DailyTransactions.dayCount(Tables.load(s, dir, "events"), "ts", processDate)),
     "q_top5_zones" -> ((s, dir) =>
       operators.TopZones.topZones(Tables.load(s, dir, "events"), "ts", "user_id", cutoffDate, 5)),
+    // backfill (Airflow catchup, Spark-first): the whole date range in ONE
+    // range-pushdown scan — incl. a zero-count row for any silent day —
+    // instead of N per-day jobs; pairs with dynamic partition overwrite
+    // for idempotent reruns (BackfillSpec)
+    "q_backfill_range" -> ((s, dir) =>
+      operators.DailyTransactions.dayCountRange(Tables.load(s, dir, "events"),
+        "ts", processDate, processDate.plusDays(7))
+        .orderBy("transaction_date")),
   )
 
   private val parityOracle: Map[String, String] = Map(
@@ -33,6 +41,18 @@ object Queries {
         |       count(*) AS total_transactions
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'""".stripMargin,
+    "q_backfill_range" ->
+      """WITH cal AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-15', DATE '2024-01-21',
+        |                                      INTERVAL 1 DAY)) AS DATE) AS transaction_date),
+        |c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |             COUNT(*) AS n
+        |      FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        |      GROUP BY 1)
+        |SELECT transaction_date, COALESCE(n, 0) AS total_transactions
+        |FROM cal LEFT JOIN c ON c.d = cal.transaction_date
+        |ORDER BY transaction_date""".stripMargin,
     "q_top5_zones" ->
       """SELECT taxi_zone_id, trip_count, rank FROM (
         |  SELECT taxi_zone_id, trip_count,

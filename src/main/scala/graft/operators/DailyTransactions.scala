@@ -41,4 +41,29 @@ object DailyTransactions {
         to_date(lit(day.toString)).as("transaction_date"),
         col("total_transactions"))
   }
+
+  /** Backfill range variant (the Airflow-catchup use case, Spark-first):
+    * ONE pushdown-friendly range scan computes every day in
+    * [start, endExclusive) instead of N per-day jobs each rescanning the
+    * input. Days with no rows still appear with count 0 (join against a
+    * generated calendar — the reference's D3 zero-row guard, extended to
+    * a range), so a backfill rerun replaces exactly its day set. */
+  def dayCountRange(trips: DataFrame, tsCol: String,
+                    start: LocalDate, endExclusive: LocalDate): DataFrame = {
+    require(start.isBefore(endExclusive), s"empty range [$start, $endExclusive)")
+    val lo = lit(start.toString).cast("timestamp")
+    val hi = lit(endExclusive.toString).cast("timestamp")
+    val counted = trips
+      .filter(col(tsCol) >= lo && col(tsCol) < hi)
+      .groupBy(to_date(col(tsCol)).as("transaction_date"))
+      .agg(count(lit(1)).as("total_transactions"))
+    val calendar = org.apache.spark.sql.functions.broadcast(
+      trips.sparkSession.range(1).select(explode(sequence(
+        lit(start.toString).cast("date"),
+        lit(endExclusive.minusDays(1).toString).cast("date"),
+        expr("interval 1 day"))).as("transaction_date")))
+    calendar.join(counted, Seq("transaction_date"), "left_outer")
+      .select(col("transaction_date"),
+        coalesce(col("total_transactions"), lit(0L)).as("total_transactions"))
+  }
 }
