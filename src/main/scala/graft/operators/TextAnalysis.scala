@@ -206,6 +206,32 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
     }),
 
+    // unigram LM quality score: avg log P(token) per document under the
+    // corpus's own unigram model — the cheap perplexity proxy for
+    // quality-filtering training text. Per-(doc,token) counts aggregate
+    // BEFORE the frequency join (the join carries distinct pairs, not the
+    // token stream), the corpus total joins as a one-row broadcast, and
+    // each term's ln (PortableLn — cross-engine-exact) is rounded to 9 dp
+    // and summed as DECIMAL so the per-doc sum is order-independent; only
+    // then does the final division produce the score.
+    "q_lm_score" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(toks(lower(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("n_dt"))
+      val freq = tf.groupBy(col("token")).agg(sum(col("n_dt")).as("n_tok"))
+      val tot = freq.agg(sum(col("n_tok")).as("t"))
+      tf.join(freq, "token").crossJoin(tot)
+        .withColumn("lp", round(graft.functions.PortableMath.lnPortable(
+          col("n_tok").cast("double") / col("t")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_dt")).as("n_tokens"),
+          round((sum(col("n_dt") * col("lp")).cast("double") / sum(col("n_dt"))), 6)
+            .as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus bigram counts (top 20): the n-gram LM statistics sweep.
     // Bigrams materialize per row inside the scan projection (transform
     // over the token array), then the word-count shape: partial agg per
@@ -295,6 +321,21 @@ object TextAnalysis {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS n_dt
+        |        FROM toks GROUP BY doc_id, token),
+        |freq AS (SELECT token, SUM(n_dt) AS n_tok FROM tfc GROUP BY token),
+        |tot AS (SELECT SUM(n_tok) AS t FROM freq),
+        |lp AS (SELECT doc_id, n_dt,
+        |         CAST(round(ln(CAST(n_tok AS DOUBLE) / t), 9)
+        |              AS DECIMAL(18,9)) AS lp
+        |       FROM tfc JOIN freq USING (token), tot)
+        |SELECT doc_id, CAST(SUM(n_dt) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(n_dt * lp) AS DOUBLE) / SUM(n_dt), 6) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
