@@ -142,6 +142,35 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("evolution ops: per-key windows only, agg-shaped merge, broadcast fences") {
+    // SCD2: lag/lead/row_number share ONE (user_id | ts,event_id) window —
+    // a single hash exchange feeds a single Window node; no global sort
+    // before the final presentation orderBy
+    val scd = planOf("q_scd2_build")
+    val scdWins = scd.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(scdWins.nonEmpty && scdWins.forall(_.contains("user_id")), scdWins.mkString("\n"))
+    assert(scd.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1, scd.take(3000))
+    // MERGE diff: each side is a partial-aggregatable max_by (the exchange
+    // carries one candidate per key per task), never a window row_number
+    val mu = planOf("q_merge_upsert")
+    assert(!mu.contains("Window"), mu.take(3000))
+    assert(mu.contains("partial_max_by"), mu.take(3000))
+    // EWMA: the prefix-sum window partitions by user_id — never global
+    val ew = planOf("q_ewma")
+    val ewWins = ew.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ewWins.nonEmpty && ewWins.forall(_.contains("user_id")), ewWins.mkString("\n"))
+    // z-score: the per-type fence frame broadcasts back onto the scan
+    val zs = planOf("q_zscore_outliers")
+    assert(zs.contains("BroadcastHashJoin"), zs.take(3000))
+    assert(!zs.contains("Window"), zs.take(3000))
+    // LM score: pure aggregate pipeline — the frequency join carries
+    // distinct (doc,token) pairs, the corpus total is the one deliberate
+    // 1-row broadcast; no window anywhere
+    val lm = planOf("q_lm_score")
+    assert(!lm.contains("Window"), lm.take(3000))
+    assert(!lm.contains("CartesianProduct"), lm.take(3000))
+  }
+
   test("quantize and per-key sample keep their scan-stage/bounded shapes") {
     // int8 quantization is pure per-row column algebra — no exchange at
     // all before the presentation sort, no window, no join
