@@ -75,7 +75,8 @@ object Queries {
       operators.Stats.queries ++ operators.Temporal.queries ++
       operators.Sampling.queries ++ operators.PipelineOps.queries ++
       operators.SqlSurface.queries ++ operators.Ids.queries ++
-      operators.DataQuality.queries ++ operators.Evolution.queries
+      operators.DataQuality.queries ++ operators.Evolution.queries ++
+      operators.SimilarityJoins.queries ++ operators.Skew.queries
   def oracle: Map[String, String] =
     parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
@@ -83,5 +84,6 @@ object Queries {
       operators.Stats.oracle ++ operators.Temporal.oracle ++
       operators.Sampling.oracle ++ operators.PipelineOps.oracle ++
       operators.SqlSurface.oracle ++ operators.Ids.oracle ++
-      operators.DataQuality.oracle ++ operators.Evolution.oracle
+      operators.DataQuality.oracle ++ operators.Evolution.oracle ++
+      operators.SimilarityJoins.oracle ++ operators.Skew.oracle
 }

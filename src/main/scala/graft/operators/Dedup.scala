@@ -439,7 +439,7 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private val exactPairsSql =
+  private[operators] val exactPairsSql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |s AS (SELECT doc_id,
       |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

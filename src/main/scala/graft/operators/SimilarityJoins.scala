@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Exact similarity-join operators — the non-approximate scale paths for
+  * near-duplicate detection. Where MinHash/SimHash (Dedup.scala) trade
+  * recall for speed, these return EXACTLY the pairs the quadratic
+  * baselines return, using classic filter-verification joins:
+  *
+  *  - Prefix filtering (AllPairs/PPJoin family; Bayardo et al., WWW'07):
+  *    order each record's token set by ascending global frequency; two
+  *    sets with Jaccard ≥ t must share a token in their (1−t)-fraction
+  *    prefixes — index only prefixes, verify candidates exactly.
+  *  - Partition-based edit-distance join (PassJoin; Li et al., SIGMOD'11):
+  *    split each string into k+1 segments; ed ≤ k ⟹ some segment of one
+  *    string appears verbatim in the other within a ±k position window —
+  *    inverted-index join on (segment idx, content), verify with the real
+  *    levenshtein.
+  *  - Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95): sort by
+  *    a cheap blocking key, compare each record only to its w successors —
+  *    the entity-resolution workhorse when a domain sort key clusters
+  *    matches.
+  *
+  * Scale design: every operator is explode → one hash exchange on the
+  * index key → bounded in-bucket pair expansion → verification join.
+  * No self-join of raw records, no cartesian anywhere; candidate volume is
+  * governed by prefix rarity (rarest-first ordering), segment selectivity,
+  * and window width respectively. The reference (431-line Python ETL,
+  * the `dags/spark_jobs` scripts) has no similarity machinery at all — these are
+  * the §7.2 training-data-pipeline extensions.
+  */
+object SimilarityJoins {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Distinct character 5-gram set of `text` — the `q_dedup_ngram`
+    * (Dedup.scala) element universe, used by the blocking scorer. */
+  private val gram5: Column = array_distinct(expr(
+    "transform(sequence(0, length(text)-5), i -> substr(text, i+1, 5))"))
+
+  /** Distinct word-3-shingle set of `text` — the SAME element universe as
+    * MinHash-LSH dedup (`Sketches.jaccardShingles(_, _, 3)`), so the
+    * prefix join below is the exact filter-verification counterpart of
+    * `q_dedup_minhash_lsh`: identical pair set, no probabilistic recall. */
+  private val shingle3: Column = array_distinct(expr(
+    """transform(sequence(0, size(w)-3),
+      |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))""".stripMargin))
+
+  /** Exact Jaccard-≥-t pairs via prefix filtering. For a set of n tokens
+    * in canonical (rarest-first) order, any partner with J ≥ t shares at
+    * least ⌈t·n⌉ tokens, so at least one lands in the first
+    * n − ⌈t·n⌉ + 1 — and the globally smallest shared token lands in BOTH
+    * prefixes, so indexing prefixes alone finds every qualifying pair.
+    *
+    * Plan shape: token-frequency aggregate (one exchange on token), per-doc
+    * re-sort inside a hash aggregate (collect_list + array_sort — never a
+    * window), prefix explode → [[Dedup.bucketPairs]]-style grouped pair
+    * expansion (one exchange on the prefix token), then a two-sided
+    * verification join computing the exact Jaccard. The rarest-first
+    * ordering is what bounds bucket sizes: a token shared by b docs'
+    * prefixes costs C(b,2) candidates, and frequent tokens are exactly the
+    * ones the prefix excludes. Hot buckets still cap at
+    * [[Dedup.bucketCap]] (boilerplate shared by an adversarial fraction of
+    * the corpus) with drops observable via `graft.bucket_cap`.
+    *
+    * Element choice matters: word-3-shingles keep the index selective —
+    * a shared 3-word sequence is already strong evidence. Char-5-grams on
+    * a small vocabulary (this corpus) have near-flat document frequency,
+    * every prefix stays hot, and the candidate set degenerates toward the
+    * quadratic baseline (measured 75 s vs 1.4 s at sf0.1). */
+  def prefixJoinPairs(d: DataFrame, t: Double): DataFrame = {
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), shingle3.as("g"))
+    val ex = toks.select(col("doc_id"), explode(col("g")).as("token"))
+    val dfreq = ex.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tokens back into one array, rarest first (df, then token for
+    // determinism); prefix length n − ⌈t·n⌉ + 1
+    val sorted = ex.join(dfreq, "token")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, x -> x.token)").as("w"))
+    val pref = sorted.select(col("doc_id"),
+      explode(slice(col("w"), lit(1),
+        size(col("w")) - ceil(lit(t) * size(col("w"))).cast("int") + 1))
+        .as("token"))
+    val cand = Dedup.bucketPairs(pref, Seq("token"))
+    val g = toks
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("g").as("g_a")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("g").as("g_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact edit-distance-≤-k pairs over the first `plen` chars (PassJoin).
+    * Each doc indexes its k+1 segments and probes every same-length
+    * substring within ±k of each segment start: if ed(a,b) ≤ k, some
+    * segment survives every edit unshifted beyond the net indel budget
+    * ±k, so the (segment idx, content) inverted index finds the pair.
+    * Candidates verify with the real `levenshtein` — output is exact.
+    *
+    * One exchange on (idx, content); per-bucket expansion pairs index rows
+    * with probe rows through a packed-long product (primitive loop via
+    * SQL transform/flatten, distinct on 8-byte longs). Exact-duplicate
+    * clusters are the natural hot buckets; they are ALSO real result
+    * pairs, so the expansion is output-bound, not waste. */
+  def editDistancePairs(d: DataFrame, plen: Int, k: Int): DataFrame = {
+    val nSeg = k + 1
+    val segLen = plen / nSeg // plen must divide evenly; asserted by callers
+    require(plen % nSeg == 0, s"plen=$plen must be a multiple of k+1=$nSeg")
+    val s = d.filter(length(col("text")) >= plen)
+      .select(col("doc_id"), substring(lower(col("text")), 1, plen).as("s"))
+    // segment rows (role 0) at fixed starts 1, 1+segLen, …; probe rows
+    // (role 1) at every start within ±k of a segment start, deduped
+    val segStarts = (0 until nSeg).map(i => 1 + i * segLen)
+    val segRows = segStarts.zipWithIndex.map { case (p, i) =>
+      struct(lit(i).as("i"), lit(0).as("role"),
+        substring(col("s"), p, segLen).as("sub"))
+    }
+    val probeRows = segStarts.zipWithIndex.flatMap { case (p, i) =>
+      ((p - k) to (p + k)).filter(q => q >= 1 && q + segLen - 1 <= plen).map(q =>
+        struct(lit(i).as("i"), lit(1).as("role"),
+          substring(col("s"), q, segLen).as("sub")))
+    }
+    val keys = s.select(col("doc_id"),
+        explode(array_distinct(array(segRows ++ probeRows: _*))).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.role").as("role"),
+        col("x.sub").as("sub"))
+    // one exchange on the index key; in-bucket index×probe product as
+    // packed longs (smaller id high, so distinct collapses (a,b) found via
+    // several segments AND both directions of the asymmetric index)
+    val cand = keys
+      .groupBy(col("i"), col("sub"))
+      .agg(collect_list(when(col("role") === 0, col("doc_id"))).as("ixs"),
+        collect_list(when(col("role") === 1, col("doc_id"))).as("pxs"))
+      .filter(size(col("ixs")) >= 1 && size(col("pxs")) >= 1)
+      .select(explode(expr(
+        """flatten(transform(ixs, a -> filter(
+          |  transform(pxs, b -> case when a < b then a * 4294967296 + b
+          |                           when b < a then b * 4294967296 + a
+          |                           end),
+          |  p -> p is not null)))""".stripMargin)).as("pk"))
+      .distinct()
+      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
+    cand
+      .join(s.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .withColumn("edist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("edist") <= k)
+      .select(col("doc_a"), col("doc_b"), col("edist"))
+  }
+
+  /** Sorted-neighborhood candidate pairs: within each `lang`, sort by
+    * (n_chars, doc_id) and pair every doc with its `w` successors, scoring
+    * each candidate with the exact 5-gram Jaccard. The window is per-lang
+    * and bounded (lead chain of length w — state is w rows), so the only
+    * exchange is the lang/sort repartition; candidate volume is exactly
+    * w·n. The blocking key (length within language) is the classic cheap
+    * proxy: near-dups have near-equal lengths, so they sort adjacent. */
+  def sortedNeighborhoodPairs(d: DataFrame, w: Int): DataFrame = {
+    val win = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val leads = (1 to w).map(j => lead(col("doc_id"), j).over(win))
+    val paired = d.select(col("doc_id"), col("lang"), col("n_chars"), gram5.as("g"))
+      .withColumn("nbrs", array(leads: _*))
+      .select(col("doc_id").as("doc_a"), col("g").as("g_a"),
+        explode(expr("filter(nbrs, x -> x is not null)")).as("doc_b"))
+    paired
+      .join(d.select(col("doc_id").as("doc_b"), gram5.as("g_b")), "doc_b")
+      .withColumn("jaccard5", round(jaccard(col("g_a"), col("g_b")), 6))
+      .select(col("doc_a"), col("doc_b"), col("jaccard5"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // the exact counterpart of q_dedup_minhash_lsh: same word-3-shingle
+    // universe and 0.8 threshold, identical pair set (oracle: full-corpus
+    // quadratic jaccard), found by prefix filtering instead of MinHash
+    "q_dedup_prefix" -> ((s, dir) =>
+      prefixJoinPairs(docs(s, dir), 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_editdist_pairs" -> ((s, dir) =>
+      editDistancePairs(docs(s, dir), 30, 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_block_sorted" -> ((s, dir) =>
+      sortedNeighborhoodPairs(docs(s, dir), 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_prefix" ->
+      s"""SELECT doc_a, doc_b, jaccard FROM (${Dedup.exactPairsSql})
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_editdist_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id, substr(lower(text), 1, 30) AS s
+        |  FROM documents WHERE length(text) >= 30)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS edist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_block_sorted" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct([substr(text, i, 5) for i in range(1, length(text)-3)]) AS gg,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.gg, b.gg)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.gg, b.gg))), 6) AS jaccard5
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

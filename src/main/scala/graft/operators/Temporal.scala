@@ -165,6 +165,23 @@ object Temporal {
     // range join against a small interval dimension — broadcast the
     // intervals so the fact side streams through a nested-loop probe of a
     // handful of ranges (never shuffle the fact table for this)
+    // trailing 7-day activity via a RANGE frame over the day number — the
+    // frame is value-bounded, so calendar gaps count correctly (a ROWS
+    // frame would silently span gaps). Daily pre-aggregation first: the
+    // window runs over ≤31 rows per user, never the raw event log; one
+    // exchange for the groupBy, the window reuses its partitioning.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dd"))
+        .rangeBetween(-6, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("dd", datediff(col("day"), lit("2024-01-01").cast("date")))
+        .withColumn("n_7d", sum(col("n_events")).over(w))
+        .select(col("user_id"), col("day"), col("n_events"), col("n_7d"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       import s.implicits._
       val periods = Seq(
@@ -281,6 +298,16 @@ object Temporal {
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM a JOIN s USING (cohort_wk)
         |ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q_window_range" ->
+      """WITH d AS (SELECT user_id,
+        |             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             COUNT(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |x AS (SELECT *, date_diff('day', DATE '2024-01-01', day) AS dd FROM d)
+        |SELECT user_id, day, n_events,
+        |  CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY dd
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM x ORDER BY user_id, day""".stripMargin,
     "q_range_join" ->
       """SELECT period, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -409,9 +409,30 @@ object Streams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stream-static enrichment: the event stream inner-joins a static
+    * dimension (customer → nation) and aggregates per segment — the
+    * canonical "enrich the firehose with reference data" pattern. The
+    * static side re-plans per micro-batch (Spark picks up dim updates
+    * between batches) and, sized under the broadcast threshold, joins as a
+    * BroadcastHashJoin — no stream-side shuffle and NO join state store
+    * (unlike stream-stream joins, a static side needs no watermark or
+    * state). At 100 TB the dim either stays broadcast-size (usual) or the
+    * join degrades to per-batch shuffles — at which point pre-bucketing
+    * the dim on the join key is the fix. */
+  def enrichedSegmentCounts(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(graft.Tables.path(dir, "customer"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = eventStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(agg, spark, OutputMode.Complete()).orderBy(col("nation_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q_stream_enrich" -> ((s, dir) => enrichedSegmentCounts(s, dir)),
     "q_stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
     "q_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
@@ -424,6 +445,10 @@ object Streams {
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
   val oracle: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      """SELECT c.c_nationkey AS nation_id, COUNT(*) AS n_events
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_session" ->
       """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,

@@ -169,6 +169,33 @@ class PlanAuditSpec extends SparkSpec {
     val lm = planOf("q_lm_score")
     assert(!lm.contains("Window"), lm.take(3000))
     assert(!lm.contains("CartesianProduct"), lm.take(3000))
+    // trailing-range frame: per-user window over pre-aggregated days only
+    val wr = planOf("q_window_range")
+    val wrWins = wr.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wrWins.nonEmpty && wrWins.forall(_.contains("user_id")), wrWins.mkString("\n"))
+    // skew report: two bounded aggregates, no window, no join
+    val sk = planOf("q_skew_report")
+    assert(!sk.contains("Window") && !sk.contains("Join"), sk.take(3000))
+  }
+
+  test("exact similarity joins: inverted-index shapes, no self-join of raw docs") {
+    // prefix join: candidate generation is aggregate-shaped (groupBy the
+    // prefix token), the only joins are the bounded verification joins
+    val pj = planOf("q_dedup_prefix")
+    assert(!pj.contains("CartesianProduct"), pj.take(3000))
+    assert(!pj.contains("Window"), pj.take(3000))
+    // PassJoin: one exchange keys the (segment idx, content) index; the
+    // pair product happens inside the aggregate, never as a plan join of
+    // the raw corpus against itself
+    val ed = planOf("q_editdist_pairs")
+    assert(!ed.contains("CartesianProduct"), ed.take(3000))
+    assert(!ed.contains("Window"), ed.take(3000))
+    // sorted neighborhood: the ONLY window partitions by lang (bounded
+    // lead chain), never an empty partition spec
+    val sn = planOf("q_block_sorted")
+    val snWins = sn.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(snWins.nonEmpty && snWins.forall(_.contains("lang")), snWins.mkString("\n"))
+    assert(!sn.contains("CartesianProduct"), sn.take(3000))
   }
 
   test("quantize and per-key sample keep their scan-stage/bounded shapes") {
