@@ -76,7 +76,8 @@ object Queries {
       operators.Sampling.queries ++ operators.PipelineOps.queries ++
       operators.SqlSurface.queries ++ operators.Ids.queries ++
       operators.DataQuality.queries ++ operators.Evolution.queries ++
-      operators.SimilarityJoins.queries ++ operators.Skew.queries
+      operators.SimilarityJoins.queries ++ operators.Skew.queries ++
+      operators.Graph.queries
   def oracle: Map[String, String] =
     parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
@@ -85,5 +86,6 @@ object Queries {
       operators.Sampling.oracle ++ operators.PipelineOps.oracle ++
       operators.SqlSurface.oracle ++ operators.Ids.oracle ++
       operators.DataQuality.oracle ++ operators.Evolution.oracle ++
-      operators.SimilarityJoins.oracle ++ operators.Skew.oracle
+      operators.SimilarityJoins.oracle ++ operators.Skew.oracle ++
+      operators.Graph.oracle
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over the near-duplicate graph — the step
+  * beyond connected components ([[Dedup.connectedComponents]]): PageRank
+  * centrality on the similarity graph ranks cluster members by how
+  * embedded they are (a hub shared by many near-dups scores high; a
+  * leaf edit scores low), which is a principled "pick the canonical
+  * variant" signal alongside SemDeDup's max-norm heuristic.
+  *
+  * Scale design: classic distributed PageRank — each iteration is one
+  * join (rank × out-edges) + one aggregate (sum contributions per
+  * destination), both shuffling on the node id, so K iterations cost K
+  * bounded shuffles over |E| rows. No driver-side collection; the node
+  * count enters as a one-row broadcast. Iterations are FIXED (k=3), not
+  * run-to-convergence: the result is a deterministic dataflow any engine
+  * can replay — which is also what makes it oracle-checkable.
+  *
+  * Cross-engine exactness discipline (the q_lm_score/q_ewma playbook):
+  * every per-edge contribution is rounded to 12 dp and summed as
+  * DECIMAL(28,12) — order-independent — and each rank update re-rounds to
+  * 12 dp, so both engines walk identical doubles at every step; the final
+  * ranks are bit-identical, not approximately equal.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val damping = 0.85
+
+  /** K fixed PageRank iterations over an undirected edge list
+    * (src < dst pairs; both directions materialize internally). The pair
+    * plan is localCheckpoint'd first — it feeds deg plus one join per
+    * iteration, and without the lineage cut Catalyst would re-evaluate
+    * the (expensive) candidate-generation subtree k+1 times (the
+    * [[Dedup.connectedComponents]] discipline). */
+  def pageRank(pairs: DataFrame, k: Int): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(n)
+      .select(col("id"), col("deg"), col("n"),
+        round(lit(1.0) / col("n"), 12).as("pr"))
+    for (_ <- 1 to k) {
+      val contribs = pr
+        .join(edges, col("id") === col("src"))
+        .select(col("dst"),
+          round(col("pr") / col("deg"), 12).cast(DecimalType(28, 12)).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = pr.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"), col("deg"), col("n"),
+          round(lit(1 - damping) / col("n") +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
+            .as("pr"))
+    }
+    pr.select(col("id").as("doc_id"), col("deg").cast("long").as("degree"),
+      col("pr").as("pagerank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // PageRank over the exact near-dup graph — minhashNearDupPairs emits
+    // exactly the ≥0.8 jaccard pair set (verified against the same
+    // all-pairs oracle as q_dedup_minhash_lsh / q_dedup_prefix)
+    "q_pagerank" -> ((s, dir) =>
+      pageRank(Dedup.minhashNearDupPairs(s, dir).select("doc_a", "doc_b"), 3)
+        .orderBy(col("doc_id"))),
+  )
+
+  /** 3 unrolled iterations as chained CTEs over the same exact pair set,
+    * with the identical rounding/decimal-sum discipline. */
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH p AS (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
+         |           WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |d AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM d),
+         |p0 AS (SELECT id, deg, n, round(1.0 / n, 12) AS pr FROM d, nn),
+         |c1 AS (SELECT dst, SUM(CAST(round(pr / deg, 12) AS DECIMAL(28,12))) AS s
+         |       FROM p0 JOIN e ON p0.id = e.src GROUP BY dst),
+         |p1 AS (SELECT id, deg, n,
+         |         round(0.15 / n + 0.85 * COALESCE(CAST(s AS DOUBLE), 0.0), 12) AS pr
+         |       FROM p0 LEFT JOIN c1 ON p0.id = c1.dst),
+         |c2 AS (SELECT dst, SUM(CAST(round(pr / deg, 12) AS DECIMAL(28,12))) AS s
+         |       FROM p1 JOIN e ON p1.id = e.src GROUP BY dst),
+         |p2 AS (SELECT id, deg, n,
+         |         round(0.15 / n + 0.85 * COALESCE(CAST(s AS DOUBLE), 0.0), 12) AS pr
+         |       FROM p1 LEFT JOIN c2 ON p1.id = c2.dst),
+         |c3 AS (SELECT dst, SUM(CAST(round(pr / deg, 12) AS DECIMAL(28,12))) AS s
+         |       FROM p2 JOIN e ON p2.id = e.src GROUP BY dst),
+         |p3 AS (SELECT id, deg, n,
+         |         round(0.15 / n + 0.85 * COALESCE(CAST(s AS DOUBLE), 0.0), 12) AS pr
+         |       FROM p2 LEFT JOIN c3 ON p2.id = c3.dst)
+         |SELECT id AS doc_id, CAST(deg AS BIGINT) AS degree, pr AS pagerank
+         |FROM p3 ORDER BY doc_id""".stripMargin,
+  )
+}

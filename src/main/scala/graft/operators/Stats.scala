@@ -131,6 +131,25 @@ object Stats {
         .orderBy(col("l_returnflag"))
     }),
 
+    // mergeable quantile sketch (Greenwald-Khanna via the built-in
+    // percentile_approx) — the 100 TB percentile path: bounded memory per
+    // group, partial-aggregatable, no per-group sort. percentile_approx
+    // picks discrete elements with DuckDB's quantile_disc convention, and
+    // at accuracy 50k the summary compresses nothing for the gate-scale
+    // groups (deletion band 2·n/accuracy < 1), so the oracle comparison is
+    // exact here while the SAME query degrades gracefully to ε-rank
+    // approximation at cluster scale (guarantee property-tested at low
+    // accuracy in StatsSpec).
+    "q_quantile_approx" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_quantity, 0.5, 50000)").as("median_qty"),
+          expr("percentile_approx(l_quantity, 0.9, 50000)").as("p90_qty"),
+          expr("percentile_approx(l_quantity, 0.99, 50000)").as("p99_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // robust-stats outlier gate (winsorize fences): per event_type, the
     // exact p05/p95 fences — rounded to 6 dp, the proven cross-engine
     // percentile discipline — and how many rows each fence would clip.
@@ -235,6 +254,12 @@ object Stats {
         |  round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price,
         |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_quantile_approx" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS median_qty,
+        |  quantile_disc(l_quantity, 0.9) AS p90_qty,
+        |  quantile_disc(l_quantity, 0.99) AS p99_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** PageRank invariants (3 fixed iterations, d = 0.85, rounding discipline):
+  * probability conservation, the hand-computed fixed shape on a known
+  * graph, and insensitivity to input partitioning (the decimal-sum
+  * order-independence the oracle relies on).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank on a known graph: conservation, symmetry, centrality order") {
+    // path graph 1-2-3 plus isolated edge 4-5:
+    //   degree: 2:2, others 1. Node 2 must outrank 1/3; 4/5 sit at the
+    //   two-clique fixed point pr = 1/5 exactly (regular component).
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val pr = Graph.pageRank(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // undirected graph, no dangling mass: ranks stay a distribution
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.toString)
+    // symmetry: 1 and 3 are automorphic, 4 and 5 are automorphic
+    assert(pr(1L) == pr(3L) && pr(4L) == pr(5L), pr.toString)
+    // centrality: the path's center beats its leaves; leaves of the path
+    // lose mass to the center so the 2-clique nodes beat them
+    assert(pr(2L) > pr(1L) && pr(4L) > pr(1L), pr.toString)
+    // the 2-clique is 1-regular: pr = 1/5 is its exact fixed point
+    assert(math.abs(pr(4L) - 0.2) < 1e-9, pr.toString)
+  }
+
+  test("pagerank is partitioning-invariant (order-independent sums)") {
+    val pairs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") % 7 + 1000).as("doc_b")) // synthetic skewed graph
+    val a = Graph.pageRank(pairs, 3).orderBy("doc_id").collect().toSeq
+    val b = Graph.pageRank(pairs.repartition(13), 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -196,6 +196,15 @@ class PlanAuditSpec extends SparkSpec {
     val snWins = sn.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(snWins.nonEmpty && snWins.forall(_.contains("lang")), snWins.mkString("\n"))
     assert(!sn.contains("CartesianProduct"), sn.take(3000))
+    // pagerank: k bounded shuffles over the (checkpointed) edge list —
+    // joins + aggregates only, no window, no cartesian
+    val pg = planOf("q_pagerank")
+    assert(!pg.contains("Window") && !pg.contains("CartesianProduct"), pg.take(3000))
+    // quantile sketch aggregates partially (mergeable summaries — the
+    // exchange carries sketch state, not rows) and never sorts the input
+    val qa = planOf("q_quantile_approx")
+    assert(qa.contains("partial_percentile_approx"), qa.take(3000))
+    assert(!qa.contains("Window"), qa.take(3000))
   }
 
   test("quantize and per-key sample keep their scan-stage/bounded shapes") {

@@ -65,4 +65,31 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e < 0.1, s"$k: hll $a vs exact $e")
     }
   }
+
+  test("quantile sketch: ε-rank guarantee at LOW accuracy, under repartitioning") {
+    // the q_quantile_approx oracle proves exactness in the uncompressed
+    // regime; this pins the sketch's actual contract where compression IS
+    // active: a returned value's true rank within ε·n = n/accuracy of the
+    // target, regardless of how the data is partitioned (merge path)
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val vals = li.select(col("l_extendedprice").as("x")) // high-cardinality col
+    val n = vals.count()
+    val sorted = vals.as[Double].collect().sorted
+    val acc = 50
+    for (parts <- Seq(1, 7)) {
+      val got = vals.repartition(parts)
+        .agg(expr(s"percentile_approx(x, array(0.1, 0.5, 0.9), $acc)"))
+        .as[Seq[Double]].head()
+      for ((q, v) <- Seq(0.1, 0.5, 0.9).zip(got)) {
+        // rank band of v among the sorted values
+        val lo = sorted.indexWhere(_ >= v)
+        val hi = sorted.lastIndexWhere(_ <= v) + 1
+        val target = q * n
+        val eps = n.toDouble / acc
+        assert(lo - 1 <= target + eps && hi >= target - eps,
+          s"parts=$parts q=$q: value $v rank band [$lo,$hi] vs target $target ±$eps")
+      }
+    }
+  }
 }
