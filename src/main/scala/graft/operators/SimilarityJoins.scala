@@ -75,11 +75,26 @@ object SimilarityJoins {
     * a shared 3-word sequence is already strong evidence. Char-5-grams on
     * a small vocabulary (this corpus) have near-flat document frequency,
     * every prefix stays hot, and the candidate set degenerates toward the
-    * quadratic baseline (measured 75 s vs 1.4 s at sf0.1). */
+    * quadratic baseline (measured 75 s vs 1.4 s at sf0.1).
+    *
+    * Exact-duplicate collapse (the q_dedup_embedding_lsh discipline):
+    * docs with IDENTICAL shingle sets first collapse to one
+    * representative (groupBy the set itself — no hashing, no collision
+    * caveat), the filter-verification join runs over unique sets only,
+    * and the pair set re-expands afterwards: within-cluster pairs are
+    * exact dups (Jaccard 1.0 by definition), cross-cluster member pairs
+    * inherit their representatives' score (identical inputs ⇒ identical
+    * score). Without this, a corpus of b-member duplicate clusters pays
+    * C(b,2) WASTED in-bucket candidates per shared prefix token — the
+    * 100× probe filled the spill disk exactly this way. */
   def prefixJoinPairs(d: DataFrame, t: Double): DataFrame = {
-    val toks = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val allToks = d.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shingle3.as("g"))
+    val clusters = allToks.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint() // feeds reps + intra + two cross expansions once
+    val toks = clusters.select(col("members")(0).as("doc_id"), col("g"))
     val ex = toks.select(col("doc_id"), explode(col("g")).as("token"))
     val dfreq = ex.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // tokens back into one array, rarest first (df, then token for
@@ -95,12 +110,35 @@ object SimilarityJoins {
         .as("token"))
     val cand = Dedup.bucketPairs(pref, Seq("token"))
     val g = toks
-    cand
+    val repPairs = cand
       .join(g.select(col("doc_id").as("doc_a"), col("g").as("g_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("g").as("g_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    expandClusters(repPairs, clusters, "jaccard", lit(1.0))
+  }
+
+  /** Re-expand a representative-level pair set to the full corpus:
+    * cross-cluster member pairs inherit the representative score, pairs
+    * within one cluster (exact duplicates) score `selfScore`. Output is
+    * exactly the pair set the un-collapsed join would emit. */
+  private def expandClusters(repPairs: DataFrame, clusters: DataFrame,
+                             score: String, selfScore: Column): DataFrame = {
+    val cm = clusters.select(col("members")(0).as("rep"), col("members"))
+    val cross = repPairs
+      .join(cm.select(col("rep").as("doc_a"), col("members").as("ms_a")), "doc_a")
+      .join(cm.select(col("rep").as("doc_b"), col("members").as("ms_b")), "doc_b")
+      .select(explode(col("ms_a")).as("a"), col("ms_b"), col(score))
+      .select(col("a"), explode(col("ms_b")).as("b"), col(score))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col(score))
+    val intra = clusters.filter(size(col("members")) >= 2)
+      .select(explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
+      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        selfScore.as(score))
+    cross.unionByName(intra)
   }
 
   /** Exact edit-distance-≤-k pairs over the first `plen` chars (PassJoin).
@@ -112,15 +150,25 @@ object SimilarityJoins {
     *
     * One exchange on (idx, content); per-bucket expansion pairs index rows
     * with probe rows through a packed-long product (primitive loop via
-    * SQL transform/flatten, distinct on 8-byte longs). Exact-duplicate
-    * clusters are the natural hot buckets; they are ALSO real result
-    * pairs, so the expansion is output-bound, not waste. */
+    * SQL transform/flatten, distinct on 8-byte longs). Exact duplicates
+    * of the compared prefix collapse to one representative first and
+    * re-expand after ([[expandClusters]]), so duplicate-heavy corpora pay
+    * the index join once per distinct string, and the final explode is
+    * output-bound (measured 80.8 s → output-bound seconds at the 100×
+    * probe's planted 100-member clusters). */
   def editDistancePairs(d: DataFrame, plen: Int, k: Int): DataFrame = {
     val nSeg = k + 1
     val segLen = plen / nSeg // plen must divide evenly; asserted by callers
     require(plen % nSeg == 0, s"plen=$plen must be a multiple of k+1=$nSeg")
-    val s = d.filter(length(col("text")) >= plen)
+    // same exact-duplicate collapse as the prefix join, keyed by the
+    // compared prefix itself: identical strings join once, members
+    // re-expand afterwards (ed(a,b)=0 within a cluster, inherited across)
+    val clusters = d.filter(length(col("text")) >= plen)
       .select(col("doc_id"), substring(lower(col("text")), 1, plen).as("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint()
+    val s = clusters.select(col("members")(0).as("doc_id"), col("s"))
     // segment rows (role 0) at fixed starts 1, 1+segLen, …; probe rows
     // (role 1) at every start within ±k of a segment start, deduped
     val segStarts = (0 until nSeg).map(i => 1 + i * segLen)
@@ -154,12 +202,13 @@ object SimilarityJoins {
       .distinct()
       .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
-    cand
+    val repPairs = cand
       .join(s.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
       .join(s.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
       .withColumn("edist", levenshtein(col("s_a"), col("s_b")).cast("long"))
       .filter(col("edist") <= k)
       .select(col("doc_a"), col("doc_b"), col("edist"))
+    expandClusters(repPairs, clusters, "edist", lit(0L))
   }
 
   /** Sorted-neighborhood candidate pairs: within each `lang`, sort by

@@ -67,6 +67,44 @@ class SimilarityJoinsSpec extends SparkSpec {
     }
   }
 
+  test("duplicate collapse: joins over a 3x-replicated corpus still equal quadratic") {
+    // every doc appears 3x under distinct ids — the collapse/expand path
+    // must reproduce the quadratic answer INCLUDING all intra-cluster
+    // (score-perfect) and inherited cross-cluster pairs
+    val base = docs.select(col("doc_id"), col("text"))
+    val tripled = (0 until 3).map(i =>
+      base.select((col("doc_id") * 3 + i).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val gotJ = SimilarityJoins.prefixJoinPairs(tripled, 0.8)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+    val g = tripled.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3).select(col("doc_id"), shingle3.as("g"))
+    val wantJ = g.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("g").as("g_b")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+    assert(gotJ == wantJ, s"${gotJ.size} vs ${wantJ.size} pairs")
+    assert(wantJ.size >= base.count() * 3, "tripling must plant intra pairs")
+
+    val gotE = SimilarityJoins.editDistancePairs(tripled, 30, 2)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    val p = tripled.filter(length(col("text")) >= 30)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 30).as("s"))
+    val wantE = p.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
+      .join(p.select(col("doc_id").as("doc_b"), col("s").as("s_b")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("edist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("edist") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("edist"))
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Long)].collect().toSeq
+    assert(gotE == wantE, s"${gotE.size} vs ${wantE.size} pairs")
+  }
+
   test("sorted neighborhood emits ≤ w pairs per doc and is deterministic") {
     val w = 3
     val pairs = SimilarityJoins.sortedNeighborhoodPairs(docs, w)
