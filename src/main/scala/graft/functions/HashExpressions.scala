@@ -676,6 +676,77 @@ case class NearestCells(child: Expression, codebook: Seq[Seq[Float]], n: Int)
   override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
 }
 
+/** `cdc_chunks(text, minLen, maskBits, maxLen)` → array<struct<start:int,
+  * len:int, hash:bigint>>: content-defined chunking via a Gear rolling
+  * hash (the FastCDC family: Xia et al., USENIX ATC'16). A chunk boundary
+  * falls wherever the low `maskBits` bits of the rolling hash are zero
+  * (expected chunk ≈ 2^maskBits chars), clamped to [minLen, maxLen] —
+  * boundaries depend only on a sliding content window, so an insertion
+  * anywhere reshuffles O(1) nearby chunks and every other chunk keeps its
+  * identity. That shift-robustness is what fixed-width chunk dedup
+  * (Dedup chunk queries) fundamentally lacks: one leading edit re-keys
+  * every downstream fixed chunk, but CDC chunk hashes realign.
+  *
+  * The gear table and content hashes derive from splitmix64/xxhash64, so
+  * chunk identities are stable across JVMs, runs, and partitionings — the
+  * incremental-dedup-store requirement. Scan-stage only: the expression
+  * emits per-row chunk descriptors; corpus-level dedup is then ordinary
+  * relational algebra over (hash, len).
+  */
+case class CdcChunks(child: Expression, minLen: Int, maskBits: Int, maxLen: Int)
+    extends UnaryExpression {
+  require(minLen >= 1 && maxLen >= minLen && maskBits >= 1 && maskBits < 30,
+    s"invalid CDC parameters min=$minLen mask=$maskBits max=$maxLen")
+  override def dataType: DataType = CdcChunks.schema
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.CdcChunks.compute($v, $minLen, $maskBits, $maxLen)")
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.compute(input.asInstanceOf[UTF8String], minLen, maskBits, maxLen)
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
+object CdcChunks {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+
+  /** 256-entry gear table, fixed across runs. */
+  private val gear: Array[Long] = Array.tabulate(256)(i => HashUtil.splitmix64(0xCDC0L + i))
+
+  def compute(u: UTF8String, minLen: Int, maskBits: Int, maxLen: Int): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    val mask = (1L << maskBits) - 1
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + gear(s.charAt(i) & 0xFF)
+      val len = i - start + 1
+      val cut = (len >= minLen && (h & mask) == 0L) || len >= maxLen || i == n - 1
+      if (cut) {
+        // content hash of the chunk: polynomial hash → splitmix finalize
+        var ch = 1125899906842597L
+        var j = start
+        while (j <= i) { ch = 31 * ch + s.charAt(j); j += 1 }
+        out += InternalRow(start, len, HashUtil.splitmix64(ch))
+        start = i + 1
+        // h is NOT reset: `h << 1` ages a char out of the hash entirely
+        // after 64 steps, so the gear acts as a 64-char sliding window and
+        // cut decisions stay purely content-local — the property that
+        // re-synchronizes chunk boundaries just past an edit (unlike
+        // FastCDC's per-chunk reset, which only converges empirically)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
 /** Column-API surface for the custom expressions (classic-session bridge:
   * Spark 4 moved Column↔Expression conversion to sql.classic). */
 object Sketches {
@@ -694,4 +765,7 @@ object Sketches {
     toCol(NearestCells(toExpr(c), codebook, n))
   def jaccardShingles(a: Column, b: Column, n: Int): Column =
     toCol(JaccardShingles(toExpr(a), toExpr(b), n))
+  def cdcChunks(c: Column, minLen: Int = 16, maskBits: Int = 6,
+                maxLen: Int = 256): Column =
+    toCol(CdcChunks(toExpr(c), minLen, maskBits, maxLen))
 }

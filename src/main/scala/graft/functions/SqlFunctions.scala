@@ -53,6 +53,10 @@ object SqlFunctions {
       PackedPairs(args.head)),
     "graft_hamming_pairs" -> ((args: Seq[Expression]) =>
       HammingPairs(args(0), intLit(args(1), "max hamming distance"))),
+    "graft_cdc_chunks" -> ((args: Seq[Expression]) =>
+      CdcChunks(args(0), intLit(args(1), "min chunk length"),
+        intLit(args(2), "boundary mask bits"),
+        intLit(args(3), "max chunk length"))),
   )
 
   /** Register every builder on `spark` (idempotent; session-scoped). */

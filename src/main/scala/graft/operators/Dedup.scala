@@ -164,6 +164,28 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // content-defined chunk dedup: same first-occurrence election as
+    // q_dedup_chunks, but over CDC (Gear rolling-hash) boundaries —
+    // chunk identity survives insertions/shifts that re-key every
+    // fixed-width chunk. Chunks materialize in the scan stage
+    // (CdcChunks expression, codegen'd); election stays the
+    // partial-aggregatable min-struct. No SQL oracle (the gear hash is
+    // not SQL-computable); boundary/locality laws are property-tested
+    // in CdcChunksSpec.
+    "q_dedup_chunks_cdc" -> ((s, dir) => {
+      val ch = docs(s, dir).select(col("doc_id"),
+          posexplode(Sketches.cdcChunks(col("text"), 16, 6, 256)).as(Seq("idx", "c")))
+        .select(col("doc_id"), col("idx"), col("c.hash").as("h"))
+      val keeper = ch.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      ch.join(keeper, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") =!= col("k.doc_id") || col("idx") =!= col("k.idx"),
+            1L).otherwise(0L)).as("n_dup_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the APPLY half of chunk dedup: emit the cleaned corpus itself —
     // each doc's surviving (first-occurrence) chunks reassembled in
     // original order. Docs whose every chunk lost its election disappear,
