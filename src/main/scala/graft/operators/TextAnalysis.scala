@@ -214,6 +214,30 @@ object TextAnalysis {
     // each term's ln (PortableLn — cross-engine-exact) is rounded to 9 dp
     // and summed as DECIMAL so the per-doc sum is order-independent; only
     // then does the final division produce the score.
+    // per-doc character Shannon entropy (bits) — the cheap repetitive-junk
+    // detector (low entropy ⇒ boilerplate/degenerate text). One explode +
+    // two-level aggregate, all scan-stage; H = (ln n − Σ c·ln c / n)/ln 2
+    // with the q_lm_score exactness discipline: each c·ln c term rounds to
+    // 9 dp and sums as DECIMAL (order-independent), ln through PortableLn
+    // (matches the oracle engine's libm), final round 6 dp → hash-exact.
+    "q_doc_entropy" -> ((s, dir) => {
+      val lnP = graft.functions.PortableMath.lnPortable _
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text)), i -> substr(text, i, 1))")).as("c"))
+        .groupBy(col("doc_id"), col("c"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_chars"),
+          sum(round(col("k").cast("double") * lnP(col("k").cast("double")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).as("s"))
+        .select(col("doc_id"), col("n_chars"),
+          round((lnP(col("n_chars").cast("double"))
+            - col("s").cast("double") / col("n_chars").cast("double"))
+            / lnP(lit(2.0)), 6).as("entropy_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_lm_score" -> ((s, dir) => {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(toks(lower(col("text")))).as("token"))
@@ -321,6 +345,20 @@ object TextAnalysis {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest([substr(text, i, 1) for i in range(1, length(text)+1)]) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, SUM(k) AS n,
+        |         SUM(CAST(round(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)), 9)
+        |             AS DECIMAL(18,9))) AS s
+        |       FROM cc GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  round((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / ln(2.0), 6) AS entropy_bits
+        |FROM ag ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
