@@ -209,6 +209,25 @@ object Stats {
         .orderBy(col("l_returnflag"))
     }),
 
+    // the sketch-WAREHOUSE pattern: materialize one bounded HLL sketch
+    // per day, then answer coarser-range distincts by UNIONING stored
+    // sketches — never rescanning the raw data. This is how 100 TB
+    // deployments serve "distinct users over any date range" from a
+    // few-KB-per-partition sketch table; HLL register-max makes the
+    // union exact w.r.t. the daily sketches (order-independent,
+    // re-aggregation-safe). Estimates are engine-defined → rows-only;
+    // ±10% accuracy vs exact weekly distincts tested in StatsSpec.
+    "q_hll_union" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily
+        .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users_est"))
+        .orderBy(col("week"))
+    }),
+
     // fixed-width histogram: bin width 8192 = 2^13 keeps the double
     // division exact so both engines floor identically; one bounded
     // aggregate (≤13 bins), map-side combined — the profile-a-column

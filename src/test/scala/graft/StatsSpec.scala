@@ -66,6 +66,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("hll union of daily sketches matches exact weekly distincts within 10%") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val exact = ev
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("x"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val rows = Queries.all("q_hll_union")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wk, est) = (r.getDate(0).toString, r.getLong(2))
+      val e = exact(wk)
+      assert(math.abs(est - e).toDouble / e < 0.1, s"$wk: union est $est vs exact $e")
+    }
+    // re-aggregation safety: unioning the daily sketches must equal
+    // sketching the week directly (register-max is associative)
+    val direct = ev
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("d"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getLong(2) == direct(r.getDate(0).toString),
+        s"union != direct sketch for ${r.getDate(0)}"))
+  }
+
   test("quantile sketch: ε-rank guarantee at LOW accuracy, under repartitioning") {
     // the q_quantile_approx oracle proves exactness in the uncompressed
     // regime; this pins the sketch's actual contract where compression IS
