@@ -62,6 +62,17 @@ object Readers {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** ORC scan with explicit schema — the other columnar lake format, in
+    * Spark core (no external package), with the same predicate-pushdown /
+    * column-pruning surface as parquet (min/max row-group skipping plus
+    * optional bloom indexes on the write side). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC writer twin of the parquet paths (overwrite semantics). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Schema-drift reconciliation (the reference's mode 2, SURVEY.md §1.3):
     * NYC TLC changed physical column types across monthly files (e.g.
     * PULocationID int32 → int64), which `mergeSchema` refuses to merge —

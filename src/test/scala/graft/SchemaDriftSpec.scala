@@ -80,4 +80,25 @@ class SchemaDriftSpec extends SparkSpec {
     assert(back.orderBy("doc_id").collect().toSeq ==
       src.select("doc_id", "lang", "n_chars").orderBy("doc_id").collect().toSeq)
   }
+
+  test("orc round-trips with explicit schema and pushes predicates to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.load(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    Readers.writeOrc(src, s"$dir/docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = Readers.orc(spark, s"$dir/docs", schema)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      src.orderBy("doc_id").collect().toSeq)
+    // the ORC scan must carry the filter (row-group skipping) and prune
+    // to the referenced columns, same as the parquet paths
+    val q = back.filter(org.apache.spark.sql.functions.col("doc_id") > 100)
+      .select("doc_id", "n_chars")
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"), readSchema)
+  }
 }
