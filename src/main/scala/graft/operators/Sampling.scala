@@ -51,6 +51,32 @@ object Sampling {
         .select(col("lang"), col("doc_id"), col("rn"))
         .orderBy(col("lang"), col("rn"))
     }),
+
+    // curriculum bucketing: decile assignment by a difficulty proxy
+    // (n_chars) WITHOUT a global ntile — the window version is a one-task
+    // global sort at 100 TB. Instead: 9 decile fences from ONE bounded
+    // GK-sketch aggregate (percentile_approx — mergeable, memory-bounded,
+    // and EXACT in the gate-scale uncompressed regime; discrete-element
+    // convention == DuckDB quantile_disc, the q_quantile_approx
+    // precedent), broadcast onto the scan, bucket = 1 + #fences strictly
+    // below the value. Equal values always land in the same bucket
+    // (unlike ntile, which splits ties by row position —
+    // nondeterministic under partitioning).
+    "q_curriculum_buckets" -> ((s, dir) => {
+      val f = docs(s, dir).agg(expr(
+        """transform(percentile_approx(n_chars,
+          |  array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 50000),
+          |  x -> CAST(x AS DOUBLE))""".stripMargin)
+        .as("fences"))
+      docs(s, dir).crossJoin(f)
+        .withColumn("bucket", (lit(1) +
+          size(expr("filter(fences, f -> f < CAST(n_chars AS DOUBLE))"))).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -68,5 +94,17 @@ object Sampling {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "q_curriculum_buckets" ->
+      """WITH f AS (
+        |  SELECT list_transform(quantile_disc(n_chars,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), x -> CAST(x AS DOUBLE)) AS fences
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars,
+        |        1 + len(list_filter(fences, f -> f < CAST(n_chars AS DOUBLE)))
+        |          AS bucket
+        |      FROM documents, f)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
