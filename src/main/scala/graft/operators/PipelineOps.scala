@@ -238,6 +238,28 @@ object PipelineOps {
     // global sort.
     "q_shuffle_seeded" -> ((s, dir) =>
       seededShuffle(docs(s, dir), "epoch-0").orderBy(col("pos"))),
+
+    // Training-sequence construction: each user's event history as one
+    // time-ordered token string (the "behavioral LM" input shape). One
+    // hash shuffle on the key; ordering happens inside the aggregated
+    // array (array_sort over (ts, event_id, event_type) structs — ties
+    // fully broken by the unique event_id), so there is NO per-key window
+    // sort pass and no global sort. Memory is bounded by the per-user
+    // history length; for power users a slice(seq, -N, N) cap keeps the
+    // context window fixed (not applied here so the oracle stays exact).
+    "q_event_sequences" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          concat_ws(",",
+            transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type"))).as("sequence"))
+        .select(col("user_id"), col("n_events"), col("sequence"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -334,5 +356,9 @@ object PipelineOps {
         |    lpad(CAST(doc_id AS VARCHAR), 12, '0')) - 1 AS BIGINT) AS pos,
         |  doc_id
         |FROM documents ORDER BY pos""".stripMargin,
+    "q_event_sequences" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -293,6 +293,25 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // distribution-position window family (ntile / percent_rank /
+    // cume_dist) — equal-frequency binning of each customer's spend.
+    // Scale shape: the window partitions by key (bounded per-customer
+    // order counts), never globally; ties are fully broken by o_orderkey
+    // so bucket assignment is deterministic and engine-independent.
+    // percent_rank/cume_dist are integer-ratio doubles — both engines
+    // divide the same ints, so rounding to 12 dp is belt-and-braces.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 12))
+        .withColumn("cume", round(cume_dist().over(w), 12))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("quartile"), col("pct_rank"), col("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ------------------------------------------------------ set operations
     "q_set_union" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -611,6 +630,14 @@ object Relational {
         |         ORDER BY o_orderdate, o_orderkey) AS DATE),
         |    CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 12) AS pct_rank,
+        |  round(cume_dist() OVER w, 12) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_set_union" ->
       """SELECT user_id, COUNT(*) AS n_events FROM (
         |  SELECT user_id FROM events

@@ -240,4 +240,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("event sequences: token count matches, order is by time, one shuffle") {
+    val out = q("q_event_sequences").cache()
+    try {
+      val ev = Tables.load(spark, sfDir, "events")
+      // partition law: every event lands in exactly one user's sequence
+      val total = out.agg(sum(col("n_events"))).collect()(0).getLong(0)
+      assert(total == ev.count())
+      // the string really contains n_events comma-separated tokens
+      val bad = out.filter(
+        size(split(col("sequence"), ",")) =!= col("n_events")).count()
+      assert(bad == 0, s"$bad users with token count != n_events")
+      // spot-check one user against a driver-side sort (tiny corpus)
+      val uid = ev.select(min(col("user_id"))).collect()(0).getLong(0)
+      val expected = ev.filter(col("user_id") === uid)
+        .select(col("ts"), col("event_id"), col("event_type"))
+        .collect().map(r => (r.getTimestamp(0).toInstant, r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1.getEpochSecond, t._1.getNano, t._2)).map(_._3).mkString(",")
+      val got = out.filter(col("user_id") === uid)
+        .select(col("sequence")).collect()(0).getString(0)
+      assert(got == expected)
+      // scale shape: aggregation-only — exactly one exchange, no Window/Sort
+      // before the aggregate (the final orderBy adds its own range exchange)
+      val plan = q("q_event_sequences").queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan)
+    } finally out.unpersist()
+  }
 }
