@@ -120,6 +120,60 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the skew-resistant scale path next to [[connectedComponents]]'s
+    * plain label propagation. Label propagation needs O(diameter) rounds
+    * and every round shuffles the full label set; large-star/small-star
+    * converges in O(log² n) rounds on ANY graph shape (long chains
+    * included) and each round touches only the shrinking edge set:
+    *   large-star: every node points its larger neighbors at its
+    *     neighborhood minimum (keeps connectivity, cuts long paths);
+    *   small-star: every node folds itself and its smaller neighbors
+    *     onto that minimum (flattens toward a star).
+    * At fixpoint the edge set IS the component assignment — one
+    * (component-min, member) star per component. Each phase is one
+    * groupBy-min + one join, both hash-shuffled on node id; the
+    * convergence probe here is an exact set equality (two anti-join
+    * emptiness checks) — at cluster scale you'd cheapen it to a
+    * count+checksum comparison. */
+  private[graft] def connectedComponentsLss(pairs: DataFrame,
+                                            maxIters: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    def bothWays(e: DataFrame): DataFrame =
+      e.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("c"), col("u").as("n")))
+    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint()
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIters) {
+      val nb = bothWays(edges)
+      val mins = nb.groupBy(col("c")).agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("c"), col("mn")).as("m"))
+      val large = canon(nb.join(mins, "c").filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v")))
+      val nb2 = bothWays(large)
+      val mins2 = nb2.groupBy(col("c")).agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("c"), col("mn")).as("m"))
+      val small = canon(
+        nb2.join(mins2, "c").filter(col("n") < col("c"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .unionByName(mins2.select(col("c").as("u"), col("m").as("v"))))
+        .localCheckpoint()
+      done = small.except(edges).isEmpty && edges.except(small).isEmpty
+      edges = small
+      iter += 1
+    }
+    // converged: every edge is (component-min u, member v); the minima
+    // themselves re-enter as their own label
+    edges.select(col("v").as("id"), col("u").as("label"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("label")).distinct())
+  }
+
   /** (doc_id, idx, chunk, k_doc, k_idx): every 10-word chunk of every doc,
     * tagged with the corpus-wide first occurrence (min (doc_id, idx)) of
     * that chunk's text. Keeper election is a partial-aggregatable
@@ -218,6 +272,19 @@ object Dedup {
     // per-pair keep-smallest, is the sound dedup decision.
     "q_dedup_clusters" -> ((s, dir) => {
       val labels = connectedComponents(minhashNearDupPairs(s, dir))
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Same clustering contract, computed by the large-star/small-star
+    // algorithm — the O(log² n)-round, long-chain-safe scale path. Must
+    // produce byte-identical clusters to the label-propagation query
+    // (both share the recursive-SQL transitive-closure oracle).
+    "q_dedup_clusters_lss" -> ((s, dir) => {
+      val labels = connectedComponentsLss(minhashNearDupPairs(s, dir))
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
@@ -472,6 +539,20 @@ object Dedup {
       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       |FROM s a JOIN s b ON a.doc_id < b.doc_id""".stripMargin
 
+  private[operators] val clustersOracleSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8),
+       |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT a AS id FROM e),
+       |reach AS (
+       |  SELECT id, id AS x FROM n
+       |  UNION
+       |  SELECT r.id, e.b AS x FROM reach r JOIN e ON r.x = e.a
+       |)
+       |SELECT id AS doc_id, CAST(MIN(x) AS BIGINT) AS cluster_rep,
+       |  CAST(COUNT(DISTINCT x) AS BIGINT) AS cluster_size
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // PRECONDITION for the LSH oracles below: they assert equality with the
   // exact all-pairs set, which holds only while no band bucket exceeds the
   // bucketPairs hot-bucket cap (1024). On a corpus with a hotter bucket the
@@ -518,20 +599,11 @@ object Dedup {
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     // transitive closure of the exact pair set via recursive min-label
-    // reachability — the ground truth for the distributed label propagation
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE
-         |p AS (SELECT doc_a, doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8),
-         |e AS (SELECT doc_a a, doc_b b FROM p UNION SELECT doc_b, doc_a FROM p),
-         |n AS (SELECT DISTINCT a AS id FROM e),
-         |reach AS (
-         |  SELECT id, id AS x FROM n
-         |  UNION
-         |  SELECT r.id, e.b AS x FROM reach r JOIN e ON r.x = e.a
-         |)
-         |SELECT id AS doc_id, CAST(MIN(x) AS BIGINT) AS cluster_rep,
-         |  CAST(COUNT(DISTINCT x) AS BIGINT) AS cluster_size
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // reachability — the ground truth for BOTH distributed clusterings
+    // (label propagation and large-star/small-star must agree with it
+    // and therefore with each other)
+    "q_dedup_clusters" -> clustersOracleSql,
+    "q_dedup_clusters_lss" -> clustersOracleSql,
     // simhash banding (pigeonhole-deterministic to hamming 15) + exact
     // jaccard verification ⇒ the pair set equals the exact near-dup set;
     // the signature is not SQL-computable so the query emits pairs only

@@ -62,12 +62,56 @@ object Graph {
       col("pr").as("pagerank"))
   }
 
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering signal: a doc in many triangles sits in a dense near-dup
+    * clique (template/boilerplate family), one in none is a chain artifact.
+    *
+    * Scale shape: the classic degree-ordered orientation. Every edge is
+    * directed from its lower-(degree, id) endpoint to the higher one, so
+    * each node's out-degree is O(√|E|) even on power-law graphs — the
+    * wedge join (out-list ⋈ out-list on the apex) never explodes on a
+    * hub the way the naive a<b orientation does on low-id hubs. Each
+    * triangle is generated at exactly one apex (its orientation-minimum
+    * vertex), then confirmed by one join against the undirected edge set:
+    * two hash shuffles total, no CartesianProduct. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("d1"), col("e2.dst").as("d2"))
+    val tri = wedges.join(und,
+      least(col("d1"), col("d2")) === col("a") &&
+        greatest(col("d1"), col("d2")) === col("b"))
+      .select(col("apex"), col("d1"), col("d2"))
+    tri.select(explode(array(col("apex"), col("d1"), col("d2"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the exact near-dup graph — minhashNearDupPairs emits
     // exactly the ≥0.8 jaccard pair set (verified against the same
     // all-pairs oracle as q_dedup_minhash_lsh / q_dedup_prefix)
     "q_pagerank" -> ((s, dir) =>
       pageRank(Dedup.minhashNearDupPairs(s, dir).select("doc_a", "doc_b"), 3)
+        .orderBy(col("doc_id"))),
+
+    // triangle census of the same exact near-dup graph
+    "q_graph_triangles" -> ((s, dir) =>
+      triangleCounts(Dedup.minhashNearDupPairs(s, dir).select("doc_a", "doc_b"))
         .orderBy(col("doc_id"))),
   )
 
@@ -99,5 +143,20 @@ object Graph {
          |       FROM p2 LEFT JOIN c3 ON p2.id = c3.dst)
          |SELECT id AS doc_id, CAST(deg AS BIGINT) AS degree, pr AS pagerank
          |FROM p3 ORDER BY doc_id""".stripMargin,
+    // the orientation trick changes the join sizes, never the triangle
+    // set — the oracle enumerates triangles the textbook way (a<b<c
+    // three-way join over the canonical pair list)
+    "q_graph_triangles" ->
+      s"""WITH p AS (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
+         |           WHERE jaccard >= 0.8),
+         |t AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+         |      FROM p e1
+         |      JOIN p e2 ON e1.doc_b = e2.doc_a
+         |      JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |SELECT id AS doc_id, COUNT(*) AS n_triangles FROM (
+         |  SELECT x AS id FROM t
+         |  UNION ALL SELECT y FROM t
+         |  UNION ALL SELECT z FROM t)
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 }

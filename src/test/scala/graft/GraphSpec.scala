@@ -31,6 +31,43 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr(4L) - 0.2) < 1e-9, pr.toString)
   }
 
+  test("triangle counts: cliques, orientation-independence, no false wedges") {
+    // K4 on 1..4 (every node in C(3,2)=3 triangles) + a triangle-free
+    // 4-cycle 10-11-12-13 + a pendant edge 4-20
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cyc = Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L), (4L, 20L))
+    val pairs = (k4 ++ cyc).toDF("doc_a", "doc_b")
+    val got = Graph.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // duplicate + reversed edges must not create or double-count triangles
+    val noisy = pairs.unionByName(
+      Seq((2L, 1L), (3L, 4L), (1L, 2L)).toDF("doc_a", "doc_b"))
+    val got2 = Graph.triangleCounts(noisy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got, got2.toString)
+  }
+
+  test("lss components equal label propagation on chains, stars, and forests") {
+    import graft.operators.Dedup
+    // long chain (the label-propagation worst case), a star, a clique,
+    // and an isolated pair — mixed in one edge list
+    val chain = (100L until 120L).map(i => (i, i + 1))
+    val star = (2L to 6L).map(i => (1L, i))
+    val clique = for (a <- 50L to 53L; b <- (a + 1) to 53L) yield (a, b)
+    val pairs = (chain ++ star ++ clique ++ Seq((200L, 201L)))
+      .toDF("doc_a", "doc_b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = toMapOf(Dedup.connectedComponents(pairs)
+      .select(col("id"), col("label")))
+    val lss = toMapOf(Dedup.connectedComponentsLss(pairs)
+      .select(col("id"), col("label")))
+    assert(lss == lp, s"lss=$lss\nlp=$lp")
+    assert(lss(119L) == 100L && lss(6L) == 1L && lss(53L) == 50L &&
+      lss(201L) == 200L)
+  }
+
   test("pagerank is partitioning-invariant (order-independent sums)") {
     val pairs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").as("doc_a"),

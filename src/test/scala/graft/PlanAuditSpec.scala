@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!mh.contains("CartesianProduct"), mh)
     val sim = planOf("q_similarity_lsh")
     assert(!sim.contains("CartesianProduct"), sim)
+    // triangle census: wedge join + closure join, never a cross product
+    val tri = planOf("q_graph_triangles")
+    assert(!tri.contains("CartesianProduct"), tri)
   }
 
   test("bloom prune: might_contain gates the fact scan before the join") {
