@@ -182,6 +182,50 @@ object Temporal {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // Per-key time-series gap-fill with linear interpolation: densify each
+    // user's hourly purchase-value series onto a regular grid (their own
+    // first..last observed hour, so every series edge is observed — no
+    // extrapolation semantics to disagree on) and fill interior holes by
+    // interpolating between the bracketing observations.
+    //
+    // Scale shape: the grid explodes from a two-column per-key aggregate
+    // (never a global calendar cross-join), and the fill windows are
+    // running last/first-ignore-nulls over each key's bounded series —
+    // partition-local, no iteration, no self-join on time. Exactness:
+    // observed values round to 6 dp first; the interpolation weight is a
+    // ratio of integer second-offsets, so both engines evaluate the same
+    // doubles and the final round(…, 6) lands identically.
+    "q_interpolate" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val obs = ev.filter(col("event_type") === "purchase" &&
+          col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsTs = when(col("v").isNotNull, col("hr"))
+      grid.join(obs, Seq("user_id", "hr"), "left")
+        .withColumn("vp", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("tp", last(obsTs, ignoreNulls = true).over(wPrev))
+        .withColumn("vn", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("tn", first(obsTs, ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("hr"),
+          col("v").isNotNull.as("is_observed"),
+          round(when(col("v").isNotNull, col("v"))
+            .otherwise(col("vp") + (col("vn") - col("vp")) *
+              ((unix_timestamp(col("hr")) - unix_timestamp(col("tp"))).cast("double") /
+               (unix_timestamp(col("tn")) - unix_timestamp(col("tp"))).cast("double"))), 6)
+            .as("value_filled"))
+        .orderBy(col("user_id"), col("hr"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       import s.implicits._
       val periods = Seq(
@@ -318,5 +362,37 @@ object Temporal {
         |  AS t(period, p_start, p_end)
         |  ON o_orderdate >= p_start AND o_orderdate < p_end
         |GROUP BY period ORDER BY period""".stripMargin,
+    "q_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |         round(avg(value), 6) AS v
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |  GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |         FROM b),
+        |j AS (SELECT g.user_id, g.hr, o.v
+        |      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr),
+        |f AS (SELECT user_id, hr, v,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |        last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |        first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY hr
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+        |      FROM j)
+        |SELECT user_id, hr, v IS NOT NULL AS is_observed,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |        ELSE vp + (vn - vp) *
+        |          (CAST(date_diff('second', tp, hr) AS DOUBLE) /
+        |           CAST(date_diff('second', tp, tn) AS DOUBLE)) END, 6) AS value_filled
+        |FROM f ORDER BY user_id, hr""".stripMargin,
   )
 }

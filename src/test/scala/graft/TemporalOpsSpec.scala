@@ -91,4 +91,38 @@ class TemporalOpsSpec extends SparkSpec {
       assert(stale == 0, s"$stale keys compacted to a non-latest version")
     } finally { out.unpersist(); ev.unpersist() }
   }
+
+  test("interpolate: dense grid, observed edges, fills bounded by brackets") {
+    import org.apache.spark.sql.expressions.Window
+    val out = q("q_interpolate").cache()
+    try {
+      assert(out.filter(col("value_filled").isNull).isEmpty,
+        "gap-fill left a null behind")
+      // grid density: per user, row count == hours between first and last + 1
+      val span = out.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        ((unix_timestamp(max(col("hr"))) - unix_timestamp(min(col("hr")))) / 3600 + 1)
+          .as("expect"))
+      assert(span.filter(col("n") =!= col("expect")).isEmpty, "grid not dense")
+      // both series edges are observed by construction
+      val w = Window.partitionBy("user_id").orderBy("hr")
+      val rn = out.withColumn("rn", row_number().over(w))
+        .withColumn("rmax", count(lit(1)).over(Window.partitionBy("user_id")))
+      assert(rn.filter((col("rn") === 1 || col("rn") === col("rmax")) &&
+        !col("is_observed")).isEmpty, "series edge was not an observation")
+      // every interpolated value lies between its bracketing observations
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsV = when(col("is_observed"), col("value_filled"))
+      val bad = out
+        .withColumn("vp", last(obsV, ignoreNulls = true).over(wp))
+        .withColumn("vn", first(obsV, ignoreNulls = true).over(wn))
+        .filter(!col("is_observed") &&
+          (col("value_filled") < least(col("vp"), col("vn")) - 1e-6 ||
+           col("value_filled") > greatest(col("vp"), col("vn")) + 1e-6))
+      assert(bad.isEmpty, "an interpolated value escaped its bracket")
+      // the corpus really has gaps — the op must be doing work
+      assert(out.filter(!col("is_observed")).count() > 0)
+    } finally out.unpersist()
+  }
 }
