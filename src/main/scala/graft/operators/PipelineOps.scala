@@ -150,6 +150,34 @@ object PipelineOps {
         .orderBy(col("fp"))
     }),
 
+    // Same incremental-dedup contract, with a bloom-filter prefilter —
+    // the 100 TB shape: the persisted store is orders of magnitude bigger
+    // than any batch, and an anti-join would shuffle ALL of it every run.
+    // Here the store folds once into a fixed-size bloom (mergeable,
+    // map-side partial agg); batch rows the bloom rules out (no false
+    // negatives — definitely new) skip the join entirely, and only the
+    // "maybe" sliver anti-joins the store to clear false positives. The
+    // result is bit-identical to the plain anti-join, which is exactly
+    // what the shared oracle asserts.
+    "q_bloom_incremental" -> ((s, dir) => {
+      val f = docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(
+            split(lower(col("text")), " "))), " ").cast("binary")).as("fp"))
+      val store = f.filter(col("doc_id") < 250).select(col("fp")).distinct()
+      val bloom = store.agg(graft.functions.Bloom
+        .bloomAgg(xxhash64(col("fp")), 10000L, 120000L).as("bf"))
+      val batch = f.filter(col("doc_id") >= 250)
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_batch_copies"))
+      val maybe = graft.functions.Bloom.mightContain(bloom, xxhash64(col("fp")))
+      batch.filter(!maybe)
+        .unionByName(batch.filter(maybe).join(store, Seq("fp"), "left_anti"))
+        .orderBy(col("fp"))
+    }),
+
     // Deterministic shard histogram: doc → shard is a pure row function,
     // so the writer ( [[graft.sources.Layouts.writeSharded]] ) produces
     // identical shards on every rerun. One bounded 16-key aggregate.
@@ -262,6 +290,15 @@ object PipelineOps {
     }),
   )
 
+  private val incrementalOracleSql: String =
+    """WITH f AS (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies
+      |FROM f WHERE doc_id >= 250
+      |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
+      |GROUP BY fp ORDER BY fp""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_pii_redact" ->
       """WITH a AS (SELECT doc_id,
@@ -295,14 +332,9 @@ object PipelineOps {
         |  CAST(top_tok_cnt AS BIGINT) AS top_tok_cnt,
         |  round(CAST(top_tok_cnt AS DOUBLE)/n_tokens, 6) AS top_tok_ratio
         |FROM s2 JOIN tp USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "q_dedup_incremental" ->
-      """WITH f AS (SELECT doc_id,
-        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) fp
-        |  FROM documents WHERE text IS NOT NULL)
-        |SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies
-        |FROM f WHERE doc_id >= 250
-        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
-        |GROUP BY fp ORDER BY fp""".stripMargin,
+    "q_dedup_incremental" -> incrementalOracleSql,
+    // the bloom path must be indistinguishable from the plain anti-join
+    "q_bloom_incremental" -> incrementalOracleSql,
     "q_domain_upsample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
         |m AS (SELECT MAX(n_docs) AS max_n FROM c),

@@ -71,6 +71,36 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Fractional-containment decontamination (the Dolma/BigCode policy):
+    // instead of q_decontaminate's absolute shared-gram count, score each
+    // training doc by the FRACTION of its distinct 8-grams that appear
+    // anywhere in the benchmark set, and gate on a threshold — a long doc
+    // quoting one benchmark line stays, a short doc that IS a benchmark
+    // item drops. Same scale shape: benchmark grams broadcast, training
+    // side streams through one scan + one bounded per-doc aggregate; docs
+    // with zero overlap keep n_shared = 0 via the left join (they must
+    // appear in the output — the kept/dropped decision is the product).
+    "q_ngram_containment" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(w)-8), i ->
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                            w[i+4], w[i+5], w[i+6], w[i+7]))"""))).as("gram"))
+      val ev = g.filter(col("doc_id") < 50).select(col("gram")).distinct()
+        .withColumn("hit", lit(1L))
+      g.filter(col("doc_id") >= 50)
+        .join(broadcast(ev), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
+        .withColumn("containment",
+          round(col("n_shared").cast("double") / col("n_grams"), 6))
+        .withColumn("kept", col("containment") < 0.05)
+        .orderBy(col("doc_id"))
+    }),
+
     // canonical text normalization: lowercase, trim, squeeze runs of
     // spaces — the pure column-algebra pre-tokenization step (both
     // engines share the regex subset: a literal-space character class)
@@ -294,6 +324,22 @@ object TextAnalysis {
         |FROM g JOIN ev USING (gram)
         |WHERE doc_id >= 50
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ngram_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+        |                              for i in range(1, len(w)-6)])) AS gram
+        |      FROM t WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        |c AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+        |        CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_shared
+        |      FROM g LEFT JOIN ev ON g.gram = ev.gram
+        |      WHERE g.doc_id >= 50 GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS containment,
+        |  round(CAST(n_shared AS DOUBLE) / n_grams, 6) < 0.05 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text,

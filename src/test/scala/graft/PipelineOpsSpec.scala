@@ -241,6 +241,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bloom incremental dedup is bit-identical to the plain anti-join") {
+    val plain = q("q_dedup_incremental").collect().toSeq
+    val bloom = q("q_bloom_incremental").collect().toSeq
+    assert(plain.nonEmpty && bloom == plain)
+    // the plan must contain the bloom gate (otherwise it IS the plain join)
+    val plan = q("q_bloom_incremental").queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("containment: bounded ratio, consistent with decontaminate counts") {
+    val out = q("q_ngram_containment").cache()
+    try {
+      assert(out.filter(col("n_shared") > col("n_grams") ||
+        col("n_shared") < 0 ||
+        col("containment") < 0 || col("containment") > 1).isEmpty)
+      assert(out.filter(col("kept") =!= (col("containment") < 0.05)).isEmpty)
+      // every doc q_decontaminate flags (shared grams > 0) must have the
+      // same shared count here, and vice versa every zero-overlap doc is
+      // absent from q_decontaminate
+      val dec = q("q_decontaminate")
+      val joined = out.join(dec, Seq("doc_id"), "left")
+      assert(joined.filter(col("n_shared_grams").isNotNull &&
+        col("n_shared") =!= col("n_shared_grams")).isEmpty)
+      assert(joined.filter(col("n_shared_grams").isNull &&
+        col("n_shared") =!= 0).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("event sequences: token count matches, order is by time, one shuffle") {
     val out = q("q_event_sequences").cache()
     try {
