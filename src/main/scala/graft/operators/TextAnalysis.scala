@@ -149,6 +149,43 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // First BPE merge-induction step of tokenizer TRAINING: adjacent
+    // character-pair frequencies over the corpus, weighted by word count.
+    // The scale trick is the classic one — collapse the corpus to its
+    // word-frequency vocabulary FIRST (one word-count shuffle), then
+    // enumerate pairs over the (tiny) distinct vocab instead of over
+    // every corpus token occurrence; 100 TB of text folds to a few
+    // million vocab rows before the per-character work starts.
+    "q_bpe_merge" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(toks(lower(col("text")))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, length(word)-1), i ->
+             concat(substring(word, i, 1), ' ', substring(word, i+1, 1)))"""))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("wc")).cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // Per-language top-5 tokens through the custom TopKPerKey physical
+    // operator — bounded per-key heaps over the (lang, token) counts, no
+    // per-language sort and no window; the same operator the relational
+    // q_topk_per_key freezes, exercised on the text path.
+    "q_top_tokens_per_lang" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("lang"), explode(toks(lower(col("text")))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.TopK.perKey(counts, Seq("lang"),
+          Seq("n" -> true, "token" -> false), 5)
+        .orderBy(col("lang"), col("n").desc, col("token"))
+    }),
+
     // heuristic quality score: stopword ratio, punctuation ratio, length
     "q_doc_quality" -> ((s, dir) => {
       val tk = toks(lower(col("text")))
@@ -358,6 +395,25 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[A-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS BIGINT) AS n_bpe_pretokens,
         |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_tokens_c4
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_bpe_merge" ->
+      """WITH w AS (SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p AS (SELECT wc,
+        |        unnest([substr(word, i, 1) || ' ' || substr(word, i+1, 1)
+        |                for i in range(1, length(word))]) AS pair
+        |      FROM w)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q_top_tokens_per_lang" ->
+      """SELECT lang, token, n FROM (
+        |  SELECT lang, token, COUNT(*) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY COUNT(*) DESC, token) AS rn
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY lang, token
+        |) WHERE rn <= 5 ORDER BY lang, n DESC, token""".stripMargin,
     "q_token_freq" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents

@@ -48,6 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     val topk = planOf("q_topk_per_key")
     assert(topk.contains("TopKPerKeyPartial") && topk.contains("TopKPerKeyFinal"))
     assert(!topk.contains("Window"))
+    // the text-path reuse of the operator keeps the same shape
+    val langTop = planOf("q_top_tokens_per_lang")
+    assert(langTop.contains("TopKPerKeyPartial") && !langTop.contains("Window"))
     // LSH candidate generation must be aggregate-shaped, not a self-join
     val mh = planOf("q_dedup_minhash_lsh")
     assert(!mh.contains("CartesianProduct"), mh)
