@@ -65,15 +65,20 @@ object Dedup {
     * cleaning composites, and clustering. Fused shingle+minhash evaluates
     * once per doc; shingle work for verification happens only on candidate
     * rows. */
-  private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val banded = docs(s, dir)
+  private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    minhashNearDupPairsOf(docs(s, dir))
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame — lets callers
+    * (e.g. the quotient-graph triangle census) run candidate generation
+    * over a collapsed representative set instead of the raw corpus. */
+  private[graft] def minhashNearDupPairsOf(d: DataFrame): DataFrame = {
+    val banded = d
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
           .as(Seq("band_idx", "band_hash")))
     val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
-    val d = docs(s, dir)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")

@@ -74,11 +74,15 @@ object Graph {
     * triangle is generated at exactly one apex (its orientation-minimum
     * vertex), then confirmed by one join against the undirected edge set:
     * two hash shuffles total, no CartesianProduct. */
-  def triangleCounts(pairs: DataFrame): DataFrame = {
-    val und = pairs
-      .select(least(col("doc_a"), col("doc_b")).as("a"),
-        greatest(col("doc_a"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+  /** Canonical undirected edge list (a < b, no self-loops, deduped). */
+  private def canonPairs(pairs: DataFrame): DataFrame = pairs
+    .select(least(col("doc_a"), col("doc_b")).as("a"),
+      greatest(col("doc_a"), col("doc_b")).as("b"))
+    .filter(col("a") =!= col("b")).distinct()
+
+  /** One row per triangle of the canonical edge list `und`, enumerated at
+    * its degree-ordered apex (columns apex, d1, d2 = the 3 node ids). */
+  private def triangleTriples(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val oriented = und
@@ -93,12 +97,75 @@ object Graph {
       .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
       .filter(col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("apex"), col("e1.dst").as("d1"), col("e2.dst").as("d2"))
-    val tri = wedges.join(und,
+    wedges.join(und,
       least(col("d1"), col("d2")) === col("a") &&
         greatest(col("d1"), col("d2")) === col("b"))
       .select(col("apex"), col("d1"), col("d2"))
-    tri.select(explode(array(col("apex"), col("d1"), col("d2"))).as("doc_id"))
+  }
+
+  def triangleCounts(pairs: DataFrame): DataFrame =
+    triangleTriples(canonPairs(pairs).localCheckpoint())
+      .select(explode(array(col("apex"), col("d1"), col("d2"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+
+  /** Document triangle census with exact-duplicate collapse — the form
+    * that survives a duplicate-heavy crawl. Identical texts form perfect
+    * cliques in the near-dup graph, and a clique of m copies holds
+    * C(m,3) triangles: enumerating them explicitly is Θ(m³) PER GROUP
+    * (the wedge join materializes every one), which is exactly the
+    * replicated-corpus cliff the 100× probe exists to catch. Instead:
+    * quotient the graph by text identity (groupBy the text itself — no
+    * hash collisions), run candidate generation + the wedge join on the
+    * (small) representative graph, and re-expand per-member counts in
+    * closed form. For a member of group i with multiplicity m_i,
+    * neighbors N(i), and collapsed triangles T(i) at i:
+    *   count = C(m_i−1, 2)                  (both partners own-group)
+    *         + (m_i−1) · Σ_{j∈N(i)} m_j     (one own-group, one neighbor)
+    *         + Σ_{j∈N(i)} C(m_j, 2)         (both partners in one neighbor)
+    *         + Σ_{(j,k)∈T(i)} m_j · m_k     (all three groups distinct)
+    * Sound because neighborhoods are text-determined: every member of a
+    * group has exactly the same jaccard relations as its representative.
+    * On a dup-free corpus every m_i = 1 and this degenerates to the
+    * plain census (the oracle equality). All counts are exact integers;
+    * the sums stay below 2^53 so the double path is lossless. */
+  def docTriangleCounts(docsDf: DataFrame): DataFrame = {
+    val base = docsDf.select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val groups = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+      .localCheckpoint() // feeds membership, reps, and three weight joins
+    val membership = base.join(groups, "text").select(col("doc_id"), col("gid"))
+    val reps = groups.select(col("gid").as("doc_id"), col("text"))
+    val und = canonPairs(
+      Dedup.minhashNearDupPairsOf(reps).select(col("doc_a"), col("doc_b")))
+      .localCheckpoint()
+    val w = groups.select(col("gid"), col("m"))
+    val nb = und.select(col("a").as("i"), col("b").as("j"))
+      .unionByName(und.select(col("b").as("i"), col("a").as("j")))
+    val nbAgg = nb.join(w.select(col("gid").as("j"), col("m").as("mj")), "j")
+      .groupBy(col("i"))
+      .agg(sum(col("mj")).as("s1"),
+        sum(col("mj") * (col("mj") - 1) / 2).as("s2"))
+    val tri = triangleTriples(und)
+    val triW = tri
+      .join(w.select(col("gid").as("apex"), col("m").as("ma")), "apex")
+      .join(w.select(col("gid").as("d1"), col("m").as("m1")), "d1")
+      .join(w.select(col("gid").as("d2"), col("m").as("m2")), "d2")
+    val triContrib = triW.select(col("apex").as("gid"), (col("m1") * col("m2")).as("t"))
+      .unionByName(triW.select(col("d1").as("gid"), (col("ma") * col("m2")).as("t")))
+      .unionByName(triW.select(col("d2").as("gid"), (col("ma") * col("m1")).as("t")))
+      .groupBy(col("gid")).agg(sum(col("t")).as("tsum"))
+    val perGroup = w
+      .join(nbAgg, w("gid") === nbAgg("i"), "left")
+      .join(triContrib, Seq("gid"), "left")
+      .select(col("gid"),
+        ((col("m") - 1) * (col("m") - 2) / 2
+          + (col("m") - 1) * coalesce(col("s1"), lit(0L))
+          + coalesce(col("s2"), lit(0L))
+          + coalesce(col("tsum"), lit(0L))).as("c"))
+    membership.join(perGroup, "gid")
+      .filter(col("c") > 0)
+      .select(col("doc_id"), col("c").cast("long").as("n_triangles"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -109,9 +176,11 @@ object Graph {
       pageRank(Dedup.minhashNearDupPairs(s, dir).select("doc_a", "doc_b"), 3)
         .orderBy(col("doc_id"))),
 
-    // triangle census of the same exact near-dup graph
+    // triangle census of the same exact near-dup graph, computed on the
+    // text-identity quotient graph (exact-dup collapse + closed-form
+    // re-expansion — see docTriangleCounts)
     "q_graph_triangles" -> ((s, dir) =>
-      triangleCounts(Dedup.minhashNearDupPairs(s, dir).select("doc_a", "doc_b"))
+      docTriangleCounts(graft.Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
   )
 

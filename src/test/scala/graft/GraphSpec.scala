@@ -48,6 +48,37 @@ class GraphSpec extends SparkSpec {
     assert(got2 == got, got2.toString)
   }
 
+  test("quotient triangle census equals the plain census under dup texts") {
+    import graft.operators.Dedup
+    // three pairwise-near-dup texts (append-one-word edits keep 3-shingle
+    // jaccard ≥ 0.9) with multiplicities 3 / 2 / 1, plus an unrelated
+    // singleton: nodes 1..6 form K6 (each in C(5,2)=10 triangles), node 7
+    // is isolated and must not appear
+    val baseWords = (1 to 20).map(i => s"w$i").mkString(" ")
+    val a = baseWords
+    val b = baseWords + " extra"
+    val c = baseWords + " extra more"
+    val d = (1 to 20).map(i => s"z$i").mkString(" ")
+    val docs = Seq(1L -> a, 2L -> a, 3L -> a, 4L -> b, 5L -> b, 6L -> c, 7L -> d)
+      .toDF("doc_id", "text")
+    val grouped = Graph.docTriangleCounts(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped == (1L to 6L).map(_ -> 10L).toMap, grouped.toString)
+    // and it matches the uncollapsed pipeline on the same corpus
+    val plain = Graph.triangleCounts(
+      Dedup.minhashNearDupPairsOf(docs).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped == plain, s"grouped=$grouped\nplain=$plain")
+    // corpus-level equality too (the real query's input; sfDir has its own
+    // duplicate structure)
+    val qGrouped = Queries.all("q_graph_triangles")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qPlain = Graph.triangleCounts(
+      Dedup.minhashNearDupPairs(spark, sfDir).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(qGrouped == qPlain)
+  }
+
   test("lss components equal label propagation on chains, stars, and forests") {
     import graft.operators.Dedup
     // long chain (the label-propagation worst case), a star, a clique,
