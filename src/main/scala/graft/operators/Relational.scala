@@ -491,6 +491,27 @@ object Relational {
         .na.fill(0L)
         .orderBy(col("user_id"))
     }),
+
+    // unpivot (wide → long, the inverse of q_pivot): per-nation entity
+    // counts as (nation, metric, n) rows via the stack() generator.
+    // Scale shape: two broadcast-dim aggregates unioned BEFORE the melt —
+    // stack multiplies rows ×k, so it runs on the 25-row aggregate, never
+    // on the fact scan.
+    "q_unpivot" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_customers"))
+      val supp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      t(s, dir, "nation")
+        .join(cust, col("n_nationkey") === cust("nk"), "left")
+        .join(supp, col("n_nationkey") === supp("nk"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .select(col("n_name"), expr(
+          "stack(2, 'customers', n_customers, 'suppliers', n_suppliers) AS (metric, n)"))
+        .orderBy(col("n_name"), col("metric"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -750,5 +771,16 @@ object Relational {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """WITH cu AS (SELECT c_nationkey AS nk, COUNT(*) AS n FROM customer GROUP BY 1),
+        |su AS (SELECT s_nationkey AS nk, COUNT(*) AS n FROM supplier GROUP BY 1),
+        |wide AS (
+        |  SELECT n_name, COALESCE(cu.n, 0) AS n_customers, COALESCE(su.n, 0) AS n_suppliers
+        |  FROM nation LEFT JOIN cu ON n_nationkey = cu.nk
+        |              LEFT JOIN su ON n_nationkey = su.nk)
+        |SELECT n_name, 'customers' AS metric, n_customers AS n FROM wide
+        |UNION ALL
+        |SELECT n_name, 'suppliers' AS metric, n_suppliers AS n FROM wide
+        |ORDER BY n_name, metric""".stripMargin,
   )
 }

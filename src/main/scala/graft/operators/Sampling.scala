@@ -52,6 +52,28 @@ object Sampling {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // each row draws key = -ln(u)/w from a uniform u and weight w
+    // (n_chars — longer docs carry more training tokens, so sample
+    // char-mass, not doc-count); the global k smallest keys are exactly a
+    // weighted sample without replacement. Determinism again: u derives
+    // from md5(doc_id) (4 hex nibbles → 16-bit uniform, midpoint-offset
+    // to dodge ln(0)), ln goes through PortableLn (cross-engine-exact),
+    // and ties break on doc_id — so the oracle replays the identical
+    // draw. Scale shape: scan-stage key computation + TakeOrdered top-k;
+    // no shuffle, no global sort, no RNG state.
+    "q_sample_weighted" -> ((s, dir) => {
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      docs(s, dir)
+        .withColumn("u", (v.cast("double") + 0.5d) / 65536.0d)
+        .withColumn("es_key",
+          (-graft.functions.PortableMath.lnPortable(col("u"))) / col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"))
+        .orderBy(col("es_key"), col("doc_id"))
+        .limit(20)
+    }),
+
     // curriculum bucketing: decile assignment by a difficulty proxy
     // (n_chars) WITHOUT a global ntile — the window version is a one-task
     // global sort at 100 TB. Instead: 9 decile fences from ONE bounded
@@ -94,6 +116,17 @@ object Sampling {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS DOUBLE)
+        |     + 0.5) / 65536.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, -ln(u) / n_chars AS es_key
+        |FROM k ORDER BY es_key, doc_id LIMIT 20""".stripMargin,
     "q_curriculum_buckets" ->
       """WITH f AS (
         |  SELECT list_transform(quantile_disc(n_chars,

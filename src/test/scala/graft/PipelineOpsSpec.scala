@@ -34,6 +34,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("weighted sample without replacement = the k smallest A-ES keys") {
+    // independent replay of the draw: JVM MessageDigest md5 + Math.log,
+    // no Spark expressions — proves the query selects exactly the 20
+    // globally-minimal keys of key = -ln(u)/n_chars
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 65536.0
+      -math.log(u) / w
+    }
+    val expect = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (k, id) }.take(20)
+    val got = q("q_sample_weighted").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == expect.toSeq,
+      s"got=${got.take(3).mkString(",")} expect=${expect.take(3).mkString(",")}")
+  }
+
   test("incremental dedup: output disjoint from store, collapses batch copies") {
     val docs = Tables.load(spark, sfDir, "documents")
     val fp = md5(array_join(array_sort(array_distinct(

@@ -224,4 +224,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("TopKPerKeyPartial") && s.contains("TopKPerKeyFinal"), s.take(3000))
     assert(!s.contains("Window"), s.take(3000))
   }
+
+  test("weighted sampling is scan + TakeOrdered: no global sort, no shuffle") {
+    val w = planOf("q_sample_weighted")
+    assert(w.contains("TakeOrderedAndProject"), w.take(3000))
+    assert(!w.contains("Exchange hashpartitioning"), w.take(3000))
+    assert(!w.contains("Window") && !w.contains("Join"), w.take(3000))
+  }
 }
