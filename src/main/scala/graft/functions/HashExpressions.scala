@@ -747,6 +747,59 @@ object CdcChunks {
   }
 }
 
+/** `window_hashes(text, L)` → array<long>: a rolling polynomial hash of
+  * every length-`L` codepoint window of the text (index i = window
+  * starting at codepoint i; empty array when the text is shorter than L).
+  *
+  * The scan-stage kernel of exact substring-level dedup (the suffix-array
+  * family: Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL'22): any substring duplicated across the corpus at length
+  * ≥ L contains a duplicated L-window at every offset, so grouping window
+  * hashes finds all of them. Rabin–Karp keeps it O(n) per document — one
+  * multiply-add to shift a codepoint in, one to age the oldest out
+  * (precomputed B^(L-1)) — vs O(n·L) for hashing each window afresh; a
+  * splitmix64 finalizer (a bijection — it adds dispersion without adding
+  * collisions) decorrelates the weak low bits of the mod-2^64 polynomial.
+  * Windows are codepoints, not UTF-16 units, to agree with SQL substr
+  * semantics in Spark and DuckDB — the downstream verification join
+  * compares `substr(text, pos+1, L)` across engines.
+  */
+case class WindowHashes(child: Expression, win: Int) extends UnaryExpression {
+  require(win >= 2 && win <= 4096, s"window length must be in [2,4096], got $win")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.WindowHashes.compute($v, $win)")
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.compute(input.asInstanceOf[UTF8String], win)
+  override protected def withNewChildInternal(c: Expression): WindowHashes =
+    copy(child = c)
+}
+
+object WindowHashes {
+  private val B = 0x100000001b3L // FNV-1a prime, odd → invertible mod 2^64
+
+  def compute(u: UTF8String, win: Int): ArrayData = {
+    val cps = u.toString.codePoints().toArray
+    val n = cps.length
+    if (n < win) return new GenericArrayData(Array.emptyLongArray)
+    // B^(win-1) mod 2^64, for aging the oldest codepoint out of the hash
+    var bl1 = 1L
+    var e = 0
+    while (e < win - 1) { bl1 *= B; e += 1 }
+    val out = new Array[Long](n - win + 1)
+    var h = 0L
+    var i = 0
+    while (i < win) { h = h * B + cps(i); i += 1 }
+    out(0) = HashUtil.splitmix64(h)
+    while (i < n) {
+      h = (h - cps(i - win) * bl1) * B + cps(i)
+      out(i - win + 1) = HashUtil.splitmix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API surface for the custom expressions (classic-session bridge:
   * Spark 4 moved Column↔Expression conversion to sql.classic). */
 object Sketches {
@@ -768,4 +821,6 @@ object Sketches {
   def cdcChunks(c: Column, minLen: Int = 16, maskBits: Int = 6,
                 maxLen: Int = 256): Column =
     toCol(CdcChunks(toExpr(c), minLen, maskBits, maxLen))
+  def windowHashes(c: Column, win: Int): Column =
+    toCol(WindowHashes(toExpr(c), win))
 }

@@ -198,6 +198,89 @@ object Dedup {
     ch.join(keeper, "chunk")
   }
 
+  /** Exact substring-level dedup (the suffix-array family: Lee et al.,
+    * ACL'22 — dedup at substring granularity, not document granularity):
+    * for every document, the maximal character spans whose every
+    * length-`subWin` window occurs ≥ 2 times in the corpus, plus the
+    * duplicated-char total and ratio. Any substring duplicated at length
+    * ≥ subWin is covered window-by-window, so spans are exactly the
+    * union of duplicated windows — merged where consecutive duplicated
+    * positions are ≤ subWin apart (overlapping or touching intervals).
+    *
+    * Scale shape, stage by stage:
+    *  1. exact-dup collapse (groupBy the text itself, multiplicity m) —
+    *     a crawl's thousandfold-replicated page costs ONE row downstream,
+    *     and a window inside an m ≥ 2 group is duplicated by definition
+    *     (weight sum(m) counts corpus occurrences, not rep occurrences);
+    *  2. [[graft.functions.WindowHashes]] emits one 8-byte rolling hash
+    *     per codepoint in the scan stage — the shuffle is O(unique
+    *     corpus chars) × 8 bytes, the same asymptotics as the
+    *     suffix-array build it replaces, and the count ≥ 2 filter is a
+    *     partial-aggregatable sum so singleton hashes (the vast
+    *     majority) collapse map-side;
+    *  3. only hash-survivors re-materialize their 32-char window text
+    *     for the verification groupBy — string equality, not hash
+    *     equality, decides, so a 2^-64 Rabin–Karp collision can add a
+    *     candidate but never a wrong answer;
+    *  4. span assembly is a per-document window (partitioned by gid,
+    *     never global) over only the duplicated positions.
+    */
+  private[graft] val subWin = 32
+
+  /** Stage 1–3 of [[duplicatedSubstringSpans]] pre-materialization:
+    * (dedup groups, raw candidate windows). Split out so the plan audit
+    * can count windowhashes scans on the lazy plan — the public entry
+    * checkpoints `cand`, which hides its scans from the final explain. */
+  private[graft] def substringCandidatePlan(docsDf: DataFrame): (DataFrame, DataFrame) = {
+    val base = docsDf.select(col("doc_id"), col("text"), col("n_chars"))
+    val groups = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+      .localCheckpoint() // feeds windows, membership, and the verify join
+    val wins = groups
+      .select(col("gid"), col("m"),
+        posexplode(Sketches.windowHashes(col("text"), subWin)).as(Seq("pos", "h")))
+    val dupH = wins.groupBy(col("h")).agg(sum(col("m")).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val cand = wins.join(dupH, "h")
+      .join(groups.select(col("gid"), col("text")), "gid")
+      .select(col("gid"), col("m"), col("pos"),
+        expr(s"substring(text, pos + 1, $subWin)").as("win"))
+    (groups, cand)
+  }
+
+  private[graft] def duplicatedSubstringSpans(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf.select(col("doc_id"), col("text"), col("n_chars"))
+    // candidates materialize via localCheckpoint: `cand` feeds BOTH the
+    // verification aggregate and the verified join, and without the cut
+    // Catalyst re-expands the whole subtree per reference — 4 full
+    // windowhashes scans instead of 2 (seen in the executed plan). The
+    // candidate set is small (hash-survivors only), so materializing it
+    // is cheap; the per-position `wins` frame is NOT materialized — at
+    // scale, re-running the O(chars) hash scan twice (once for the count
+    // aggregate, once here) beats writing ~30× the corpus bytes to disk.
+    val (groups, candRaw) = substringCandidatePlan(docsDf)
+    val cand = candRaw.localCheckpoint()
+    val dupWin = cand.groupBy(col("win")).agg(sum(col("m")).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("win"))
+    val verified = cand.join(dupWin, "win").select(col("gid"), col("pos"))
+    val w = Window.partitionBy(col("gid")).orderBy(col("pos"))
+    val spans = verified
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > subWin, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("gid"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .groupBy(col("gid"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + lit(subWin)).cast("long").as("dup_chars"))
+    base.join(groups.select(col("text"), col("gid")), "text")
+      .join(spans, "gid")
+      .select(col("doc_id"), col("n_dup_spans"), col("dup_chars"),
+        (col("dup_chars").cast("double") / col("n_chars")).as("dup_ratio"))
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: hash-groupBy on normalized content; keeper = min doc_id
     "q_dedup_exact" -> ((s, dir) => {
@@ -222,6 +305,12 @@ object Dedup {
             1L).otherwise(0L)).as("n_dup_chunks"))
         .orderBy(col("doc_id"))
     }),
+
+    // exact substring-span dedup (suffix-array semantics, window-hash
+    // mechanics — see duplicatedSubstringSpans): per doc, the maximal
+    // spans whose every 32-codepoint window repeats in the corpus
+    "q_dedup_substrings" -> ((s, dir) =>
+      duplicatedSubstringSpans(docs(s, dir)).orderBy(col("doc_id"))),
 
     // content-defined chunk dedup: same first-occurrence election as
     // q_dedup_chunks, but over CDC (Gear rolling-hash) boundaries —
@@ -600,6 +689,35 @@ object Dedup {
         |  string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
         |  COUNT(*) AS n_kept
         |FROM m WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // substring-span dedup: the oracle enumerates every 32-char window
+    // directly (substr + generate_series — no hashing at all), so it
+    // independently checks both the rolling-hash candidate generation and
+    // the span algebra
+    "q_dedup_substrings" ->
+      """WITH g AS (SELECT text, MIN(doc_id) AS gid, COUNT(*) AS m
+        |           FROM documents GROUP BY text),
+        |w AS (SELECT gid, m, CAST(i AS INT) AS pos,
+        |             substr(text, CAST(i + 1 AS INT), 32) AS win
+        |      FROM g, UNNEST(generate_series(0, CAST(length(text) - 32 AS INT))) AS t(i)),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING SUM(m) >= 2),
+        |v AS (SELECT gid, pos FROM w JOIN dup USING (win)),
+        |brk AS (SELECT gid, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY gid ORDER BY pos) > 32
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM v),
+        |isl AS (SELECT gid, pos,
+        |          SUM(b) OVER (PARTITION BY gid ORDER BY pos
+        |                       ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM brk),
+        |sp AS (SELECT gid, island, MIN(pos) AS s, MAX(pos) AS e
+        |       FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT gid, COUNT(*) AS n_dup_spans,
+        |               CAST(SUM(e - s + 32) AS BIGINT) AS dup_chars
+        |        FROM sp GROUP BY 1)
+        |SELECT d.doc_id, n_dup_spans, dup_chars,
+        |       CAST(dup_chars AS DOUBLE) / d.n_chars AS dup_ratio
+        |FROM documents d JOIN g ON d.text = g.text JOIN agg USING (gid)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,

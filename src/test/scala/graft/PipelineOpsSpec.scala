@@ -34,6 +34,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("substring-span dedup matches a brute-force reference on crafted docs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val W = Dedup.subWin
+    val shared = "0123456789" * 4 // 40 chars embedded in two distinct docs
+    val block = "abcdefghijklmnopqrstuvwxyzABCDEF" // 32 chars, repeated in-doc
+    val corpus = Seq(
+      1L -> ("AAAA" + shared + "BBBB"),
+      2L -> ("CCCCCC" + shared + "DDDDDD"),
+      3L -> "GHIJKLMNOPQRSTUVWXYZghijklmnopqrstuvwxyz!#&*+-ABCD", // exact pair
+      4L -> "GHIJKLMNOPQRSTUVWXYZghijklmnopqrstuvwxyz!#&*+-ABCD",
+      5L -> (block + "=@[]{}()<>~^_|;:,.?/%$#!=@[]" + block + "??ENDP"),
+      6L -> "a unique sentence with nothing at all repeated anywhere here")
+    // independent O(n·L) reference: count every window string, mark
+    // positions with corpus count ≥ 2, merge islands with gap ≤ W
+    val cnt = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    for ((_, t) <- corpus; i <- 0 to t.length - W) cnt(t.substring(i, i + W)) += 1
+    val expect = corpus.flatMap { case (id, t) =>
+      val pos = (0 to t.length - W).filter(i => cnt(t.substring(i, i + W)) >= 2)
+      if (pos.isEmpty) None else {
+        val islands = pos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p - e0 <= W => (s0, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        Some(id -> ((islands.size.toLong,
+          islands.map { case (s, e) => (e - s + W).toLong }.sum)))
+      }
+    }.toMap
+    val got = Dedup.duplicatedSubstringSpans(
+      corpus.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, s"got=$got\nexpect=$expect")
+    // semantics pins: exact-dup pair → whole-doc span; in-doc repeat of a
+    // single window → two 32-char islands; unique doc absent
+    assert(got(3L) == ((1L, 50L)) && got(4L) == ((1L, 50L)))
+    assert(got(5L) == ((2L, 64L)))
+    assert(!got.contains(6L))
+  }
+
   test("weighted sample without replacement = the k smallest A-ES keys") {
     // independent replay of the draw: JVM MessageDigest md5 + Math.log,
     // no Spark expressions — proves the query selects exactly the 20

@@ -225,6 +225,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window"), s.take(3000))
   }
 
+  test("substring dedup: no cross product, per-gid window, 2 hash scans") {
+    val qe = Queries.all("q_dedup_substrings")(spark, sfDir).queryExecution
+    val p = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+    // island windows must be keyed by gid, never a global sort-everything
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(gid")),
+      specs.mkString("\n"))
+    // the rolling hash runs in the scan stage, exactly twice (count pass +
+    // candidate pass) in the lazy candidate plan; the public entry then
+    // checkpoints candidates, so nothing downstream re-scans. A regression
+    // to per-reference re-expansion showed up as 4 full scans.
+    val candPlan = graft.operators.Dedup
+      .substringCandidatePlan(Tables.load(spark, sfDir, "documents"))._2
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = candPlan.linesIterator.count(_.contains("posexplode(windowhashes"))
+    assert(scans == 2, s"expected 2 windowhashes scans, saw $scans")
+  }
+
   test("weighted sampling is scan + TakeOrdered: no global sort, no shuffle") {
     val w = planOf("q_sample_weighted")
     assert(w.contains("TakeOrderedAndProject"), w.take(3000))

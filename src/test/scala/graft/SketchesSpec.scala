@@ -97,6 +97,42 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(z(10, 10) - z(10, 11)) < math.abs(z(10, 10) - z(10, 200)))
   }
 
+  test("windowHashes: rolling equals direct, codepoint-indexed, equality law") {
+    // reference: hash every window afresh (O(n·L)) with the same
+    // polynomial + finalizer — the rolling recurrence must match it
+    // exactly on every position
+    def direct(s: String, w: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < w) Seq.empty
+      else (0 to cps.length - w).map { i =>
+        var h = 0L
+        for (j <- i until i + w) h = h * 0x100000001b3L + cps(j)
+        graft.functions.HashUtil.splitmix64(h)
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running home",
+      "short",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // periodic content
+      "prefix 😀 emoji body with enough padding chars after it!") // non-BMP
+    val got = texts.toDF("t").select(windowHashes($"t", 8)).collect()
+      .map(_.getSeq[Long](0).toSeq)
+    for ((t, g) <- texts.zip(got)) {
+      assert(g == direct(t, 8), s"rolling != direct for: $t")
+      val n = t.codePoints().toArray.length
+      assert(g.length == math.max(0, n - 8 + 1),
+        s"length law broken for: $t (cp=$n got=${g.length})")
+    }
+    // equal substrings hash equal at the right offsets: the fox sentence
+    // vs a shifted copy sharing its tail
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "XYZ quick brown fox jumps over the lazy dog"
+    val Seq(ha, hb) = Seq(a, b).toDF("t").select(windowHashes($"t", 8))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    // positions ≥ 4 (past the differing prefix) coincide, position 0 differs
+    assert(ha.drop(4) == hb.drop(4) && ha.head != hb.head)
+  }
+
   test("nearestCells: zero-norm vector falls back deterministically, no crash") {
     // all cell scores are -inf for a zero vector; selection must fall back
     // to the first unused index rather than index -1 (ADVICE r2)
