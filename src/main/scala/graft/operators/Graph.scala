@@ -168,6 +168,43 @@ object Graph {
       .select(col("doc_id"), col("c").cast("long").as("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling: drop every node whose
+    * degree in the SURVIVING subgraph is < k, repeat to fixpoint; what
+    * remains is the maximal subgraph of minimum degree ≥ k — the standard
+    * density filter for boilerplate/spam hubs in a near-dup graph (a doc
+    * cross-linked into a dense near-dup blob is suspect even when no
+    * single pair is decisive). Returns (doc_id, core_deg = degree inside
+    * the core).
+    *
+    * Scale shape: each round is one degree aggregate + two semi-joins,
+    * all hash-shuffled on node id over a monotonically SHRINKING edge
+    * set, with a localCheckpoint per round to cut lineage (the
+    * connected-components discipline). Rounds needed = the longest
+    * peel cascade (≤ graph diameter), not O(n); the fixpoint check is
+    * an edge count — removals-only makes count equality a correct
+    * convergence test. */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
+    var edges = canonPairs(pairs).localCheckpoint()
+    var n = edges.count()
+    var it = 0
+    var done = n == 0L
+    while (!done && it < maxIters) {
+      val deg = edges.select(col("a").as("id"))
+        .unionByName(edges.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val pruned = edges
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n2 = pruned.count()
+      done = n2 == n || n2 == 0L
+      edges = pruned; n = n2; it += 1
+    }
+    edges.select(col("a").as("doc_id")).unionByName(edges.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("core_deg"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PageRank over the exact near-dup graph — minhashNearDupPairs emits
     // exactly the ≥0.8 jaccard pair set (verified against the same
@@ -182,7 +219,36 @@ object Graph {
     "q_graph_triangles" -> ((s, dir) =>
       docTriangleCounts(graft.Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+
+    // 2-core of the near-dup graph: docs that survive pendant-stripping,
+    // i.e. sit in a cycle of near-duplicates — Spark peels to fixpoint,
+    // the oracle unrolls 8 peel rounds (the gate corpus's cascades are
+    // far shorter; GraphSpec proves fixpoint semantics independently)
+    "q_graph_kcore" -> ((s, dir) =>
+      kCore(Dedup.minhashNearDupPairs(s, dir).select("doc_a", "doc_b"), 2)
+        .orderBy(col("doc_id"))),
   )
+
+  /** `rounds` unrolled peel iterations (keep nodes with degree ≥ k among
+    * survivors) as chained CTEs — SQL can't express the data-dependent
+    * fixpoint, so the oracle over-peels a fixed depth instead; equality
+    * with the fixpoint implies the corpus converged within `rounds`. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val peels = (0 until rounds).map { i =>
+      s"""k$i AS (SELECT id FROM (SELECT a AS id FROM e$i UNION ALL SELECT b FROM e$i)
+         |       GROUP BY id HAVING COUNT(*) >= $k),
+         |e${i + 1} AS (SELECT a, b FROM e$i
+         |       WHERE a IN (SELECT id FROM k$i) AND b IN (SELECT id FROM k$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
+       |           WHERE jaccard >= 0.8),
+       |e0 AS (SELECT doc_a AS a, doc_b AS b FROM p),
+       |$peels
+       |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM (SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+  }
 
   /** 3 unrolled iterations as chained CTEs over the same exact pair set,
     * with the identical rounding/decimal-sum discipline. */
@@ -227,5 +293,6 @@ object Graph {
          |  UNION ALL SELECT y FROM t
          |  UNION ALL SELECT z FROM t)
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_graph_kcore" -> kCoreOracleSql(2, 8),
   )
 }
