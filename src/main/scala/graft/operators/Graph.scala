@@ -201,8 +201,77 @@ object Graph {
       done = n2 == n || n2 == 0L
       edges = pruned; n = n2; it += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"kCore: no fixpoint after $maxIters peel rounds ($n edges remain); " +
+        "raise maxIters — returning a partial peel would be silently wrong")
     edges.select(col("a").as("doc_id")).unionByName(edges.select(col("b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** k-core with exact-duplicate collapse — the form that survives a
+    * duplicate-heavy crawl (the [[docTriangleCounts]] discipline, fourth
+    * use). Identical texts are pairwise near-dups (jaccard 1), so an
+    * m-copy group is an m-clique contributing Θ(m²) edges; peeling the
+    * raw graph re-shuffles all of them every round. Instead: quotient by
+    * text identity and peel the (small) representative graph with
+    * multiplicity-weighted degrees. Sound because degrees are
+    * text-determined — every member of group i has, in any
+    * union-of-full-groups subgraph S, the identical degree
+    *   d_i = (m_i − 1) + Σ_{j∈N(i)∩S} m_j
+    * ((m_i − 1) own-group clique edges plus one edge per member of each
+    * surviving neighbor group), so the whole group drops or survives as
+    * one and the peel sequence on the quotient replays the peel sequence
+    * on the full graph exactly (GraphSpec proves equality against the
+    * plain peel on a replicated corpus). Final core_deg per member is
+    * the same closed form over the surviving neighborhood. Each round
+    * shuffles |E_rep| quotient edges — independent of duplication
+    * factor — vs Θ(Σ m_i²) raw. */
+  def docKCore(docsDf: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
+    val base = docsDf.select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val groups = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+      .localCheckpoint() // feeds membership, reps, and every peel round
+    val membership = base.join(groups, "text").select(col("doc_id"), col("gid"))
+    val reps = groups.select(col("gid").as("doc_id"), col("text"))
+    var edges = canonPairs(
+      Dedup.minhashNearDupPairsOf(reps).select(col("doc_a"), col("doc_b")))
+      .localCheckpoint()
+    var nodes = groups.select(col("gid"), col("m"))
+    var n = nodes.count()
+    var it = 0
+    var done = n == 0L
+    while (!done && it < maxIters) {
+      val nbW = edges.select(col("a").as("gid"), col("b").as("j"))
+        .unionByName(edges.select(col("b").as("gid"), col("a").as("j")))
+        .join(nodes.select(col("gid").as("j"), col("m").as("mj")), "j")
+        .groupBy(col("gid")).agg(sum(col("mj")).as("nbsum"))
+      val keep = nodes.join(nbW, Seq("gid"), "left")
+        .filter(col("m") - 1 + coalesce(col("nbsum"), lit(0L)) >= k)
+        .select(col("gid"), col("m"))
+        .localCheckpoint()
+      val pruned = edges
+        .join(keep.select(col("gid").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("gid").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n2 = keep.count()
+      done = n2 == n || n2 == 0L
+      nodes = keep; edges = pruned; n = n2; it += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"docKCore: no fixpoint after $maxIters peel rounds ($n groups remain); " +
+        "raise maxIters — returning a partial peel would be silently wrong")
+    graft.StructuredLog.info("kcore_converged",
+      "rounds" -> it, "surviving_groups" -> n)
+    val nbFinal = edges.select(col("a").as("gid"), col("b").as("j"))
+      .unionByName(edges.select(col("b").as("gid"), col("a").as("j")))
+      .join(nodes.select(col("gid").as("j"), col("m").as("mj")), "j")
+      .groupBy(col("gid")).agg(sum(col("mj")).as("nbsum"))
+    val perGroup = nodes.join(nbFinal, Seq("gid"), "left")
+      .select(col("gid"),
+        (col("m") - 1 + coalesce(col("nbsum"), lit(0L))).as("core_deg"))
+    membership.join(perGroup, "gid")
+      .select(col("doc_id"), col("core_deg").cast("long").as("core_deg"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -221,29 +290,39 @@ object Graph {
         .orderBy(col("doc_id"))),
 
     // 2-core of the near-dup graph: docs that survive pendant-stripping,
-    // i.e. sit in a cycle of near-duplicates — Spark peels to fixpoint,
-    // the oracle unrolls 8 peel rounds (the gate corpus's cascades are
-    // far shorter; GraphSpec proves fixpoint semantics independently)
+    // i.e. sit in a cycle of near-duplicates — computed on the
+    // text-identity quotient graph (exact-dup collapse + weighted peel +
+    // closed-form re-expansion, see docKCore); Spark peels to fixpoint,
+    // the oracle unrolls 8 peel rounds over the full graph (the gate
+    // corpus's cascades are far shorter; GraphSpec proves both fixpoint
+    // semantics and quotient-vs-plain equality independently)
     "q_graph_kcore" -> ((s, dir) =>
-      kCore(Dedup.minhashNearDupPairs(s, dir).select("doc_a", "doc_b"), 2)
+      docKCore(graft.Tables.load(s, dir, "documents"), 2)
         .orderBy(col("doc_id"))),
   )
 
   /** `rounds` unrolled peel iterations (keep nodes with degree ≥ k among
     * survivors) as chained CTEs — SQL can't express the data-dependent
     * fixpoint, so the oracle over-peels a fixed depth instead; equality
-    * with the fixpoint implies the corpus converged within `rounds`. */
+    * with the fixpoint implies the corpus converged within `rounds`.
+    * Every CTE is MATERIALIZED: each peel round references the previous
+    * e_i twice plus two IN-subqueries, so DuckDB's default CTE inlining
+    * expands the chain into exponentially many copies of the (parquet-
+    * scanning) pair query and exhausts the process fd limit — the
+    * round-4 red. Materialization computes each round once; the
+    * documents parquet is opened exactly once, inside p. */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val peels = (0 until rounds).map { i =>
-      s"""k$i AS (SELECT id FROM (SELECT a AS id FROM e$i UNION ALL SELECT b FROM e$i)
+      s"""k$i AS MATERIALIZED (
+         |       SELECT id FROM (SELECT a AS id FROM e$i UNION ALL SELECT b FROM e$i)
          |       GROUP BY id HAVING COUNT(*) >= $k),
-         |e${i + 1} AS (SELECT a, b FROM e$i
+         |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
          |       WHERE a IN (SELECT id FROM k$i) AND b IN (SELECT id FROM k$i))"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
+    s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
        |           WHERE jaccard >= 0.8),
-       |e0 AS (SELECT doc_a AS a, doc_b AS b FROM p),
+       |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p),
        |$peels
        |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
        |FROM (SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)

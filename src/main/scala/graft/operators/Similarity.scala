@@ -95,7 +95,11 @@ object Similarity {
     // per-vector absmax scale, round-to-int codes, and the max
     // dequantization error (∞-norm) for a quality gate. Oracle-exact:
     // both engines compute in widened doubles with the same op order,
-    // and round() is half-away-from-zero in both.
+    // and round() is half-away-from-zero in both. The code vector is
+    // emitted as a comma-joined STRING, not a raw array column: the
+    // values are exact integers so the text form hashes identically,
+    // and downstream tabular harnesses can sort it (raw array columns
+    // are unhashable in pandas — the round-4 red).
     "q_embed_quantize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -108,7 +112,8 @@ object Similarity {
           zip_with(col("v"), col("qv"),
             (x, q) => abs(x - q.cast("double") * col("scale") / 127)),
           lit(0.0), (acc, d) => greatest(acc, d)))
-        .select(col("vec_id"), col("scale"), col("qv"), col("max_err"))
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", col("qv")).as("qv"), col("max_err"))
         .orderBy(col("vec_id"))
     }),
   )
@@ -306,7 +311,7 @@ object Similarity {
         |q AS (SELECT vec_id, v, scale,
         |        list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER)) AS qv
         |      FROM s)
-        |SELECT vec_id, scale, qv,
+        |SELECT vec_id, scale, array_to_string(qv, ',') AS qv,
         |  list_max(list_transform(list_zip(v, qv),
         |    p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale / 127))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,

@@ -79,6 +79,71 @@ class GraphSpec extends SparkSpec {
     assert(qGrouped == qPlain)
   }
 
+  test("kcore peels pendant cascades to the clique core (k=2, k=3)") {
+    // K4 on 1..4 + pendant chain 4-30-31-32 (peels in a 3-round cascade:
+    // 32 first, which drops 31 below k, which drops 30) + triangle
+    // 10-11-12 + isolated edge 40-41
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 30L), (30L, 31L), (31L, 32L))
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L), (40L, 41L))
+    val pairs = (k4 ++ chain ++ tri).toDF("doc_a", "doc_b")
+    val core2 = Graph.kCore(pairs, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2-core = K4 + triangle; chain and isolated edge gone; degrees are
+    // measured INSIDE the core (node 4 back to 3 once the chain is peeled)
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L), core2.toString)
+    // 3-core drops the triangle too
+    val core3 = Graph.kCore(pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3.toString)
+    // 4-core is empty
+    assert(Graph.kCore(pairs, 4).isEmpty)
+  }
+
+  test("quotient kcore equals the plain peel under dup texts") {
+    import graft.operators.Dedup
+    // near-dup family a/b/c with multiplicities 3/2/1 → K6 on 1..6;
+    // an unrelated singleton (drops, deg 0); an unrelated exact-dup PAIR
+    // (drops at k=2: intra-clique degree 1); an unrelated exact-dup
+    // TRIPLE (survives at k=2 as an isolated 3-clique with no quotient
+    // edges — exercises the m−1 self-degree path)
+    val baseWords = (1 to 20).map(i => s"w$i").mkString(" ")
+    val a = baseWords
+    val b = baseWords + " extra"
+    val c = baseWords + " extra more"
+    val d = (1 to 20).map(i => s"z$i").mkString(" ")
+    val e = (1 to 20).map(i => s"y$i").mkString(" ")
+    val f = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq(1L -> a, 2L -> a, 3L -> a, 4L -> b, 5L -> b, 6L -> c,
+      7L -> d, 8L -> e, 9L -> e, 10L -> f, 11L -> f, 12L -> f)
+      .toDF("doc_id", "text")
+    val grouped = Graph.docKCore(docs, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 6L).map(_ -> 5L).toMap ++
+      Seq(10L, 11L, 12L).map(_ -> 2L).toMap
+    assert(grouped == expected, grouped.toString)
+    // equality with the uncollapsed peel on the same corpus, k=2 and k=5
+    for (k <- Seq(2, 5)) {
+      val plain = Graph.kCore(
+        Dedup.minhashNearDupPairsOf(docs).select("doc_a", "doc_b"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val quot = Graph.docKCore(docs, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(quot == plain, s"k=$k quot=$quot\nplain=$plain")
+    }
+    // k=6 exceeds every degree: both empty
+    assert(Graph.docKCore(docs, 6).isEmpty)
+    // corpus-level equality too (the real query's input; sfDir has its
+    // own duplicate structure)
+    val qGrouped = Queries.all("q_graph_kcore")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qPlain = Graph.kCore(
+      Dedup.minhashNearDupPairs(spark, sfDir).select("doc_a", "doc_b"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(qGrouped == qPlain)
+  }
+
   test("lss components equal label propagation on chains, stars, and forests") {
     import graft.operators.Dedup
     // long chain (the label-propagation worst case), a star, a clique,
