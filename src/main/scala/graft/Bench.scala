@@ -27,6 +27,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // streaming checkpoints on tmpfs (JVM-unique dir, see Scratch):
+      // keeps the offset/commit/state fsync path off the shared disk, so
+      // streaming timings measure the engine, not disk-queue contention
+      .config("spark.sql.streaming.checkpointLocation",
+        Scratch.streamingCheckpointBase())
+      // unload terminated queries' state-store providers promptly (default
+      // 60 s) — a 100+-query run otherwise carries every prior streaming
+      // query's state maps on heap for most of the bench
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: session/codegen/parquet-footer costs land here, not on q1
@@ -49,6 +58,11 @@ object Bench {
         }
         val (t1, ok1) = once()
         val (t2, ok2) = once()
+        // drop this query's memory-sink tables before moving on: the sink
+        // holds the full result on the driver heap, and 2 runs × every
+        // streaming query would otherwise accumulate across the whole bench
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith("graft_stream")).foreach(spark.catalog.dropTempView)
         (name, math.min(t1, t2), ok1 && ok2)
       }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"

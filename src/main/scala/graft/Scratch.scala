@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Scratch-space placement for the harness mains.
+  *
+  * Streaming checkpoints are fsync-heavy (offset log, commit log, and one
+  * state-store delta per partition per micro-batch), so their latency
+  * tracks the backing disk's sync latency, not data volume — under disk
+  * contention a finite `AvailableNow` query's wall time inflates several-
+  * fold while CPU-bound batch queries barely move (the round-4 bench
+  * showed exactly that skew: streaming 2–4× slower, trivial scans 1.3×).
+  * Placing the checkpoint base on tmpfs removes the disk from that path
+  * entirely; checkpoint payloads here are KBs, so RAM residency is free.
+  * On a production cluster the checkpoint location must instead be
+  * durable shared storage — this helper is harness policy, not engine
+  * policy, which is why it lives next to the mains and not in
+  * [[graft.streaming.Streams]].
+  */
+object Scratch {
+  /** A fresh, JVM-unique directory for `spark.sql.streaming.
+    * checkpointLocation`, on tmpfs when available (falling back to the
+    * default temp dir), deleted on JVM exit. JVM-unique matters for
+    * correctness, not just hygiene: a reused base + reused query name
+    * would RESUME from committed offsets and emit an empty batch instead
+    * of recomputing. */
+  def streamingCheckpointBase(): String = {
+    val shm = Paths.get("/dev/shm")
+    val base =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, "graft_ckpt_")
+      else Files.createTempDirectory("graft_ckpt_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(base)))
+    base.toString
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      try it.forEach(f => Files.deleteIfExists(f))
+      finally it.close()
+    }
+}

@@ -24,6 +24,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // tmpfs checkpoint base, JVM-unique (see Scratch) — same rationale
+      // as Bench: streaming fsyncs measure the engine, not the disk queue
+      .config("spark.sql.streaming.checkpointLocation",
+        Scratch.streamingCheckpointBase())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
