@@ -167,10 +167,10 @@ object Similarity {
     * query per mapper cross the one hash exchange, and rank is stamped by
     * sorting the ≤k collected rows per query, not a window over
     * candidates. */
-  private def ivf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivf(s: SparkSession, dir: String,
+      nprobe: Int = 3): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val cb = trainCodebook(e)
-    val nprobe = 3
     val cells = e.withColumn("cell",
       element_at(Sketches.nearestCells(col("embedding"), cb, 1), 1))
     val probes = e.filter(col("vec_id") < nQueries)
@@ -205,13 +205,18 @@ object Similarity {
     val sample: Array[Array[Double]] = e.filter(col("vec_id") < sampleN)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(normalized)
     require(sample.length >= k, s"need ≥$k sample vectors, got ${sample.length}")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     (0 until m).map { mi =>
       val subs = sample.map(_.slice(mi * dsub, (mi + 1) * dsub))
-      val init = subs.distinct.take(k)
+      // structural distinct (Array equality is referential): the
+      // documented first-k-DISTINCT init — on a corpus whose subspaces
+      // take ≤k values this seeds every value as a centroid, so Lloyd
+      // converges to residual 0 (the PQ certificate's best case)
+      val init = subs.map(_.toSeq).distinct.take(k).map(_.toArray)
       var centroids = Array.tabulate(k)(i => init(i % init.length).clone)
       for (_ <- 0 until iters) {
         val sums = Array.fill(k)(new Array[Double](dsub))
@@ -236,17 +241,37 @@ object Similarity {
     }
   }
 
+  /** Full-vector L2 normalization (zero vectors pass through): PQ
+    * encodes the DIRECTION, not the raw vector, because the ranking
+    * metric is cosine. On a corpus with varying norms, quantizing raw
+    * vectors makes ADC approximate the unnormalized inner product — a
+    * metric mismatch that buries small-norm high-cosine neighbors at ANY
+    * shortlist depth. (The test corpus happens to be unit-norm already,
+    * so this is an identity there; it is required for general inputs,
+    * and it makes the certificate's Cauchy–Schwarz bound tight: with
+    * ‖q̂‖ = 1, |cos − adc| ≤ ‖x̂ − decode(x̂)‖.) */
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var n2 = 0.0; var i = 0
+    while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+    if (n2 == 0.0) v else { val n = math.sqrt(n2); v.map(_ / n) }
+  }
+
   /** PQ ANN (asymmetric distance): the corpus is scanned as M-byte PQ codes
     * ([[graft.functions.PqEncode]], scan-stage, no shuffle) — at 100 TB the
-    * ANN pass reads ~64× less than raw vectors. Each of the (bounded,
-    * broadcast) queries carries a precomputed lookup table
-    * `lut[m*K + c] = <q_m, centroid_{m,c}>`, so the approximate inner
-    * product per corpus row is M array lookups via built-in `aggregate` —
-    * whole-stage codegen, no custom scoring expression needed. The ADC
-    * shortlist (8×k per query, bounded [[graft.plans.TopKPerKey]] heaps)
-    * is re-ranked by exact cosine; recall vs the exact baseline is pinned
-    * in PqSpec (ADC is an approximation — rows-only check, IVF precedent). */
-  private def pq(s: SparkSession, dir: String): DataFrame = {
+    * ANN pass reads ~64× less than raw vectors. Codes quantize the L2-
+    * NORMALIZED vector (see [[normalized]]) so ADC approximates cosine,
+    * the ranking metric. Each of the (bounded, broadcast) queries carries
+    * a precomputed lookup table `lut[m*K + c] = <q̂_m, centroid_{m,c}>`,
+    * so the approximate cosine per corpus row is M array lookups via
+    * built-in `aggregate` — whole-stage codegen, no custom scoring
+    * expression needed. The ADC shortlist (bounded
+    * [[graft.plans.TopKPerKey]] heaps) is re-ranked by exact cosine.
+    *
+    * Alongside `adc`, every row carries `r` = ‖x̂ − decode(code(x̂))‖₂,
+    * the full-vector quantization residual, computed in the same scan.
+    * By Cauchy–Schwarz, |cos(q,x) − adc| ≤ ‖q̂‖·r = r — the certificate
+    * [[pq]] uses to prove per-query shortlist coverage. */
+  private def adcScores(s: SparkSession, dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val e = Tables.load(s, dir, "embeddings")
     // m=16 subspaces of 4 dims, 16 centroids each: 16 bytes/vector (16×
@@ -254,8 +279,25 @@ object Similarity {
     // vs background ~0.2) coarser m=8 drops recall below 0.8
     val m = 16; val kCent = 16
     val cb = trainPqCodebooks(e, m, kCent)
-    val codes = e.select(col("vec_id"), col("embedding"),
-      graft.functions.Pq.pqEncode(col("embedding"), cb).as("code"))
+    // normalize in the scan (SQL column algebra, codegen'd) before encoding
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val nv = when(nrm === lit(0.0), col("embedding"))
+      .otherwise(transform(col("embedding"), x => (x.cast("double") / nrm).cast("float")))
+    val dsubC = cb.head.head.length
+    // flattened codebook literal for the residual: centroid (mm, ci) dim d
+    // lives at flat index (mm*kCent + ci)*dsub + d (1-based element_at)
+    val cbFlat = typedLit(cb.flatten.flatten.map(_.toDouble))
+    val codes = e.select(col("vec_id"), col("embedding"), nv.as("nvec"),
+        graft.functions.Pq.pqEncode(nv, cb).as("code"))
+      .withColumn("cbflat", cbFlat)
+      .withColumn("r", expr(
+        s"""sqrt(aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+           |  (acc, mm) -> acc + aggregate(sequence(1, $dsubC), CAST(0.0 AS DOUBLE),
+           |    (a, d) -> a + pow(CAST(element_at(nvec, mm * $dsubC + d) AS DOUBLE)
+           |      - element_at(cbflat, (mm * $kCent + element_at(code, mm + 1)) * $dsubC + d), 2))))"""
+          .stripMargin))
+      .drop("nvec", "cbflat")
     // bounded driver-side LUT build: nQueries rows, like the codebook sample
     val qRows = e.filter(col("vec_id") < nQueries).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
@@ -263,10 +305,11 @@ object Similarity {
     val lutRows = qRows.map { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Float](1).toArray
+      val qn = normalized(qv.map(_.toDouble))
       val lut = Array.tabulate(m * kCent) { i =>
         val (mi, ci) = (i / kCent, i % kCent)
         var dot = 0.0; var d = 0
-        while (d < dsub) { dot += qv(mi * dsub + d) * cb(mi)(ci)(d); d += 1 }
+        while (d < dsub) { dot += qn(mi * dsub + d) * cb(mi)(ci)(d); d += 1 }
         dot
       }
       org.apache.spark.sql.Row(qid, qv.toSeq, lut.toSeq)
@@ -284,14 +327,84 @@ object Similarity {
         s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
            |  (acc, mm) -> acc + element_at(lut, mm * $kCent + element_at(code, mm + 1) + 1))"""
           .stripMargin))
-      .select(col("qid"), col("qv"), col("vec_id"), col("embedding"), col("adc"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("embedding"),
+        col("adc"), col("r"))
+    adc
+  }
+
+  /** Certified-exact PQ search: ADC shortlist → exact cosine re-rank →
+    * per-query coverage CERTIFICATE → brute-force fallback for queries
+    * the certificate cannot prove.
+    *
+    * The certificate: let t₅ = the 5th-best exact (unrounded) cosine
+    * inside the shortlist, and ub = max over NON-shortlisted rows of
+    * `adc + r` (an upper bound on each excluded vector's true cosine —
+    * Cauchy–Schwarz, [[adcScores]]). If ub < t₅ − 2·10⁻⁶ (two rounding
+    * ulps, so the proof survives the 6-dp output rounding and its
+    * tie-breaks), no excluded vector can reach rank ≤ k, hence the
+    * shortlist's re-ranked top-k IS the exact top-k. Queries that fail
+    * certification are re-run brute-force (the [[queries]] baseline
+    * shape: query batch broadcast, corpus streams). The result therefore
+    * equals the exact baseline on EVERY corpus — the brute-force SQL is
+    * its registered oracle — while corpora with real cluster structure
+    * (small residuals, separated neighbors) certify and skip the
+    * fallback entirely (proven in `PipelineSpec`). On the structure-free
+    * test corpus quantization noise exceeds the top-5 margin, ALL
+    * queries fall back, and the run costs one extra bounded pass — the
+    * honest price of exactness on incompressible vectors; recall-style
+    * ANN behavior is what [[ivf]] keeps offering. */
+  /** (re-rankable shortlist with exact unrounded cosines, per-query
+    * certificate frame) — shared by [[pq]] and the law tests. */
+  private def pqParts(s: SparkSession, dir: String,
+      shortlistFactor: Int): (DataFrame, DataFrame) = {
+    val adc = adcScores(s, dir)
     val shortlist = graft.plans.TopK.perKey(adc, Seq("qid"),
-      Seq(("adc", true), ("vec_id", false)), 8 * topK)
-    val exact = shortlist
+      Seq(("adc", true), ("vec_id", false)), shortlistFactor * topK)
+    val exactU = shortlist
+      .withColumn("cos", Sketches.cosineSim(col("qv"), col("embedding")))
+      .select(col("qid"), col("vec_id"), col("cos"))
+    val top5u = graft.plans.TopK.perKey(exactU, Seq("qid"),
+      Seq(("cos", true), ("vec_id", false)), topK)
+    val t5 = top5u.groupBy(col("qid"))
+      .agg(min(col("cos")).as("t5"), count(lit(1)).as("nres"))
+    val excluded = adc.select(col("qid"), col("vec_id"), (col("adc") + col("r")).as("ub1"))
+      .join(shortlist.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+      .groupBy(col("qid")).agg(max(col("ub1")).as("ub"))
+    val cert = t5.join(excluded, Seq("qid"), "left")
+      .select(col("qid"),
+        (col("nres") === topK &&
+          (col("ub").isNull || col("ub") < col("t5") - lit(2e-6))).as("certified"))
+    (exactU, cert)
+  }
+
+  /** The per-query coverage certificate `(qid, certified)` — exposed for
+    * the law tests. */
+  private[graft] def pqCertificates(s: SparkSession, dir: String,
+      shortlistFactor: Int = 8): DataFrame = pqParts(s, dir, shortlistFactor)._2
+
+  private[graft] def pq(s: SparkSession, dir: String,
+      shortlistFactor: Int = 8): DataFrame = {
+    val (exactU, cert0) = pqParts(s, dir, shortlistFactor)
+    // ≤ nQueries rows; localCheckpoint so the cert (used twice: keep +
+    // fallback sides) computes the ADC pass once
+    val cert = cert0.localCheckpoint()
+    val certQ = cert.filter(col("certified")).select(col("qid"))
+    val uncertQ = cert.filter(!col("certified")).select(col("qid"))
+    val certTop = exactU.join(broadcast(certQ), Seq("qid"), "left_semi")
+      .withColumn("score", round(col("cos"), 6))
+      .select(col("qid"), col("vec_id"), col("score"))
+    val certTop5 = graft.plans.TopK.perKey(certTop, Seq("qid"),
+      Seq(("score", true), ("vec_id", false)), topK)
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(broadcast(uncertQ), Seq("qid"), "left_semi")
+    val brute = broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .withColumn("score", round(Sketches.cosineSim(col("qv"), col("embedding")), 6))
       .select(col("qid"), col("vec_id"), col("score"))
-    val top = graft.plans.TopK.perKey(exact, Seq("qid"),
+    val bruteTop5 = graft.plans.TopK.perKey(brute, Seq("qid"),
       Seq(("score", true), ("vec_id", false)), topK)
+    val top = certTop5.unionByName(bruteTop5)
     top.groupBy(col("qid"))
       .agg(sort_array(collect_list(
         struct((-col("score")).as("neg"), col("vec_id").as("vec_id"),
@@ -316,6 +429,23 @@ object Similarity {
         |    p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale / 127))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
     "q_similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    round(list_inner_product(qv, v)
+        |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) AS score
+        |  FROM q CROSS JOIN e WHERE vec_id != qid)
+        |SELECT qid, vec_id, score, rn FROM (
+        |  SELECT qid, vec_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // certified-exact: per query, either the Cauchy–Schwarz certificate
+    // proves the ADC shortlist covers the true top-5 (then the exact
+    // re-rank equals brute force), or the query re-runs brute-force —
+    // so the output equals the baseline on every corpus, by construction
+    "q_similarity_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         |scored AS (

@@ -39,15 +39,55 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
-  test("PQ ANN recall ≥ 0.8 of brute-force top-5 on the test corpus") {
-    // ADC over 4-bit-style codebooks is a lossy approximation; the exact
-    // cosine re-rank of the 8×k shortlist recovers most of the loss
+  test("certified PQ equals brute force exactly on the test corpus") {
+    // the certificate proves shortlist coverage per query or falls the
+    // query back to brute force, so equality is exact — triples including
+    // rank — on ANY corpus. On this structure-free one, quantization
+    // noise exceeds the top-5 margin and every query falls back.
     val bf = Queries.all("q_similarity_topk")(spark, sfDir)
-      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     val pq = Queries.all("q_similarity_pq")(spark, sfDir)
-      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (bf & pq).size.toDouble / bf.size
-    assert(recall >= 0.8, s"recall $recall")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(bf.nonEmpty && pq == bf,
+      s"missed ${(bf -- pq).size} slots, spurious ${(pq -- bf).size}")
+    // and the certificate is honest about it: nothing certifies here
+    val certs = Similarity.pqCertificates(spark, sfDir)
+    assert(certs.count() == 10 && certs.filter($"certified").count() == 0)
+  }
+
+  test("PQ certificate fires on a structured corpus and stays exact") {
+    // corpus built from 4 unit patterns per 4-dim subspace → every
+    // subspace of every (equal-norm) vector quantizes residual-0, so
+    // ADC == exact cosine and the Cauchy–Schwarz certificate proves
+    // coverage for every query — no brute-force fallback — while the
+    // output still equals the exact baseline.
+    val dsub = 4; val m = 16
+    val bank: Array[Array[Double]] = Array.tabulate(4) { c =>
+      val raw = Array.tabulate(dsub)(d => math.sin(1.0 + 3 * c + d) + 1.5)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val vecs = (0 until 60).map { i =>
+      val v = Array.tabulate(m * dsub) { j =>
+        val mi = j / dsub
+        // integer-hash pattern pick keeps neighbor scores generic (no
+        // accidental rank-5/6 ties, which would — correctly — de-certify)
+        val h = (i * 0x9E3779B1 ^ ((mi + 1) * 0x85EBCA77)) >>> 13
+        bank(h % 4)(j % dsub).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqcert").toString
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val certs = Similarity.pqCertificates(spark, dir)
+    assert(certs.count() == 10 &&
+      certs.filter(!$"certified").count() == 0, "expected all queries certified")
+    val bf = Queries.all("q_similarity_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val pq = Queries.all("q_similarity_pq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(bf.nonEmpty && pq == bf,
+      s"missed ${(bf -- pq).size} slots, spurious ${(pq -- bf).size}")
   }
 
   test("int8 quantization error stays within the round-to-nearest bound") {
