@@ -181,31 +181,26 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("score", round(Sketches.cosineSim(col("qv"), col("embedding")), 6))
       .select(col("qid"), col("vec_id"), col("score"))
-    val top = graft.plans.TopK.perKey(scored, Seq("qid"),
-      Seq(("score", true), ("vec_id", false)), topK)
-    // rank stamp over the ≤k survivors per query: sorted collect + position,
-    // reusing TopK's hash partitioning — no Window, no extra exchange
-    top.groupBy(col("qid"))
-      .agg(sort_array(collect_list(
-        struct((-col("score")).as("neg"), col("vec_id").as("vec_id"),
-          col("score").as("score")))).as("xs"))
-      .select(col("qid"), posexplode(col("xs")).as(Seq("pos", "x")))
-      .select(col("qid"), col("x.vec_id").as("vec_id"), col("x.score").as("score"),
-        (col("pos") + 1).cast("long").as("rn"))
-      .orderBy(col("qid"), col("rn"))
+    rankStamp(graft.plans.TopK.perKey(scored, Seq("qid"),
+      Seq(("score", true), ("vec_id", false)), topK))
   }
+
+  /** Bounded deterministic training sample: `sampleN` vectors — a
+    * constant-size collect regardless of corpus size (the one legitimate
+    * driver-side materialization in this module). */
+  private[operators] def loadSample(e: DataFrame,
+      sampleN: Int = 256): Array[Array[Double]] =
+    e.filter(col("vec_id") < sampleN)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
 
   /** Per-subspace L2 k-means codebooks for product quantization — same
     * bounded-deterministic training contract as [[trainCodebook]]: a
-    * constant-size sample (never the corpus), first-k-distinct init, Lloyd
-    * iterations; stable across runs. Returns M codebooks of K centroids of
-    * dim/M floats each. */
-  private[operators] def trainPqCodebooks(e: DataFrame, m: Int = 8, k: Int = 16,
-      sampleN: Int = 256, iters: Int = 8): Seq[Seq[Seq[Float]]] = {
-    val sample: Array[Array[Double]] = e.filter(col("vec_id") < sampleN)
-      .orderBy(col("vec_id")).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-      .map(normalized)
+    * constant-size NORMALIZED sample (never the corpus), first-k-distinct
+    * init, Lloyd iterations; stable across runs. Returns M codebooks of K
+    * centroids of dim/M floats each. */
+  private[operators] def trainPqCodebooks(sample: Array[Array[Double]],
+      m: Int = 8, k: Int = 16, iters: Int = 8): Seq[Seq[Seq[Float]]] = {
     require(sample.length >= k, s"need ≥$k sample vectors, got ${sample.length}")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -241,6 +236,43 @@ object Similarity {
     }
   }
 
+  /** Quantization residual ‖x̂ − decode(code(x̂))‖₂ of each (normalized)
+    * training-sample vector, computed driver-side with the same argmin /
+    * tie-break as [[graft.functions.PqEncode]] and the same double
+    * arithmetic as the scan-stage `r` column. Free (the sample is already
+    * collected for training) — this is the viability signal for the
+    * certificate short-circuit in [[pq]]: large sample residuals mean the
+    * Cauchy–Schwarz bound cannot separate excluded rows from the top-5
+    * margin, so the ADC + certificate passes would be wasted work. */
+  private[operators] def sampleResiduals(sample: Array[Array[Double]],
+      cb: Seq[Seq[Seq[Float]]]): Array[Double] = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    sample.map { v =>
+      var total = 0.0
+      var mi = 0
+      while (mi < m) {
+        val sub = cb(mi)
+        var bd = Double.PositiveInfinity
+        var c = 0
+        while (c < sub.length) {
+          var dist = 0.0; var d = 0
+          while (d < dsub) {
+            val x = if (mi * dsub + d < v.length) v(mi * dsub + d) else 0.0
+            val df = x - sub(c)(d)
+            dist += df * df
+            d += 1
+          }
+          if (dist < bd) bd = dist
+          c += 1
+        }
+        total += bd
+        mi += 1
+      }
+      math.sqrt(total)
+    }
+  }
+
   /** Full-vector L2 normalization (zero vectors pass through): PQ
     * encodes the DIRECTION, not the raw vector, because the ranking
     * metric is cosine. On a corpus with varying norms, quantizing raw
@@ -268,27 +300,31 @@ object Similarity {
     * [[graft.plans.TopKPerKey]] heaps) is re-ranked by exact cosine.
     *
     * Alongside `adc`, every row carries `r` = ‖x̂ − decode(code(x̂))‖₂,
-    * the full-vector quantization residual, computed in the same scan.
-    * By Cauchy–Schwarz, |cos(q,x) − adc| ≤ ‖q̂‖·r = r — the certificate
-    * [[pq]] uses to prove per-query shortlist coverage. */
-  private def adcScores(s: SparkSession, dir: String): DataFrame = {
+    * the full-vector quantization residual, computed in the same scan
+    * against the DOUBLE-precision normalized vector (the same x̂ the exact
+    * re-rank and the oracle use, up to a few machine ulps — NOT the
+    * float-cast copy the encoder reads, whose rounding would otherwise
+    * consume up to √dim·2⁻²⁴ ≈ 5·10⁻⁷ of the certificate margin at
+    * dim 64). By Cauchy–Schwarz, |cos(q,x) − adc| =
+    * |⟨q̂, x̂ − decode⟩| ≤ ‖q̂‖·r = r — the certificate [[pq]] uses to
+    * prove per-query shortlist coverage. */
+  private def adcScores(s: SparkSession, e: DataFrame,
+      cb: Seq[Seq[Seq[Float]]], m: Int, kCent: Int): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val e = Tables.load(s, dir, "embeddings")
-    // m=16 subspaces of 4 dims, 16 centroids each: 16 bytes/vector (16×
-    // compression); on this structure-free corpus (top-5 at cos 0.25-0.51
-    // vs background ~0.2) coarser m=8 drops recall below 0.8
-    val m = 16; val kCent = 16
-    val cb = trainPqCodebooks(e, m, kCent)
-    // normalize in the scan (SQL column algebra, codegen'd) before encoding
+    // normalize in the scan (SQL column algebra, codegen'd): the encoder
+    // reads the float-cast copy (PqEncode is a float-array expression),
+    // the residual reads the double-precision one
     val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
     val nv = when(nrm === lit(0.0), col("embedding"))
       .otherwise(transform(col("embedding"), x => (x.cast("double") / nrm).cast("float")))
+    val nvd = when(nrm === lit(0.0), transform(col("embedding"), x => x.cast("double")))
+      .otherwise(transform(col("embedding"), x => x.cast("double") / nrm))
     val dsubC = cb.head.head.length
     // flattened codebook literal for the residual: centroid (mm, ci) dim d
     // lives at flat index (mm*kCent + ci)*dsub + d (1-based element_at)
     val cbFlat = typedLit(cb.flatten.flatten.map(_.toDouble))
-    val codes = e.select(col("vec_id"), col("embedding"), nv.as("nvec"),
+    val codes = e.select(col("vec_id"), col("embedding"), nvd.as("nvec"),
         graft.functions.Pq.pqEncode(nv, cb).as("code"))
       .withColumn("cbflat", cbFlat)
       .withColumn("r", expr(
@@ -348,18 +384,44 @@ object Similarity {
     * equals the exact baseline on EVERY corpus — the brute-force SQL is
     * its registered oracle — while corpora with real cluster structure
     * (small residuals, separated neighbors) certify and skip the
-    * fallback entirely (proven in `PipelineSpec`). On the structure-free
-    * test corpus quantization noise exceeds the top-5 margin, ALL
-    * queries fall back, and the run costs one extra bounded pass — the
-    * honest price of exactness on incompressible vectors; recall-style
-    * ANN behavior is what [[ivf]] keeps offering. */
+    * fallback entirely (proven in `PipelineSpec`).
+    *
+    * The short-circuit: whether certification CAN succeed is predictable
+    * driver-side for free — the training sample is already collected, and
+    * its quantization residuals ([[sampleResiduals]]) are the exact `r`
+    * terms the certificate adds to every excluded row's ADC score. When
+    * the sample's p90 residual exceeds [[certSkipResidual]] the bound
+    * cannot beat any realistic top-5 margin, so [[pq]] skips the ADC +
+    * certificate passes entirely and runs the brute-force baseline once
+    * (the output is identical by construction — the gate is a pure
+    * performance decision, logged via [[graft.StructuredLog]]). This is
+    * what bounds the fallback-dominant case on incompressible corpora:
+    * one exact pass, not ADC + certificate + brute force. */
+  // m=16 subspaces of 4 dims, 16 centroids each: 16 bytes/vector (16×
+  // compression); on the structure-free test corpus (top-5 at cos
+  // 0.25-0.51 vs background ~0.2) coarser m=8 drops recall below 0.8
+  private val pqM = 16
+  private val pqKCent = 16
+  /** Sample-residual ceiling above which the certificate is hopeless: a
+    * p90 residual of 0.01 already means excluded-row upper bounds sit
+    * ≥ 0.01 above their true cosines, swamping typical top-5 margins
+    * (the structured-corpus certify case has residual exactly 0). */
+  private val certSkipResidual = 0.01
+
   /** (re-rankable shortlist with exact unrounded cosines, per-query
-    * certificate frame) — shared by [[pq]] and the law tests. */
-  private def pqParts(s: SparkSession, dir: String,
+    * certificate frame) — shared by [[pq]] and the law tests. The ADC
+    * scan executes exactly TWICE here: once to build the shortlist —
+    * materialized by `localCheckpoint` (bounded: nQueries·slf·k rows), so
+    * the exact re-rank and the t5 margin reuse it instead of re-running
+    * the scan — and once for the excluded-rows upper bound (an anti-join
+    * against the checkpointed shortlist keys; inherently a second pass,
+    * since it aggregates over every row NOT shortlisted). */
+  private def pqParts(s: SparkSession, e: DataFrame, cb: Seq[Seq[Seq[Float]]],
       shortlistFactor: Int): (DataFrame, DataFrame) = {
-    val adc = adcScores(s, dir)
+    val adc = adcScores(s, e, cb, pqM, pqKCent)
     val shortlist = graft.plans.TopK.perKey(adc, Seq("qid"),
       Seq(("adc", true), ("vec_id", false)), shortlistFactor * topK)
+      .localCheckpoint()
     val exactU = shortlist
       .withColumn("cos", Sketches.cosineSim(col("qv"), col("embedding")))
       .select(col("qid"), col("vec_id"), col("cos"))
@@ -378,33 +440,31 @@ object Similarity {
   }
 
   /** The per-query coverage certificate `(qid, certified)` — exposed for
-    * the law tests. */
+    * the law tests (computed unconditionally; the viability gate lives in
+    * [[pq]] only). */
   private[graft] def pqCertificates(s: SparkSession, dir: String,
-      shortlistFactor: Int = 8): DataFrame = pqParts(s, dir, shortlistFactor)._2
-
-  private[graft] def pq(s: SparkSession, dir: String,
       shortlistFactor: Int = 8): DataFrame = {
-    val (exactU, cert0) = pqParts(s, dir, shortlistFactor)
-    // ≤ nQueries rows; localCheckpoint so the cert (used twice: keep +
-    // fallback sides) computes the ADC pass once
-    val cert = cert0.localCheckpoint()
-    val certQ = cert.filter(col("certified")).select(col("qid"))
-    val uncertQ = cert.filter(!col("certified")).select(col("qid"))
-    val certTop = exactU.join(broadcast(certQ), Seq("qid"), "left_semi")
-      .withColumn("score", round(col("cos"), 6))
-      .select(col("qid"), col("vec_id"), col("score"))
-    val certTop5 = graft.plans.TopK.perKey(certTop, Seq("qid"),
-      Seq(("score", true), ("vec_id", false)), topK)
     val e = Tables.load(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < nQueries)
+    val cb = trainPqCodebooks(loadSample(e).map(normalized), pqM, pqKCent)
+    pqParts(s, e, cb, shortlistFactor)._2
+  }
+
+  /** Brute-force scored pairs (the exact baseline shape: bounded query
+    * batch broadcast, corpus streams), optionally restricted to a bounded
+    * set of query ids. */
+  private def bruteScores(e: DataFrame, onlyQ: Option[DataFrame]): DataFrame = {
+    val q0 = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .join(broadcast(uncertQ), Seq("qid"), "left_semi")
-    val brute = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+    val q = onlyQ.fold(q0)(ids => q0.join(broadcast(ids), Seq("qid"), "left_semi"))
+    broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .withColumn("score", round(Sketches.cosineSim(col("qv"), col("embedding")), 6))
       .select(col("qid"), col("vec_id"), col("score"))
-    val bruteTop5 = graft.plans.TopK.perKey(brute, Seq("qid"),
-      Seq(("score", true), ("vec_id", false)), topK)
-    val top = certTop5.unionByName(bruteTop5)
+  }
+
+  /** Rank stamp over the ≤k survivors per query: sorted collect +
+    * position, reusing TopK's hash partitioning — no Window, no extra
+    * wide exchange. Shared by [[ivf]] and [[pq]]. */
+  private def rankStamp(top: DataFrame): DataFrame =
     top.groupBy(col("qid"))
       .agg(sort_array(collect_list(
         struct((-col("score")).as("neg"), col("vec_id").as("vec_id"),
@@ -413,6 +473,41 @@ object Similarity {
       .select(col("qid"), col("x.vec_id").as("vec_id"), col("x.score").as("score"),
         (col("pos") + 1).cast("long").as("rn"))
       .orderBy(col("qid"), col("rn"))
+
+  private[graft] def pq(s: SparkSession, dir: String,
+      shortlistFactor: Int = 8): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val sample = loadSample(e).map(normalized)
+    val cb = trainPqCodebooks(sample, pqM, pqKCent)
+    val resid = sampleResiduals(sample, cb).sorted
+    val p90 = resid(math.round((resid.length - 1) * 0.9f))
+    if (p90 > certSkipResidual) {
+      // incompressible corpus: certification cannot succeed (see the
+      // class doc) — skip ADC + certificate, run the exact baseline once
+      graft.StructuredLog.info("pq_cert_skip",
+        "p90_residual" -> f"$p90%.6f", "threshold" -> certSkipResidual,
+        "action" -> "brute_force_all")
+      rankStamp(graft.plans.TopK.perKey(bruteScores(e, None), Seq("qid"),
+        Seq(("score", true), ("vec_id", false)), topK))
+    } else {
+      graft.StructuredLog.info("pq_cert_attempt",
+        "p90_residual" -> f"$p90%.6f", "threshold" -> certSkipResidual)
+      val (exactU, cert0) = pqParts(s, e, cb, shortlistFactor)
+      // ≤ nQueries rows; localCheckpoint so the certificate job (whose
+      // lineage the keep + fallback sides would otherwise both re-run)
+      // computes once
+      val cert = cert0.localCheckpoint()
+      val certQ = cert.filter(col("certified")).select(col("qid"))
+      val uncertQ = cert.filter(!col("certified")).select(col("qid"))
+      val certTop = exactU.join(broadcast(certQ), Seq("qid"), "left_semi")
+        .withColumn("score", round(col("cos"), 6))
+        .select(col("qid"), col("vec_id"), col("score"))
+      val certTop5 = graft.plans.TopK.perKey(certTop, Seq("qid"),
+        Seq(("score", true), ("vec_id", false)), topK)
+      val bruteTop5 = graft.plans.TopK.perKey(bruteScores(e, Some(uncertQ)),
+        Seq("qid"), Seq(("score", true), ("vec_id", false)), topK)
+      rankStamp(certTop5.unionByName(bruteTop5))
+    }
   }
 
   val oracle: Map[String, String] = Map(
