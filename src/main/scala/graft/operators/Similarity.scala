@@ -118,18 +118,14 @@ object Similarity {
     }),
   )
 
-  /** Spherical k-means codebook, trained driver-side on a bounded
-    * deterministic sample (`sampleN` vectors — constant-size collect
-    * regardless of corpus size; model fitting is the one legitimate
-    * driver-side loop in this module). Init = first k sample vectors;
-    * Lloyd iterations assign by cosine and recenter by mean, all
-    * deterministic, so the codebook — and every query using it — is
-    * stable across runs. */
-  private[operators] def trainCodebook(e: DataFrame, k: Int = 16,
-      sampleN: Int = 256, iters: Int = 8): Seq[Seq[Float]] = {
-    val sample: Array[Array[Double]] = e.filter(col("vec_id") < sampleN)
-      .orderBy(col("vec_id")).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+  /** Spherical k-means codebook, trained driver-side on the bounded
+    * deterministic [[loadSample]] (constant-size regardless of corpus
+    * size; model fitting is the one legitimate driver-side loop in this
+    * module). Init = first k sample vectors; Lloyd iterations assign by
+    * cosine and recenter by mean, all deterministic, so the codebook —
+    * and every query using it — is stable across runs. */
+  private[operators] def trainCodebook(sample: Array[Array[Double]],
+      k: Int = 16, iters: Int = 8): Seq[Seq[Float]] = {
     require(sample.length >= k, s"need ≥$k sample vectors, got ${sample.length}")
     val dim = sample.head.length
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -157,32 +153,177 @@ object Similarity {
     centroids.map(_.map(_.toFloat).toSeq).toSeq
   }
 
-  /** IVF ANN: every vector is assigned to its nearest trained-codebook
+  /** CERTIFIED-EXACT IVF search (the PQ discipline applied to cell
+    * geometry): every vector is assigned to its nearest trained-codebook
     * cell by the [[graft.functions.NearestCells]] expression — pure scan-
     * stage compute, no crossed frame, no window, no shuffle (the round-1
     * shape shuffled 16× the corpus through `row_number()` to take this
-    * argmax). Queries probe their top-`nprobe` cells; candidates come from
-    * a broadcast join on cell id (corpus side streams); the exact top-k
-    * re-rank runs on [[graft.plans.TopKPerKey]] bounded heaps — k rows per
-    * query per mapper cross the one hash exchange, and rank is stamped by
-    * sorting the ≤k collected rows per query, not a window over
-    * candidates. */
+    * argmax). The same scan emits `r` = ‖x̂ − ĉ̂_cell‖₂, the residual of
+    * the double-normalized vector to its assigned cell's NORMALIZED
+    * centroid. Queries probe their top-`nprobe` cells; candidates come
+    * from a broadcast join on cell id (corpus side streams) and are
+    * re-ranked by exact cosine in the brute-force output order (rounded
+    * score, vec_id) on [[graft.plans.TopKPerKey]] bounded heaps.
+    *
+    * The coverage certificate, per query: for any vector x in an
+    * UNPROBED cell j, Cauchy–Schwarz gives cos(q,x) = ⟨q̂, ĉ̂_j⟩ +
+    * ⟨q̂, x̂ − ĉ̂_j⟩ ≤ qcos_j + r_x. So ub = max over unprobed-cell rows
+    * of (qcos_cell + r) bounds every non-candidate's true cosine; if
+    * ub < r5 − 2·10⁻⁶ (r5 = the 5th-best ROUNDED candidate score; the
+    * margin absorbs the ≤5·10⁻⁷ round-to-6dp shift on each side plus
+    * tie-breaks), no excluded vector can reach rank ≤ k and the
+    * candidate top-5 IS the exact top-5. Queries that fail certification
+    * re-run brute-force, so the output equals the exact baseline on
+    * EVERY corpus — the brute-force SQL is its registered oracle.
+    * Soundness never depends on probe-set choice: a badly probed query
+    * simply fails its certificate and falls back.
+    *
+    * Same driver-side viability gate as [[pq]]: the training sample's
+    * centroid residuals predict whether any certificate can succeed;
+    * incompressible corpora skip straight to one exact pass
+    * (`ivf_cert_skip` in the structured log). Corpus scans per certified
+    * run: one for candidates, one for the unprobed-cell bound — both
+    * against broadcast ≤k·nQueries-row query frames, partial-aggregated
+    * before the one hash exchange each. */
   private[graft] def ivf(s: SparkSession, dir: String,
       nprobe: Int = 3): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
-    val cb = trainCodebook(e)
-    val cells = e.withColumn("cell",
-      element_at(Sketches.nearestCells(col("embedding"), cb, 1), 1))
-    val probes = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .select(col("qid"), col("qv"),
-        explode(Sketches.nearestCells(col("qv"), cb, nprobe)).as("cell"))
-    val scored = cells.join(broadcast(probes), Seq("cell"))
+    val sample = loadSample(e)
+    val cb = trainCodebook(sample)
+    val cbN: Array[Array[Double]] =
+      cb.map(c => normalized(c.map(_.toDouble).toArray)).toArray
+    val resid = ivfSampleResiduals(sample.map(normalized), cbN).sorted
+    val p90 = resid(math.round((resid.length - 1) * 0.9f))
+    if (p90 > certSkipResidual) {
+      graft.StructuredLog.info("ivf_cert_skip",
+        "p90_residual" -> f"$p90%.6f", "threshold" -> certSkipResidual,
+        "action" -> "brute_force_all")
+      return rankStamp(graft.plans.TopK.perKey(bruteScores(e, None), Seq("qid"),
+        Seq(("score", true), ("vec_id", false)), topK))
+    }
+    graft.StructuredLog.info("ivf_cert_attempt",
+      "p90_residual" -> f"$p90%.6f", "threshold" -> certSkipResidual)
+    val (short, cert) = ivfParts(s, e, cb, cbN, nprobe)
+    val certQ = cert.filter(col("certified")).select(col("qid"))
+    val uncertQ = cert.filter(!col("certified")).select(col("qid"))
+    val certTop5 = short.join(broadcast(certQ), Seq("qid"), "left_semi")
+    val bruteTop5 = graft.plans.TopK.perKey(bruteScores(e, Some(uncertQ)),
+      Seq("qid"), Seq(("score", true), ("vec_id", false)), topK)
+    rankStamp(certTop5.unionByName(bruteTop5))
+  }
+
+  /** (candidate top-5 in brute-force output order, per-query certificate
+    * frame) — the certify-path internals of [[ivf]], shared with the law
+    * tests. Both returned frames are bounded `localCheckpoint`s. */
+  private def ivfParts(s: SparkSession, e: DataFrame, cb: Seq[Seq[Float]],
+      cbN: Array[Array[Double]], nprobe: Int): (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    val k = cb.length
+    // corpus scan: assigned cell + residual to its normalized centroid
+    val cbnFlat = typedLit(cbN.flatten.toSeq)
+    val dim = cbN.head.length
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val nvd = when(nrm === lit(0.0), transform(col("embedding"), x => x.cast("double")))
+      .otherwise(transform(col("embedding"), x => x.cast("double") / nrm))
+    val cells = e
+      .withColumn("cell",
+        element_at(Sketches.nearestCells(col("embedding"), cb, 1), 1))
+      .withColumn("nvec", nvd)
+      .withColumn("cbflat", cbnFlat)
+      .withColumn("r", expr(
+        s"""sqrt(aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE),
+           |  (a, d) -> a + pow(element_at(nvec, d)
+           |    - element_at(cbflat, cell * $dim + d), 2)))""".stripMargin))
+      .drop("nvec", "cbflat")
+    // bounded driver-side query prep (nQueries rows, like PQ's LUT build):
+    // per query, cosine to every normalized centroid → probe set =
+    // top-nprobe cells (ties → lower index), unprobed set carries qcos
+    val qRows = e.filter(col("vec_id") < nQueries).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+    val probedRows = Seq.newBuilder[org.apache.spark.sql.Row]
+    val unprobedRows = Seq.newBuilder[org.apache.spark.sql.Row]
+    qRows.foreach { row =>
+      val qid = row.getLong(0)
+      val qv = row.getSeq[Float](1)
+      val qn = normalized(qv.toArray.map(_.toDouble))
+      val qcos = cbN.map { c =>
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += qn(i) * c(i); i += 1 }
+        dot
+      }
+      val probed = qcos.zipWithIndex.sortBy { case (sc, j) => (-sc, j) }
+        .take(nprobe).map(_._2).toSet
+      (0 until k).foreach { j =>
+        if (probed(j)) probedRows += org.apache.spark.sql.Row(qid, j, qv)
+        else unprobedRows += org.apache.spark.sql.Row(qid, j, qcos(j))
+      }
+    }
+    val probedDf = s.createDataFrame(probedRows.result().asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val unprobedDf = s.createDataFrame(unprobedRows.result().asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("qcos", org.apache.spark.sql.types.DoubleType))))
+    // candidates: members of probed cells, re-ranked in the exact output
+    // order (rounded score, vec_id) — identical tie-breaks to brute force
+    val cand = cells.join(broadcast(probedDf), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("score", round(Sketches.cosineSim(col("qv"), col("embedding")), 6))
       .select(col("qid"), col("vec_id"), col("score"))
-    rankStamp(graft.plans.TopK.perKey(scored, Seq("qid"),
-      Seq(("score", true), ("vec_id", false)), topK))
+    val short = graft.plans.TopK.perKey(cand, Seq("qid"),
+      Seq(("score", true), ("vec_id", false)), topK).localCheckpoint()
+    val r5 = short.groupBy(col("qid"))
+      .agg(min(col("score")).as("r5"), count(lit(1)).as("nres"))
+    // the unprobed-cell bound: ≤(k−nprobe) broadcast rows per query; the
+    // join multiplies each corpus row by its #unprobed-queries but the
+    // partial max collapses to one row per (qid) per partition pre-shuffle
+    val ub = cells.join(broadcast(unprobedDf), Seq("cell"))
+      .select(col("qid"), (col("qcos") + col("r")).as("ub1"))
+      .groupBy(col("qid")).agg(max(col("ub1")).as("ub"))
+    val cert = r5.join(ub, Seq("qid"), "left")
+      .select(col("qid"),
+        (col("nres") === topK &&
+          (col("ub").isNull || col("ub") < col("r5") - lit(2e-6))).as("certified"))
+      .localCheckpoint()
+    (short, cert)
+  }
+
+  /** The per-query IVF coverage certificate `(qid, certified)` — exposed
+    * for the law tests (computed unconditionally; the viability gate
+    * lives in [[ivf]] only). */
+  private[graft] def ivfCertificates(s: SparkSession, dir: String,
+      nprobe: Int = 3): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val cb = trainCodebook(loadSample(e))
+    val cbN = cb.map(c => normalized(c.map(_.toDouble).toArray)).toArray
+    ivfParts(s, e, cb, cbN, nprobe)._2
+  }
+
+  /** Residual of each normalized sample vector to its max-cosine
+    * NORMALIZED centroid — the driver-side viability signal for [[ivf]]'s
+    * certificate short-circuit (mirrors [[sampleResiduals]] for PQ). */
+  private[operators] def ivfSampleResiduals(sample: Array[Array[Double]],
+      cbN: Array[Array[Double]]): Array[Double] = {
+    sample.map { v =>
+      var bestCos = Double.NegativeInfinity; var best = 0
+      var j = 0
+      while (j < cbN.length) {
+        var dot = 0.0; var n2 = 0.0; var i = 0
+        while (i < v.length) { dot += v(i) * cbN(j)(i); n2 += v(i) * v(i); i += 1 }
+        val c = if (n2 == 0.0) Double.NegativeInfinity else dot / math.sqrt(n2)
+        if (c > bestCos) { bestCos = c; best = j }
+        j += 1
+      }
+      var d2 = 0.0; var i = 0
+      while (i < v.length) { val df = v(i) - cbN(best)(i); d2 += df * df; i += 1 }
+      math.sqrt(d2)
+    }
   }
 
   /** Bounded deterministic training sample: `sampleN` vectors — a
@@ -541,6 +682,23 @@ object Similarity {
     // re-rank equals brute force), or the query re-runs brute-force —
     // so the output equals the baseline on every corpus, by construction
     "q_similarity_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    round(list_inner_product(qv, v)
+        |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) AS score
+        |  FROM q CROSS JOIN e WHERE vec_id != qid)
+        |SELECT qid, vec_id, score, rn FROM (
+        |  SELECT qid, vec_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // certified-exact: per query, either the cell-geometry certificate
+    // proves the probed cells cover the true top-5 (then the candidate
+    // re-rank equals brute force), or the query re-runs brute-force —
+    // so the output equals the baseline on every corpus, by construction
+    "q_similarity_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         |scored AS (

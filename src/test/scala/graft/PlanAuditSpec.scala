@@ -123,12 +123,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(planOf("q_winsorize").contains("BroadcastHashJoin"))
   }
 
-  test("IVF assigns cells in the scan stage: no window, one hash exchange") {
+  test("IVF plans without windows or cartesian products, ≤1 hash exchange") {
+    // on the structure-free gate corpus the viability gate routes IVF to
+    // the exact baseline shape: query batch broadcast, corpus streams,
+    // TopKPerKey bounded heaps — one hash exchange (qid clustering; the
+    // rankStamp groupBy reuses its partitioning). The certify-path plan
+    // shapes (scan-stage cell assignment + residual, broadcast probe
+    // frames) are exercised by PipelineSpec's 16-direction corpus.
     val p = planOf("q_similarity_ivf")
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // one hash exchange (TopKPerKey's qid clustering); the only other
-    // exchanges are the broadcast of probes and the final presentation sort
     val hashEx = p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning"))
     assert(hashEx <= 1, s"$hashEx hash exchanges:\n$p")
@@ -137,12 +141,13 @@ class PlanAuditSpec extends SparkSpec {
   test("PQ encodes in the scan stage; LUTs broadcast; no window") {
     val p = planOf("q_similarity_pq")
     assert(!p.contains("Window"), p)
-    // the corpus side never hash-shuffles raw vectors for scoring: the
-    // only hash exchanges are TopKPerKey's qid clusterings (shortlist
-    // re-rank + certified path + brute-force fallback path, ≤k·slf rows
-    // per query per mapper) and the final presentation grouping. The
-    // certificate itself is a ≤nQueries-row localCheckpoint and does not
-    // appear in this plan.
+    // on the structure-free gate corpus the viability gate routes PQ to
+    // the exact baseline shape (query batch broadcast, corpus streams,
+    // TopKPerKey bounded heaps); the certify-path ADC/shortlist plan is
+    // exercised by PipelineSpec's structured corpus. Either way the
+    // corpus side never hash-shuffles raw vectors for scoring — the only
+    // hash exchanges are TopKPerKey qid clusterings and the final
+    // presentation grouping.
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx <= 4, s"$hashEx hash exchanges:\n$p")
     assert(p.contains("TopKPerKeyPartial"), p.take(3000))
