@@ -73,22 +73,27 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // full per-query detail first (for humans / the judge reading stdout)…
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"skipped":$skipped,"failed":$failed,"sf":"$sfDir"}""")
-    // …then a COMPACT summary as the LAST line: the harness keeps only the
-    // final ~2 KB of stdout, and the full line above (95+ queries) can't
-    // fit, so this line is the one that must survive truncation AND parse.
-    // Fixed headline set → comparable across rounds.
+    val nFailed = results.count(!_._3)
+    // full per-query detail goes to a FILE, not stdout: the harness keeps
+    // only the final ~2 KB of stdout, and two JSON lines (full + compact)
+    // proved ambiguous to parse in round 6 — exactly one runner line below.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"skipped":$skipped,"failed":$failed,"sf":"$sfDir"}"""
+    val out = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    // The ONE stdout line (must survive truncation AND parse). Fixed
+    // headline set → comparable across rounds. A run with failures is
+    // flagged partial and counts only queries that actually ran: a -1
+    // sentinel must never masquerade as a faster total.
     val headline = Seq("q_daily_transactions", "q_top5_zones", "q1_agg",
       "q6_filter_range", "q_join_shuffle", "q_multi_join",
       "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_similarity_topk",
       "q_corpus_clean", "q_training_mix", "q_stream_stream_join")
     val head = results.filter(r => headline.contains(r._1))
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"failed":$failed,"sf":"$sfDir"}"""
-    // belt-and-braces artifact in case stdout is mangled by the launcher
-    val out = java.nio.file.Paths.get("target", "bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (compact + "\n").getBytes("UTF-8"))
+    val partial = if (nFailed > 0) ""","partial":true""" else ""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size - nFailed},"n_failed":$nFailed$partial,"queries":${toJson(head)},"failed":$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench.json"),
+      (compact + "\n").getBytes("UTF-8"))
     println(compact)
     spark.stop()
   }

@@ -19,16 +19,10 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * schema converter rejects (PARQUET_TYPE_ILLEGAL). Read it as epoch-nano
-    * Long (`spark.sql.legacy.parquet.nanosAsLong`) and convert to
-    * TimestampType at microsecond precision — the same truncation DuckDB
-    * applies on `CAST(ts_ns AS TIMESTAMP)`, keeping oracle comparisons exact.
-    */
-  /** Register the engine's predicate-rewrite rule (to_date unwrap + ns→µs
-    * conversion pushdown, graft.plans.RewriteToDatePredicates) in this
-    * session if absent — load-bearing for events queries, whose `ts` is a
-    * derived column that otherwise blocks all parquet pushdown. Sessions
+  /** Register the engine's predicate-rewrite rule (to_date unwrap + ns→µs /
+    * NTZ-cast conversion pushdown, graft.plans.RewriteToDatePredicates) in
+    * this session if absent — load-bearing for events queries, whose `ts` is
+    * a derived column that otherwise blocks all parquet pushdown. Sessions
     * built with `GraftExtensions` already have it; this covers
     * caller-provided sessions (e.g. the driver's). */
   private def ensureOptimizerRule(spark: SparkSession): Unit =
@@ -41,11 +35,33 @@ object Tables {
     loadRaw(spark, sfDir, name)
   }
 
+  /** `events.ts` has shipped in three physical representations across
+    * corpus generations; normalize all of them to TimestampType (the session
+    * is pinned UTC, so NTZ→LTZ is value-preserving):
+    *  - parquet TIMESTAMP(NANOS): Spark's converter rejects it
+    *    (PARQUET_TYPE_ILLEGAL) — read as epoch-nano Long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs, the
+    *    same truncation DuckDB applies on `CAST(ts_ns AS TIMESTAMP)`.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): read as
+    *    TIMESTAMP_NTZ — cast to TimestampType.
+    *  - TimestampType: pass through.
+    * The branch is decided from the parquet footer (one driver-side schema
+    * read), so the engine keeps working when the corpus is regenerated with
+    * a different writer — exactly what silently broke 27 queries in round 6.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
   private def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, name))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeTs(spark.read.parquet(path(sfDir, name)), "ts")
     case _ => spark.read.parquet(path(sfDir, name))
   }
 }

@@ -33,17 +33,30 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(workers)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }
     }
     futures.foreach(Await.ready(_, Duration.Inf))
     pool.shutdown()
+    // A failed query must be LOUD in the artifact, not silently absent from
+    // the correctness record (round 6: 27 queries vanished that way) —
+    // errors.json names every failure and the summary line survives in logs.
+    if (!errors.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val body = errors.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/errors.json"), body)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keySet.asScala.toSeq.sorted.mkString(", "))
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: un-wrap `to_date(ts) <cmp> date-literal` predicates into
   * half-open raw-timestamp ranges.
@@ -64,6 +64,21 @@ object RewriteToDatePredicates extends Rule[LogicalPlan] {
     }
   }
 
+  /** `CAST(x AS TIMESTAMP)` over a TIMESTAMP_NTZ column — the engine's
+    * normalization of the micros-NTZ corpus generation (graft.Tables).
+    * Under a UTC session the cast is the identity on the µs payload, so a
+    * predicate on the cast is exactly a predicate on the raw column with
+    * the literal re-typed — which the parquet scan can push down. */
+  private object NtzTs {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c @ Cast(x, TimestampType, tz, _)
+          if x.dataType == TimestampNTZType && x.deterministic &&
+            tz.forall(utcNames.contains) && c.timeZoneId.forall(utcNames.contains) =>
+        Some(x)
+      case _ => None
+    }
+  }
+
   private object TsLit {
     private val max = Long.MaxValue / 1000 - 2
     def unapply(e: Expression): Option[Long] = e match {
@@ -108,6 +123,16 @@ object RewriteToDatePredicates extends Rule[LogicalPlan] {
     case GreaterThan(TsLit(u), NanoTs(x)) => LessThan(x, nanoBound(u))
     case LessThan(TsLit(u), NanoTs(x)) => GreaterThanOrEqual(x, nanoBound(u + 1))
     case LessThanOrEqual(TsLit(u), NanoTs(x)) => GreaterThanOrEqual(x, nanoBound(u))
+    // NTZ-cast unwrap (UTC only: µs payload identical on both sides).
+    // Runs to fixpoint with the to_date cases above, so
+    // `to_date(cast(ntz AS ts)) = d` lowers to a raw NTZ range in two steps.
+    case b: BinaryComparison => (b.left, b.right) match {
+      case (NtzTs(x), TsLit(u)) =>
+        b.withNewChildren(Seq(x, Literal(u, TimestampNTZType)))
+      case (TsLit(u), NtzTs(x)) =>
+        b.withNewChildren(Seq(Literal(u, TimestampNTZType), x))
+      case _ => b
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

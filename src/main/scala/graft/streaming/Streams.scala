@@ -19,9 +19,15 @@ import org.apache.spark.sql.types._
   * per-user state) lives in the state store, bounded by the watermark.
   */
 object Streams {
-  private val eventSchema = StructType(Seq(
+  /** The streaming file source needs an explicit schema; `ts`'s physical
+    * type depends on the corpus generation (epoch-nano Long vs
+    * TIMESTAMP_NTZ micros — see graft.Tables.normalizeTs), so it is filled
+    * in per-directory from one driver-side batch footer read. Reading
+    * micros as if they were nanos silently collapses every timestamp to
+    * ~1970 and with it every window — the round-6 streaming corruption. */
+  private def eventSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) read as epoch-nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -54,15 +60,19 @@ object Streams {
     }
   }
 
-  /** File-source stream over events with ns→µs conversion applied. */
+  /** File-source stream over events with `ts` normalized to TimestampType
+    * regardless of the corpus's physical representation (footer-driven, see
+    * [[eventSchema]]). */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // file source requires a directory; select just the events file via glob
-    spark.readStream
-      .schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(eventSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir),
+      "ts")
   }
 
   private def runToTable(df: DataFrame, spark: SparkSession, mode: OutputMode): DataFrame = {

@@ -24,9 +24,15 @@ class RewriteRuleSpec extends SparkSpec {
         .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
       assert(df.count() == baseline)
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("cast(ts"), s"cast survived:\n$plan")
-      // the predicate must reach the parquet scan on the RAW nanos column
-      // (to_date unwrap + ns→µs conversion pushdown composing)
+      // the FILTER must compare the raw column — no per-row cast/to_date
+      // left in the predicate (the projection's normalization cast on the
+      // output column is fine and expected for the NTZ representation)
+      val filterLines = plan.linesIterator.filter(_.contains("Filter ")).toSeq
+      assert(filterLines.nonEmpty && filterLines.forall(l =>
+        !l.contains("cast(") && !l.contains("to_date")),
+        s"cast survived in Filter:\n$plan")
+      // the predicate must reach the parquet scan on the RAW stored column
+      // (to_date unwrap + representation-conversion pushdown composing)
       assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
         s"no pushdown:\n$plan")
     }
