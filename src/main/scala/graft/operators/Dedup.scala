@@ -179,6 +179,45 @@ object Dedup {
       .unionByName(edges.select(col("u").as("id"), col("u").as("label")).distinct())
   }
 
+  /** Near-dup clusters over the text-identity quotient graph, components
+    * by large-star/small-star — the replication-invariant scale path.
+    *
+    * Identical texts form perfect cliques in the near-dup graph (jaccard
+    * exactly 1.0), so a crawl where the dominant mass is exact duplicates
+    * feeds Θ(Σ mᵢ²) clique edges into every LSS round — the 100× probe
+    * measured 30.5 s for exactly that reason. Neighborhoods are
+    * text-determined (every member has the same jaccard relations as its
+    * representative), so: collapse to one representative per distinct text
+    * (groupBy the text itself — no hash collisions), run candidate
+    * generation + LSS over the representative graph (edge set independent
+    * of duplication depth), and re-expand through the membership join.
+    *
+    * Re-expansion is closed-form: a doc's component is its group's
+    * component; a group with m ≥ 2 is clustered even with no cross-text
+    * edge (its own intra-group clique), labeled by its gid; cluster_rep =
+    * component-min gid = min doc_id over the component's docs (each gid is
+    * its group's min); cluster_size = Σ m over the component's groups.
+    * Texts under 3 words produce no shingles and thus no pairs — excluded,
+    * like the raw pipeline. Equality with plain LSS over the uncollapsed
+    * pair set is law-tested on a replicated corpus (`GraphSpec`). */
+  def docNearDupClustersLss(docsDf: DataFrame): DataFrame = {
+    val base = docsDf.select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val groups = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+      .localCheckpoint() // feeds rep pair-gen, the label join, membership
+    val reps = groups.select(col("gid").as("doc_id"), col("text"))
+    val repLabels = connectedComponentsLss(minhashNearDupPairsOf(reps))
+    val g = groups
+      .join(repLabels.withColumnRenamed("id", "gid"), Seq("gid"), "left")
+      .filter(col("m") >= 2 || col("label").isNotNull)
+      .select(col("text"), coalesce(col("label"), col("gid")).as("label"), col("m"))
+    val sizes = g.groupBy(col("label")).agg(sum(col("m")).as("cluster_size"))
+    base.join(g.select(col("text"), col("label")), "text")
+      .join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+  }
+
   /** (doc_id, idx, chunk, k_doc, k_idx): every 10-word chunk of every doc,
     * tagged with the corpus-wide first occurrence (min (doc_id, idx)) of
     * that chunk's text. Keeper election is a partial-aggregatable
@@ -373,18 +412,13 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
-    // Same clustering contract, computed by the large-star/small-star
-    // algorithm — the O(log² n)-round, long-chain-safe scale path. Must
-    // produce byte-identical clusters to the label-propagation query
-    // (both share the recursive-SQL transitive-closure oracle).
-    "q_dedup_clusters_lss" -> ((s, dir) => {
-      val labels = connectedComponentsLss(minhashNearDupPairs(s, dir))
-      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
-        .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
-          col("cluster_size"))
-        .orderBy(col("doc_id"))
-    }),
+    // Same clustering contract, computed by large-star/small-star over the
+    // text-identity quotient graph — the O(log² n)-round, long-chain-safe,
+    // replication-invariant scale path. Must produce byte-identical
+    // clusters to the label-propagation query (both share the
+    // recursive-SQL transitive-closure oracle).
+    "q_dedup_clusters_lss" -> ((s, dir) =>
+      docNearDupClustersLss(docs(s, dir)).orderBy(col("doc_id"))),
 
     // SimHash over word-3-shingles, banded 16×4 bits: by pigeonhole, any
     // pair within signature hamming ≤ 15 shares at least one band

@@ -80,26 +80,8 @@ object TextAnalysis {
     // side streams through one scan + one bounded per-doc aggregate; docs
     // with zero overlap keep n_shared = 0 via the left join (they must
     // appear in the output — the kept/dropped decision is the product).
-    "q_ngram_containment" -> ((s, dir) => {
-      val g = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          """transform(sequence(0, size(w)-8), i ->
-             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
-                            w[i+4], w[i+5], w[i+6], w[i+7]))"""))).as("gram"))
-      val ev = g.filter(col("doc_id") < 50).select(col("gram")).distinct()
-        .withColumn("hit", lit(1L))
-      g.filter(col("doc_id") >= 50)
-        .join(broadcast(ev), Seq("gram"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
-        .withColumn("containment",
-          round(col("n_shared").cast("double") / col("n_grams"), 6))
-        .withColumn("kept", col("containment") < 0.05)
-        .orderBy(col("doc_id"))
-    }),
+    "q_ngram_containment" -> ((s, dir) =>
+      ngramContainment(docs(s, dir)).orderBy(col("doc_id"))),
 
     // canonical text normalization: lowercase, trim, squeeze runs of
     // spaces — the pure column-algebra pre-tokenization step (both
@@ -156,6 +138,13 @@ object TextAnalysis {
     // enumerate pairs over the (tiny) distinct vocab instead of over
     // every corpus token occurrence; 100 TB of text folds to a few
     // million vocab rows before the per-character work starts.
+    // Driver-side state bound (audit): NONE — the step is pure distributed
+    // column algebra ending in limit(20); nothing is collected. A full
+    // training loop iterates this step with each winning pair folded into
+    // the vocab; the only driver-resident data in that loop is the merge
+    // table itself, bounded by the TARGET VOCAB SIZE (a few 10k rows) —
+    // never by corpus size, which stays behind the word-frequency
+    // aggregate.
     "q_bpe_merge" -> ((s, dir) => {
       val words = docs(s, dir)
         .select(explode(toks(lower(col("text")))).as("word"))
@@ -348,6 +337,50 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
   )
+
+  private val gram8 = expr(
+    """transform(sequence(0, size(w)-8), i ->
+       concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                      w[i+4], w[i+5], w[i+6], w[i+7]))""")
+
+  /** Fractional 8-gram containment of each training doc (doc_id ≥ 50)
+    * against the benchmark set (doc_id < 50), quotiented by text identity.
+    *
+    * Containment is a pure function of the text, so the gram explode +
+    * broadcast join run over DISTINCT training texts and the per-member
+    * scores re-expand through one text-keyed join. On a real crawl the
+    * dominant mass is exact duplicates — the uncollapsed join re-emitted
+    * every copy's identical gram set and measured 28× time at 100× data
+    * (the planted-dup probe corpus); the quotient makes the expensive
+    * stage's volume a function of UNIQUE text, with the re-expansion join
+    * linear in members. Equality with the uncollapsed join is law-tested
+    * on a replicated corpus (`TextAnalysisSpec`).
+    *
+    * Docs with < 8 words have no 8-grams and are excluded (inner
+    * re-expansion join preserves that), matching the DuckDB oracle. */
+  def ngramContainment(docsDf: DataFrame): DataFrame = {
+    val ev = docsDf.filter(col("doc_id") < 50)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(explode(array_distinct(gram8)).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    val members = docsDf.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("text"))
+    val scored = members.select(col("text")).distinct()
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 8)
+      .select(col("text"), explode(array_distinct(gram8)).as("gram"))
+      .join(broadcast(ev), Seq("gram"), "left")
+      .groupBy(col("text"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .withColumn("kept", col("containment") < 0.05)
+    members.join(scored, "text")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        col("containment"), col("kept"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_decontaminate" ->

@@ -164,6 +164,43 @@ class GraphSpec extends SparkSpec {
       lss(201L) == 200L)
   }
 
+  test("quotient lss clusters equal plain lss clusters under dup texts") {
+    import graft.operators.Dedup
+    // the kcore fixture's shape: a near-dup family with multiplicities
+    // 3/2/1 (one cross-text component), an isolated exact-dup PAIR (a
+    // cluster with no quotient edges — exercises the m ≥ 2 self-label
+    // path), an isolated exact-dup TRIPLE, and a singleton (must be
+    // absent from the output)
+    val baseWords = (1 to 20).map(i => s"w$i").mkString(" ")
+    val a = baseWords
+    val b = baseWords + " extra"
+    val c = baseWords + " extra more"
+    val d = (1 to 20).map(i => s"z$i").mkString(" ")
+    val e = (1 to 20).map(i => s"y$i").mkString(" ")
+    val f = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq(1L -> a, 2L -> a, 3L -> a, 4L -> b, 5L -> b, 6L -> c,
+      7L -> d, 8L -> e, 9L -> e, 10L -> f, 11L -> f, 12L -> f)
+      .toDF("doc_id", "text")
+    def toTriples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val quot = toTriples(Dedup.docNearDupClustersLss(docs))
+    val expected = ((1L to 6L).map((_, 1L, 6L)) ++
+      Seq(8L, 9L).map((_, 8L, 2L)) ++ Seq(10L, 11L, 12L).map((_, 10L, 3L))).toSet
+    assert(quot == expected, quot.toString)
+    // equality with plain LSS over the uncollapsed pair set
+    def plainOf(dd: org.apache.spark.sql.DataFrame) = {
+      val labels = Dedup.connectedComponentsLss(Dedup.minhashNearDupPairsOf(dd))
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      toTriples(labels.join(sizes, "label")
+        .select(col("id"), col("label"), col("cluster_size")))
+    }
+    assert(quot == plainOf(docs))
+    // corpus-level equality too (sfDir has its own duplicate structure)
+    val corpus = Tables.load(spark, sfDir, "documents")
+    assert(toTriples(Queries.all("q_dedup_clusters_lss")(spark, sfDir)) ==
+      plainOf(corpus))
+  }
+
   test("pagerank is partitioning-invariant (order-independent sums)") {
     val pairs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").as("doc_a"),

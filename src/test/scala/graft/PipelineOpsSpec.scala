@@ -331,6 +331,46 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("containment: dup collapse equals the uncollapsed join on a replicated corpus") {
+    import org.apache.spark.sql.DataFrame
+    // replicate every training doc 3x under fresh doc_ids: the quotiented
+    // pipeline must hand each copy exactly the score of its text
+    val base = Tables.load(spark, sfDir, "documents")
+    val replicated = base.unionByName(
+      base.filter(col("doc_id") >= 50)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(base.filter(col("doc_id") >= 50)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+    // the pre-quotient formula, verbatim: per-doc gram explode + join
+    def uncollapsed(d: DataFrame): DataFrame = {
+      val g = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(w)-8), i ->
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                            w[i+4], w[i+5], w[i+6], w[i+7]))"""))).as("gram"))
+      val ev = g.filter(col("doc_id") < 50).select(col("gram")).distinct()
+        .withColumn("hit", lit(1L))
+      g.filter(col("doc_id") >= 50)
+        .join(broadcast(ev), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
+        .withColumn("containment",
+          round(col("n_shared").cast("double") / col("n_grams"), 6))
+        .withColumn("kept", col("containment") < 0.05)
+    }
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val quot = rows(graft.operators.TextAnalysis.ngramContainment(replicated))
+    val plain = rows(uncollapsed(replicated))
+    assert(quot.nonEmpty && quot == plain)
+    // and on the corpus itself (the registered query's input)
+    assert(rows(Queries.all("q_ngram_containment")(spark, sfDir)) ==
+      rows(uncollapsed(base)))
+  }
+
   test("event sequences: token count matches, order is by time, one shuffle") {
     val out = q("q_event_sequences").cache()
     try {
