@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Bench tooling (like [[ScaleData]]/[[Explain]]): time the stream-stream
+  * interval join through its PRODUCTION sink — the distributed parquet
+  * path of [[graft.streaming.Streams.purchaseAttributionToParquet]] — on
+  * corpora whose join output is too large for any driver-collected sink.
+  * The 100× probe corpus replicates every purchase and signup 100-fold at
+  * identical timestamps, so each original match becomes 100² matches:
+  * the output is quadratic in replication BY DEFINITION of the join, and
+  * the memory-sink harness variant OOMs collecting it while this path
+  * streams it to executor-written files.
+  *
+  * Usage: runMain graft.ProbeStreamJoin [sfDir]
+  */
+object ProbeStreamJoin {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpointLocation",
+        Scratch.streamingCheckpointBase())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // surface the state observation regardless of log4j config
+    StructuredLog.addListener((_, l) =>
+      if (l.startsWith("event=stream_stream_join_state")) System.err.println(l))
+    val out = Scratch.tempDir("graft_ssj_sink_")
+    val ckpt = Scratch.tempDir("graft_ssj_ckpt_")
+    val t0 = System.nanoTime()
+    val agg = streaming.Streams.purchaseAttributionToParquet(
+      spark, sfDir, s"$out/pairs", s"$ckpt/q")
+    val n = agg.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val pairs = spark.read.parquet(s"$out/pairs").count()
+    println(f"""{"probe":"stream_join_file_sink","sf":"$sfDir","agg_rows":$n,"joined_rows":$pairs,"secs":$secs%.3f}""")
+    spark.stop()
+  }
+}

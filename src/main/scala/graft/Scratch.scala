@@ -25,12 +25,16 @@ object Scratch {
     * correctness, not just hygiene: a reused base + reused query name
     * would RESUME from committed offsets and emit an empty batch instead
     * of recomputing. */
-  def streamingCheckpointBase(): String = {
+  def streamingCheckpointBase(): String = tempDir("graft_ckpt_")
+
+  /** A fresh JVM-unique scratch directory, tmpfs-backed when available,
+    * deleted on JVM exit — same placement policy as the checkpoint base. */
+  def tempDir(prefix: String): String = {
     val shm = Paths.get("/dev/shm")
     val base =
       if (Files.isDirectory(shm) && Files.isWritable(shm))
-        Files.createTempDirectory(shm, "graft_ckpt_")
-      else Files.createTempDirectory("graft_ckpt_")
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(base)))
     base.toString
   }

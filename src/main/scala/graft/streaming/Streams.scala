@@ -176,25 +176,141 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Time-ordered multi-file copy of events (built once per source dir
+    * per JVM, tmpfs-backed): a single-file corpus lands in ONE
+    * `AvailableNow` micro-batch, so both sides of a stream-stream join
+    * sit in state at once and the watermark never evicts anything — the
+    * finite-harness artifact that made q_stream_stream_join the most
+    * expensive bench entry. Slicing the corpus into `nFiles` contiguous
+    * event-time ranges (any cut placement is output-neutral: batch k+1's
+    * rows all sit above batch k's watermark, so nothing is ever late) and
+    * feeding them with maxFilesPerTrigger=1 makes the watermark advance
+    * BETWEEN batches — state holds ~interval+delay of events, the
+    * production bound, instead of the whole corpus. Files get strictly
+    * increasing mtimes so the source's oldest-first ordering is
+    * deterministic. */
+  private val splitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsTimeSliced(spark: SparkSession, dir: String,
+                               nFiles: Int = 4): String =
+    splitDirs.computeIfAbsent(dir, _ => {
+      val out = graft.Scratch.tempDir("graft_evslice_")
+      val ev = graft.Tables.load(spark, dir, "events")
+        .withColumn("t", unix_micros(col("ts")))
+      // quantile cuts only shape the batches, never the output — approx is fine
+      val cuts = ev.stat.approxQuantile(
+        "t", (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.001)
+      val bounds = (Double.NegativeInfinity +: cuts) :+ Double.PositiveInfinity
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val t0 = System.currentTimeMillis()
+      for (i <- 0 until nFiles) {
+        val slice = ev.filter(col("t") >= bounds(i) && col("t") < bounds(i + 1)).drop("t")
+        val tmp = s"$out/.slice_tmp"
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val dst = new org.apache.hadoop.fs.Path(f"$out/events_$i%02d.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/.slice_tmp"), true)
+      out
+    })
+
   /** Stream-stream interval join: each purchase joined to signups by the
     * same user within the preceding 7 days — both sides watermarked so
     * join state is bounded (the watermark + interval bound lets Spark
     * evict signup state older than 7 days + delay). Finite input → the
-    * batch interval-join SQL is an exact oracle. */
-  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val purchases = eventStream(spark, dir)
+    * batch interval-join SQL is an exact oracle.
+    *
+    * The harness feeds [[eventsTimeSliced]] time-range files one per
+    * micro-batch, so the run exercises inter-batch watermark eviction —
+    * the production state-bound path — rather than the single-batch
+    * everything-in-state degenerate case; per-batch state rows are
+    * surfaced via [[graft.StructuredLog]] from the query progress. */
+  /** The interval-join plan over the time-sliced feed, on an isolated
+    * child session: stream-stream join state costs one (offset log +
+    * 4 store deltas) × n_partitions commit per micro-batch, and per-batch
+    * volumes here are corpus/nFiles rows — 32 partitions is pure fixed
+    * overhead at that size. 8 keeps the state commit path cheap without
+    * touching concurrently-planned queries (conf isolation is
+    * per-session). At production volume per batch, size partitions to
+    * the batch, exactly like any shuffle. */
+  private def attributionJoined(spark: SparkSession, dir: String): (SparkSession, DataFrame) = {
+    val sliced = eventsTimeSliced(spark, dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    def side(): DataFrame = {
+      // slices are written from the normalized frame: ts is TimestampType
+      val src = s2.readStream
+        .schema(eventSchema(org.apache.spark.sql.types.TimestampType))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sliced)
+      graft.Tables.normalizeTs(src, "ts")
+    }
+    val purchases = side()
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val signups = eventStream(spark, dir)
+    val signups = side()
       .filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
       .withWatermark("s_ts", "1 hour")
-    val joined = purchases.join(signups,
+    (s2, purchases.join(signups,
       col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
-    runToTable(joined, spark, OutputMode.Append())
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS")))
+  }
+
+  private def logJoinState(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsTotal)
+    graft.StructuredLog.info("stream_stream_join_state",
+      "batches" -> q.recentProgress.length,
+      "max_state_rows" -> (if (stateRows.isEmpty) 0L else stateRows.max),
+      "last_state_rows" -> (if (stateRows.isEmpty) 0L else stateRows.last))
+  }
+
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (s2, joined) = attributionJoined(spark, dir)
+    val name = freshName("graft_stream")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logJoinState(q)
+    s2.table(name)
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_signups_7d"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Production form of [[purchaseAttribution]]: the joined pairs stream
+    * to a DISTRIBUTED parquet sink — executors write, nothing ever lands
+    * on the driver — and one batch aggregate over the sink derives the
+    * per-purchase counts. The memory-sink variant above is the
+    * finite-test harness ONLY: on an output-explosive corpus the interval
+    * join's result is inherently quadratic in replication (N-fold copied
+    * events multiply matches N²; the 100× probe corpus yields 561M
+    * matched rows), so any driver-collected sink OOMs by construction
+    * while this path streams through unchanged. */
+  def purchaseAttributionToParquet(spark: SparkSession, dir: String,
+                                   outDir: String, checkpointDir: String): DataFrame = {
+    val (s2, joined) = attributionJoined(spark, dir)
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logJoinState(q)
+    s2.read.parquet(outDir)
       .groupBy(col("p_id"), col("user_id"))
       .agg(count(lit(1)).as("n_signups_7d"))
       .orderBy(col("p_id"))

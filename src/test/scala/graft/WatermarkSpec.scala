@@ -58,6 +58,55 @@ class WatermarkSpec extends SparkSpec {
     assert(!rows.contains("2024-02-03"), rows.toString)
   }
 
+  test("stream-stream join: multi-batch run equals the batch join, state evicts") {
+    // capture the per-run state observation the harness logs
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = (_: String, l: String) => synchronized {
+      if (l.startsWith("event=stream_stream_join_state")) lines += l: Unit
+    }
+    StructuredLog.addListener(listener)
+    val got = try {
+      streaming.Streams.purchaseAttribution(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally StructuredLog.removeListener(listener)
+    // batch reference: the exact interval join the oracle runs
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val expected = p.join(sg,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_signups_7d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == expected)
+    // the sliced feed must actually span micro-batches AND evict between
+    // them: max state rows strictly below the single-batch degenerate case
+    // (everything in state at once = all purchases + all signups)
+    assert(lines.size == 1, lines.toString)
+    val fields = lines.head.split(" ")
+      .collect { case s if s.contains("=") =>
+        val Array(k, v) = s.split("=", 2); k -> v }.toMap
+    assert(fields("batches").toInt > 1, lines.head)
+    val everything = p.count() + sg.count()
+    assert(fields("max_state_rows").toLong < everything,
+      s"no eviction observed: ${lines.head} vs both-sides=$everything")
+  }
+
+  test("stream-stream join: file-sink (production) form equals the memory-sink form") {
+    val out = Files.createTempDirectory("graft_ssj_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFile = rows(streaming.Streams.purchaseAttributionToParquet(
+      spark, sfDir, s"$out/pairs", s"$ckpt/q"))
+    val viaMemory = rows(streaming.Streams.purchaseAttribution(spark, sfDir))
+    assert(viaFile.nonEmpty && viaFile == viaMemory)
+  }
+
   test("userCounts evicts idle users once the watermark passes the idle gap") {
     val dir = Files.createTempDirectory("graft_evict").toString
     def ts(s: String) = Timestamp.valueOf(s)
