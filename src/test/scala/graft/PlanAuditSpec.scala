@@ -61,6 +61,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!tri.contains("CartesianProduct"), tri)
   }
 
+  test("quotient rewrites: gram/LSS work keyed on distinct text, no cross product") {
+    // containment: the benchmark gram set broadcasts; the training-side
+    // explode + join must sit above a distinct-texts aggregate, and the
+    // membership re-expansion is a hash join, never a cartesian
+    val c = planOf("q_ngram_containment")
+    assert(c.contains("BroadcastHashJoin"), c.take(2000))
+    assert(!c.contains("CartesianProduct"), c.take(2000))
+    assert(c.contains("HashAggregate"), c.take(2000))
+    // LSS clusters: representative pair generation is aggregate-shaped
+    val l = planOf("q_dedup_clusters_lss")
+    assert(!l.contains("CartesianProduct"), l.take(2000))
+  }
+
   test("bloom prune: might_contain gates the fact scan before the join") {
     val p = planOf("q_bloom_prune")
     assert(p.contains("bloom_filter_agg"), p.take(2000))
