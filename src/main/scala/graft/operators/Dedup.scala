@@ -563,32 +563,56 @@ object Dedup {
     // arXiv:2303.09540): connected components over the embedding near-dup
     // graph, ONE representative kept per component — chosen by max vector
     // norm (rounded to the oracle's 6dp, ties to the lower vec_id), a
-    // deterministic stand-in for the paper's quality criterion. Keeper
-    // election is a partial-aggregatable max-struct per label — never a
-    // window over members — and singletons join in with a left join, so
-    // the output is the full deduped corpus in one pass over the labels.
-    "q_dedup_semantic" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val norms = e.select(col("vec_id"), expr(
+    // deterministic stand-in for the paper's quality criterion.
+    "q_dedup_semantic" -> ((s, dir) =>
+      semanticDedupOf(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))),
+  )
+
+  /** SemDeDup over the exact-dup quotient graph: components, keeper
+    * election and sizes all computed per DISTINCT embedding, re-expanded
+    * in closed form — never over member-level pairs.
+    *
+    * The previous shape ran label propagation over the member-expanded
+    * pair set, which on a dup-heavy corpus is Θ(Σ mᵢ·mⱼ) edges for work
+    * the quotient does on one edge per rep pair. Soundness: members of an
+    * exact-dup group share the embedding, hence the norm and every cosine
+    * relation, so (a) a group joins a component iff its rep does; (b) a
+    * group with m ≥ 2 whose self-cosine passes the threshold is a
+    * component even with no cross edges (its members pair with each
+    * other) — while a ZERO vector's self-cosine is null (dropped), so its
+    * copies stay mutual singletons, exactly like the expanded pipeline;
+    * (c) the member-level keeper max(struct(norm, −vec_id)) reduces to
+    * max(struct(norm, −rep)) because each group's min member IS its rep;
+    * (d) member-level cluster_size = Σ m. Equality with the expanded
+    * formula is law-tested (`PipelineSpec`), incl. the zero-vector group.
+    */
+  def semanticDedupOf(e: DataFrame): DataFrame = {
+    val (clusters, repPairs) = embeddingRepCandidatesOf(e)
+    val g = clusters.select(col("rep"), col("members"),
+      size(col("members")).cast("long").as("m"),
+      expr(
         """round(sqrt(aggregate(embedding, cast(0.0 as double),
           |  (acc, x) -> acc + cast(x as double) * cast(x as double))), 6)"""
-          .stripMargin).as("norm"))
-      val pairs = embeddingLshPairs(s, dir)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      val labels = connectedComponents(pairs)
-      val memb = norms.join(labels, norms("vec_id") === labels("id"), "left_outer")
-        .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("label"),
-          col("norm"))
-      val keep = memb.groupBy(col("label")).agg(
-        max(struct(col("norm"), (-col("vec_id")).as("negid"))).as("k"),
-        count(lit(1)).cast("long").as("cluster_size"))
-        .select(col("label"), (-col("k.negid")).as("keeper"), col("cluster_size"))
-      memb.join(keep, "label")
-        .filter(col("vec_id") === col("keeper"))
-        .select(col("vec_id"), col("cluster_size"), col("norm"))
-        .orderBy(col("vec_id"))
-    }),
-  )
+          .stripMargin).as("norm"),
+      (round(Sketches.cosineSim(col("embedding"), col("embedding")), 6) >= 0.45)
+        .as("self_conn"))
+    val labels = connectedComponents(
+      repPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val gl = g.join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
+      .withColumn("label", coalesce(col("label"),
+        when(col("m") >= 2 && col("self_conn"), col("rep"))))
+    val comp = gl.filter(col("label").isNotNull)
+      .groupBy(col("label")).agg(
+        max(struct(col("norm"), (-col("rep")).as("negid"))).as("k"),
+        sum(col("m")).as("cluster_size"))
+      .select((-col("k.negid")).as("vec_id"), col("cluster_size"),
+        col("k.norm").as("norm"))
+    // label-less groups: every member is its own singleton component
+    val singles = gl.filter(col("label").isNull)
+      .select(explode(col("members")).as("vec_id"),
+        lit(1L).as("cluster_size"), col("norm"))
+    comp.unionByName(singles)
+  }
 
   /** LSH-bucketed embedding near-dup: hyperplane-signature buckets generate
     * candidates in O(n·bands), exact cosine verifies ≥0.45 — precision is
@@ -604,16 +628,14 @@ object Dedup {
     * every test SF. A corpus with a real dup/background gap (dups ≥0.8,
     * background ≤0.3) gets the same recall from b=8 at a fraction of the
     * candidate volume — b, r are the per-corpus tuning knobs. */
-  private def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
-    // exact-dup clustering FIRST (the canonical dup-heavy-corpus shape):
-    // identical vectors collapse to one representative before LSH, so the
-    // candidate problem scales with UNIQUE vectors; pairs re-expand over
-    // cluster members afterwards (their cosines are byte-identical to the
-    // representatives'). On a 10×-replicated probe corpus this cut the
-    // query from 224 s to seconds; on a dup-free corpus it is a no-op
-    // costing one aggregate. Within-cluster pairs (cos(v,v), ~1.0) emit
-    // from the clusters directly.
+  /** Shared candidate machinery for the embedding family:
+    * (exact-dup clusters, verified cross-cluster representative pairs).
+    * Exact-dup clustering FIRST (the canonical dup-heavy-corpus shape):
+    * identical vectors collapse to one representative before LSH, so the
+    * candidate problem scales with UNIQUE vectors. On a 10×-replicated
+    * probe corpus this cut the pair query from 224 s to seconds; on a
+    * dup-free corpus it is a no-op costing one aggregate. */
+  private[operators] def embeddingRepCandidatesOf(e: DataFrame): (DataFrame, DataFrame) = {
     val clusters = e.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep"), sort_array(collect_list(col("vec_id"))).as("members"))
     val sigCols = (0 until 4).map(i =>
@@ -635,7 +657,15 @@ object Dedup {
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .withColumn("cos", round(graft.functions.Sketches.cosineSim(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= 0.45)
-    // cross-cluster expansion: |A|×|B| pairs per qualifying rep pair —
+    (clusters, repPairs)
+  }
+
+  private def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val (clusters, repPairs) = embeddingRepCandidatesOf(Tables.load(s, dir, "embeddings"))
+    // within-cluster pairs (cos(v,v), ~1.0) emit from the clusters
+    // directly; cross-cluster pairs re-expand over cluster members
+    // (their cosines are byte-identical to the representatives').
+    // Cross-cluster expansion: |A|×|B| pairs per qualifying rep pair —
     // exactly the true output size, no intermediate blow-up
     val expanded = repPairs
       .join(clusters.select(col("rep").as("vec_a"), col("members").as("ms_a")), "vec_a")

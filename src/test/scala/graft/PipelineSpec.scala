@@ -169,6 +169,55 @@ class PipelineSpec extends SparkSpec {
       s"missed ${(exact -- lsh).size} pairs, spurious ${(lsh -- exact).size}")
   }
 
+  test("semantic dedup quotient equals the member-expanded formula") {
+    import org.apache.spark.sql.DataFrame
+    import graft.functions.Sketches
+    import graft.operators.Dedup
+    // the pre-quotient shape, with exact quadratic pairs (small inputs):
+    // member-level components, member-level keeper election
+    def expanded(e: DataFrame): Set[(Long, Long, Double)] = {
+      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
+      val pairs = a.join(b, col("va") < col("vb"))
+        .withColumn("cos", round(Sketches.cosineSim($"ea", $"eb"), 6))
+        .filter($"cos" >= 0.45)
+        .select($"va".as("doc_a"), $"vb".as("doc_b"))
+      val norms = e.select($"vec_id", expr(
+        """round(sqrt(aggregate(embedding, cast(0.0 as double),
+          |  (acc, x) -> acc + cast(x as double) * cast(x as double))), 6)"""
+          .stripMargin).as("norm"))
+      val labels = Dedup.connectedComponents(pairs)
+      val memb = norms.join(labels, norms("vec_id") === labels("id"), "left_outer")
+        .select($"vec_id", coalesce($"label", $"vec_id").as("label"), $"norm")
+      val keep = memb.groupBy($"label").agg(
+        max(struct($"norm", (-$"vec_id").as("negid"))).as("k"),
+        count(lit(1)).cast("long").as("cluster_size"))
+        .select($"label", (-$"k.negid").as("keeper"), $"cluster_size")
+      memb.join(keep, "label").filter($"vec_id" === $"keeper")
+        .select($"vec_id", $"cluster_size", $"norm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    def quotient(e: DataFrame) = Dedup.semanticDedupOf(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // fixture: a 3-copy group near-dup to a 2-copy group (one component of
+    // 5), a ZERO-vector pair (self-cosine null → members stay mutual
+    // singletons), and an unrelated singleton
+    val v1 = Array(1f, 0f, 0f, 0f)
+    val v2 = Array(0.9f, 0.1f, 0f, 0f)
+    val z = Array(0f, 0f, 0f, 0f)
+    val far = Array(0f, 1f, 0f, 0f)
+    val fix = Seq(1L -> v1, 2L -> v1, 3L -> v1, 4L -> v2, 5L -> v2,
+      6L -> z, 7L -> z, 8L -> far).toDF("vec_id", "embedding")
+    val got = quotient(fix)
+    assert(got == expanded(fix), s"got=$got")
+    assert(got.map(_._1) == Set(1L, 6L, 7L, 8L), got.toString)
+    assert(got.find(_._1 == 1L).get._2 == 5L) // component of 5, keeper norm 1.0
+    assert(got.count(_._2 == 1L) == 3) // two zero copies + far, all singletons
+    // and on the corpus (the registered query's input)
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    assert(quotient(corpus) == expanded(corpus))
+  }
+
   test("minhash LSH near-dup pairs match simhash near-dup pairs on corpus") {
     val mh = Queries.all("q_dedup_minhash_lsh")(spark, sfDir)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
