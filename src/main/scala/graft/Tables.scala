@@ -53,8 +53,27 @@ object Tables {
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType =>
         df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
+  /** Embedding vectors normalize to `array<float>` for the same reason
+    * [[normalizeTs]] exists: the custom similarity expressions type-check
+    * against ArrayType(FloatType), and a corpus regenerated with double
+    * (or decimal) elements would otherwise fail ANALYSIS on every
+    * embedding query at once — the failure mode that silently wiped 27
+    * events queries in round 6. A widening regeneration costs one
+    * narrowing cast here (values that were floats once round-trip
+    * losslessly); today's corpus is already float and this is a no-op. */
+  def normalizeEmbedding(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => df
+      case _: org.apache.spark.sql.types.ArrayType =>
+        df.withColumn(c, col(c).cast("array<float>"))
       case _ => df
     }
 
@@ -62,6 +81,8 @@ object Tables {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeTs(spark.read.parquet(path(sfDir, name)), "ts")
+    case "embeddings" =>
+      normalizeEmbedding(spark.read.parquet(path(sfDir, name)), "embedding")
     case _ => spark.read.parquet(path(sfDir, name))
   }
 }

@@ -49,6 +49,46 @@ class SchemaDriftSpec extends SparkSpec {
     assert(s("k").dataType == IntegerType)
   }
 
+  test("Tables.load adapts to regenerated corpus representations") {
+    // events.ts across corpus generations: epoch-nano long, micros-NTZ
+    // (the round-6 regeneration), string, date — all normalize to
+    // TimestampType so every downstream predicate/window/watermark works
+    val dir = Files.createTempDirectory("graft_regen").toString
+    def loadEvents(writer: => Unit): org.apache.spark.sql.DataFrame = {
+      writer
+      Tables.load(spark, dir, "events")
+    }
+    val base = Seq((1L, "2024-01-15 10:30:00"), (2L, "2024-01-16 00:00:00"))
+    // string ts
+    var df = loadEvents {
+      base.toDF("event_id", "ts").write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+    }
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.filter($"ts" >= "2024-01-16").count() == 1)
+    // long ts (epoch nanos)
+    df = loadEvents {
+      base.map { case (id, s) =>
+        (id, java.sql.Timestamp.valueOf(s).getTime * 1000000L) }
+        .toDF("event_id", "ts").write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+    }
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.filter($"ts" >= "2024-01-16").count() == 1)
+    // embeddings: double elements narrow to array<float> so the custom
+    // similarity expressions still type-check after a widening regeneration
+    Seq((1L, Array(1.0, 0.5)), (2L, Array(0.0, 2.0)))
+      .toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val e = Tables.load(spark, dir, "embeddings")
+    assert(e.schema("embedding").dataType == ArrayType(FloatType, true) ||
+      e.schema("embedding").dataType == ArrayType(FloatType, false))
+    // a representative custom expression must analyze and evaluate
+    val cos = e.select(graft.functions.Sketches.cosineSim(
+      $"embedding", $"embedding").as("c")).collect().map(_.getDouble(0))
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-6))
+  }
+
   test("csv round-trips with explicit schema; FAILFAST rejects malformed rows") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val src = Tables.load(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
