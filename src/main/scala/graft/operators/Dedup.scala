@@ -566,6 +566,30 @@ object Dedup {
     // deterministic stand-in for the paper's quality criterion.
     "q_dedup_semantic" -> ((s, dir) =>
       semanticDedupOf(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))),
+
+    // SEMANTIC decontamination — the third standard gate next to
+    // q_decontaminate (absolute 8-gram overlap) and q_ngram_containment
+    // (fractional): drop a training item when its embedding is too close
+    // to ANY benchmark item, catching paraphrases and translations the
+    // n-gram gates cannot see. Scale shape: the benchmark side is bounded
+    // (an eval suite — thousands of vectors, here ids < 50) and
+    // BROADCASTS; the training side streams through one scan with a
+    // 50-way in-scan expansion that a partial max collapses map-side —
+    // no shuffle beyond the per-vector aggregate, the q_decontaminate
+    // discipline applied to vectors. Zero-vector caveat inherited from
+    // the cosine family: cos(0, ·) is null and drops from max.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") < 50)
+        .select(col("embedding").as("b_emb"))
+      e.filter(col("vec_id") >= 50)
+        .crossJoin(broadcast(bench))
+        .withColumn("cos", round(Sketches.cosineSim(col("embedding"), col("b_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cos")).as("max_benchmark_cos"))
+        .withColumn("kept", col("max_benchmark_cos") < 0.45)
+        .orderBy(col("vec_id"))
+    }),
   )
 
   /** SemDeDup over the exact-dup quotient graph: components, keeper
@@ -903,5 +927,16 @@ object Dedup {
         |WHERE round(list_inner_product(a.v, b.v)
         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT t.vec_id,
+        |  max(round(list_inner_product(t.v, b.v)
+        |    / (sqrt(list_inner_product(t.v, t.v)) * sqrt(list_inner_product(b.v, b.v))), 6))
+        |    AS max_benchmark_cos,
+        |  max(round(list_inner_product(t.v, b.v)
+        |    / (sqrt(list_inner_product(t.v, t.v)) * sqrt(list_inner_product(b.v, b.v))), 6))
+        |    < 0.45 AS kept
+        |FROM e t JOIN e b ON t.vec_id >= 50 AND b.vec_id < 50
+        |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
   )
 }

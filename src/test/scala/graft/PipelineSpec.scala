@@ -218,6 +218,27 @@ class PipelineSpec extends SparkSpec {
     assert(quotient(corpus) == expanded(corpus))
   }
 
+  test("semantic decontamination: gate consistent with the exact pair set") {
+    val out = Queries.all("q_decontaminate_semantic")(spark, sfDir).cache()
+    try {
+      val e = Tables.load(spark, sfDir, "embeddings")
+      // one row per training vector, kept is exactly the threshold gate
+      assert(out.count() == e.filter($"vec_id" >= 50).count())
+      assert(out.filter($"kept" =!= ($"max_benchmark_cos" < 0.45)).isEmpty)
+      assert(out.filter($"max_benchmark_cos" > 1.000001 ||
+        $"max_benchmark_cos" < -1.000001).isEmpty)
+      // dropped ⟺ the exact quadratic pair set holds a ≥0.45 pair against
+      // a benchmark id (q_dedup_embedding emits exactly those pairs, and
+      // vec_a < vec_b puts the benchmark side on the left for ids < 50)
+      val contaminated = Queries.all("q_dedup_embedding")(spark, sfDir)
+        .filter($"vec_a" < 50 && $"vec_b" >= 50)
+        .select($"vec_b".as("vec_id")).distinct()
+      val dropped = out.filter(!$"kept").select($"vec_id")
+      assert(dropped.exceptAll(contaminated).isEmpty &&
+        contaminated.exceptAll(dropped).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("minhash LSH near-dup pairs match simhash near-dup pairs on corpus") {
     val mh = Queries.all("q_dedup_minhash_lsh")(spark, sfDir)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -74,6 +74,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!l.contains("CartesianProduct"), l.take(2000))
   }
 
+  test("semantic decontamination: bounded benchmark side broadcasts") {
+    val p = planOf("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the 50-way expansion collapses map-side before any exchange
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("bloom prune: might_contain gates the fact scan before the join") {
     val p = planOf("q_bloom_prune")
     assert(p.contains("bloom_filter_agg"), p.take(2000))
