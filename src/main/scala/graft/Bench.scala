@@ -38,6 +38,9 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema preflight BEFORE any timing: an unhandled corpus drift must
+    // fail the bench loudly, not ship a round of corrupted numbers (r6)
+    Tables.preflight(spark, sfDir)
     // warm-up: session/codegen/parquet-footer costs land here, not on q1
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // best of two runs per query: the first run pays one-off codegen/plan
@@ -77,7 +80,7 @@ object Bench {
     // full per-query detail goes to a FILE, not stdout: the harness keeps
     // only the final ~2 KB of stdout, and two JSON lines (full + compact)
     // proved ambiguous to parse in round 6 — exactly one runner line below.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"skipped":$skipped,"failed":$failed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"skipped":$skipped,"failed":$failed,"sf":"$sfDir",${RunMeta.jsonFields()}}"""
     val out = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
@@ -91,7 +94,7 @@ object Bench {
       "q_corpus_clean", "q_training_mix", "q_stream_stream_join")
     val head = results.filter(r => headline.contains(r._1))
     val partial = if (nFailed > 0) ""","partial":true""" else ""
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size - nFailed},"n_failed":$nFailed$partial,"queries":${toJson(head)},"failed":$failed,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size - nFailed},"n_failed":$nFailed$partial,"queries":${toJson(head)},"failed":$failed,"sf":"$sfDir",${RunMeta.jsonFields()}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench.json"),
       (compact + "\n").getBytes("UTF-8"))
     println(compact)

@@ -39,7 +39,24 @@ object ProbeStreamJoin {
     val n = agg.count()
     val secs = (System.nanoTime() - t0) / 1e9
     val pairs = spark.read.parquet(s"$out/pairs").count()
-    println(f"""{"probe":"stream_join_file_sink","sf":"$sfDir","agg_rows":$n,"joined_rows":$pairs,"secs":$secs%.3f}""")
+    // invariant: the streaming interval join must emit exactly the batch
+    // join's row count — the time-sliced feed's "output-neutral" claim
+    // depends on oldest-mtime-first file ordering (Streams.eventsTimeSliced
+    // scaladoc), and a silent ordering regression would DROP late-arriving
+    // matches; a count mismatch here makes that loud at probe scale.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val batchRows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("ts").as("s_ts")),
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .count()
+    val ok = pairs == batchRows
+    println(f"""{"probe":"stream_join_file_sink","sf":"$sfDir","agg_rows":$n,"joined_rows":$pairs,"batch_rows":$batchRows,"rows_match":$ok,"secs":$secs%.3f}""")
+    if (!ok) sys.error(s"stream join dropped rows: streamed=$pairs batch=$batchRows")
     spark.stop()
   }
 }

@@ -72,10 +72,124 @@ object Tables {
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => df
-      case _: org.apache.spark.sql.types.ArrayType =>
+      case at: org.apache.spark.sql.types.ArrayType =>
+        // a genuinely double/decimal regeneration LOSES precision here
+        // relative to the DuckDB oracle (which reads stored values as
+        // DOUBLE[]) — make the narrowing visible so a 6dp mismatch at a
+        // cosine threshold boundary is traceable to this cast, not a hunt
+        StructuredLog.warn("embedding_narrowed",
+          "from" -> at.elementType.simpleString, "to" -> "float",
+          "column" -> c)
         df.withColumn(c, col(c).cast("array<float>"))
       case _ => df
     }
+
+  // ---------------------------------------------------------------------
+  // Corpus schema preflight — the round-6 lesson made EXPLICIT and LOUD.
+  // The driver regenerates /root/testdata between rounds and the physical
+  // schema has already shipped three ways for events.ts alone; the
+  // normalize* adapters absorb the KNOWN drifts, and this gate fails the
+  // run (before any artifact is written) when a regeneration ships a
+  // drift they don't handle, printing the exact diff instead of letting
+  // 27 queries silently go wrong like round 6 did.
+  // ---------------------------------------------------------------------
+
+  /** Expected POST-LOAD logical schema per table, as (column, type-class)
+    * pairs. Type-classes absorb the drifts the engine handles by
+    * construction: any integral width (values unchanged, oracle casts
+    * consistently), TIMESTAMP with or without time zone (the session is
+    * pinned UTC, so NTZ≡LTZ value-wise), and `events.ts`/`embedding`
+    * post-normalization ([[normalizeTs]]/[[normalizeEmbedding]]).
+    * Everything else must match exactly — a string column arriving as a
+    * struct, a double arriving as float, a renamed or missing column all
+    * fail the gate. */
+  private[graft] val expectedSchemas: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "integral", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "integral", "n_name" -> "string",
+      "n_regionkey" -> "integral"),
+    "customer" -> Seq("c_custkey" -> "integral", "c_name" -> "string",
+      "c_nationkey" -> "integral", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "integral", "s_name" -> "string",
+      "s_nationkey" -> "integral", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "integral", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "integral",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "integral", "o_custkey" -> "integral",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "integral", "l_partkey" -> "integral",
+      "l_suppkey" -> "integral", "l_linenumber" -> "integral",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "integral", "ts" -> "timestamp",
+      "user_id" -> "integral", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "integral", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integral"),
+    "embeddings" -> Seq("vec_id" -> "integral",
+      "embedding" -> "array<float>", "label" -> "integral"))
+
+  private def typeClass(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case other => other.simpleString
+    }
+  }
+
+  /** Check one table against [[expectedSchemas]]; `None` = clean, `Some` =
+    * human-readable diff. Also logs the table's raw footer schema and the
+    * post-load fingerprint (md5 of `name:class` pairs) so round artifacts
+    * record exactly which corpus generation they ran against. */
+  def preflightTable(spark: SparkSession, sfDir: String, name: String): Option[String] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path(sfDir, name)).schema
+    val rawStr = raw.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    val got = load(spark, sfDir, name).schema.fields.toSeq
+      .map(f => f.name -> typeClass(f.dataType))
+    val gotStr = got.map { case (n, c) => s"$n:$c" }.mkString(",")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(rawStr.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    StructuredLog.info("corpus_schema", "table" -> name, "footer" -> rawStr,
+      "loaded" -> gotStr, "fingerprint" -> fp)
+    val exp = expectedSchemas(name)
+    // normalizeEmbedding casts ANY array element type, so a non-numeric
+    // regeneration (array<string> → all-null floats) would slip through a
+    // post-load check — gate on the raw footer element type too
+    val rawProblem = if (name != "embeddings") None else
+      raw.fields.find(_.name == "embedding").map(_.dataType).flatMap {
+        case org.apache.spark.sql.types.ArrayType(et, _)
+          if et.isInstanceOf[org.apache.spark.sql.types.NumericType] => None
+        case other => Some(s"embeddings.embedding footer type ${other.simpleString} is not a numeric array")
+      }
+    rawProblem.orElse {
+      if (got == exp) None
+      else Some(s"$name drifted:\n  expected ${exp.map { case (n, c) => s"$n:$c" }.mkString(",")}\n  loaded   $gotStr\n  footer   $rawStr")
+    }
+  }
+
+  /** Fail loudly (before any artifact is written) when any table's schema
+    * drifted beyond what the loaders handle; logs one `corpus_schema`
+    * fingerprint line per table either way, echoed to stderr so the gate
+    * is visible in the bench/verify tail regardless of log4j level. */
+  def preflight(spark: SparkSession, sfDir: String): Unit = {
+    val echo = (_: String, line: String) =>
+      if (line.startsWith("event=corpus_schema")) System.err.println(line)
+    StructuredLog.addListener(echo)
+    val problems = try names.flatMap(preflightTable(spark, sfDir, _))
+    finally StructuredLog.removeListener(echo)
+    if (problems.nonEmpty) {
+      val msg = "corpus schema preflight FAILED — unhandled drift; refusing " +
+        "to produce artifacts from a mis-read corpus (round-6 lesson):\n" +
+        problems.mkString("\n")
+      StructuredLog.error("corpus_schema_drift", "tables" -> problems.size)
+      throw new IllegalStateException(msg)
+    }
+  }
 
   private def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>

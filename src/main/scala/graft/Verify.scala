@@ -30,7 +30,13 @@ object Verify {
         Scratch.streamingCheckpointBase())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema preflight BEFORE any query runs: refuse to write a
+    // correctness dump from a mis-read corpus (round-6 lesson)
+    Tables.preflight(spark, sfDir)
     new java.io.File(outDir).mkdirs()
+    // provenance stamp for the correctness artifact (commit + UTC time)
+    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      s"{${RunMeta.jsonFields()},\"sf\":\"$sfDir\"}")
     val pool = Executors.newFixedThreadPool(workers)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()

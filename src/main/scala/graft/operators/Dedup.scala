@@ -577,7 +577,11 @@ object Dedup {
     // 50-way in-scan expansion that a partial max collapses map-side —
     // no shuffle beyond the per-vector aggregate, the q_decontaminate
     // discipline applied to vectors. Zero-vector caveat inherited from
-    // the cosine family: cos(0, ·) is null and drops from max.
+    // the cosine family: cos(0, ·) is null and drops from max — such a
+    // vector has NO similarity to any benchmark item, so `kept` coalesces
+    // to true (max_benchmark_cos stays null, faithfully "no defined
+    // cosine"); without the coalesce a downstream boolean filter would
+    // read the null as false and silently DROP the vector.
     "q_decontaminate_semantic" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val bench = e.filter(col("vec_id") < 50)
@@ -587,7 +591,7 @@ object Dedup {
         .withColumn("cos", round(Sketches.cosineSim(col("embedding"), col("b_emb")), 6))
         .groupBy(col("vec_id"))
         .agg(max(col("cos")).as("max_benchmark_cos"))
-        .withColumn("kept", col("max_benchmark_cos") < 0.45)
+        .withColumn("kept", coalesce(col("max_benchmark_cos") < 0.45, lit(true)))
         .orderBy(col("vec_id"))
     }),
   )
@@ -933,9 +937,9 @@ object Dedup {
         |  max(round(list_inner_product(t.v, b.v)
         |    / (sqrt(list_inner_product(t.v, t.v)) * sqrt(list_inner_product(b.v, b.v))), 6))
         |    AS max_benchmark_cos,
-        |  max(round(list_inner_product(t.v, b.v)
+        |  COALESCE(max(round(list_inner_product(t.v, b.v)
         |    / (sqrt(list_inner_product(t.v, t.v)) * sqrt(list_inner_product(b.v, b.v))), 6))
-        |    < 0.45 AS kept
+        |    < 0.45, TRUE) AS kept
         |FROM e t JOIN e b ON t.vec_id >= 50 AND b.vec_id < 50
         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
   )

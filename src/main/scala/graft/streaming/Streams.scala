@@ -124,6 +124,55 @@ object Streams {
       .agg(count(lit(1)).as("n_unique_events"))
   }
 
+  /** Watermark-BOUNDED streaming dedup — the production form of
+    * [[dedupCount]]. `dropDuplicates` holds every key ever seen (corpus-
+    * lifetime state: the whole key set in the store, measured at 71.5 s /
+    * 15M keys in the r7 probe), which is the right contract only when
+    * global uniqueness is the requirement. A 100 TB ingest pipeline
+    * instead bounds dedup to the lateness window —
+    * `dropDuplicatesWithinWatermark` evicts a key once the watermark
+    * passes its event time + delay, so state holds ~delay's worth of keys
+    * no matter how long the stream runs (mirroring the reference's
+    * bounded daily-slice semantics, `calculate_daily_transactions.py:85`:
+    * each day is deduplicated against itself, not against all history).
+    *
+    * Contract: duplicates arriving within `delay` of each other collapse
+    * to one row; a copy arriving after its key's eviction is re-admitted
+    * (pinned in `WatermarkSpec`). The batch COUNT(DISTINCT) oracle is
+    * exact whenever every duplicate group spans less than `delay` of
+    * event time — trivially true here (corpus event_ids are unique, and
+    * [[eventsTimeSliced]] cuts by VALUE, so equal-timestamp copies always
+    * share a micro-batch).
+    *
+    * The corpus streams in as [[eventsTimeSliced]] time-range files, one
+    * per micro-batch, so the watermark advances and eviction actually
+    * runs (single-file AvailableNow would hold everything in state once —
+    * the degenerate case this query exists to avoid); per-batch state
+    * rows are surfaced via [[graft.StructuredLog]] as
+    * `stream_dedup_windowed_state` and asserted ≪ total keys in
+    * `WatermarkSpec`. */
+  def dedupWindowedCount(spark: SparkSession, dir: String,
+                         nFiles: Int = 8): DataFrame = {
+    val sliced = eventsTimeSliced(spark, dir, nFiles)
+    val src = spark.readStream
+      .schema(eventSchema(org.apache.spark.sql.types.TimestampType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sliced)
+    val deduped = graft.Tables.normalizeTs(src, "ts")
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = freshName("graft_stream")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logStateMetrics("stream_dedup_windowed_state", q)
+    spark.table(name).agg(count(lit(1)).as("n_unique_events"))
+  }
+
   /** Idle horizon for per-user state: a user silent this long past the
     * watermark is evicted (final count emitted, state removed). Bounds the
     * state store to recently-active users — with NoTimeout the store grows
@@ -176,23 +225,42 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
-  /** Time-ordered multi-file copy of events (built once per source dir
-    * per JVM, tmpfs-backed): a single-file corpus lands in ONE
-    * `AvailableNow` micro-batch, so both sides of a stream-stream join
-    * sit in state at once and the watermark never evicts anything — the
-    * finite-harness artifact that made q_stream_stream_join the most
-    * expensive bench entry. Slicing the corpus into `nFiles` contiguous
-    * event-time ranges (any cut placement is output-neutral: batch k+1's
-    * rows all sit above batch k's watermark, so nothing is ever late) and
-    * feeding them with maxFilesPerTrigger=1 makes the watermark advance
-    * BETWEEN batches — state holds ~interval+delay of events, the
-    * production bound, instead of the whole corpus. Files get strictly
-    * increasing mtimes so the source's oldest-first ordering is
-    * deterministic. */
+  /** Time-ordered multi-file copy of events (built once per (source dir,
+    * slice count, corpus version) per JVM, tmpfs-backed): a single-file
+    * corpus lands in ONE `AvailableNow` micro-batch, so both sides of a
+    * stream-stream join sit in state at once and the watermark never
+    * evicts anything — the finite-harness artifact that made
+    * q_stream_stream_join the most expensive bench entry. Slicing the
+    * corpus into `nFiles` contiguous event-time ranges (any cut placement
+    * is output-neutral: batch k+1's rows all sit above batch k's
+    * watermark, so nothing is ever late) and feeding them with
+    * maxFilesPerTrigger=1 makes the watermark advance BETWEEN batches —
+    * state holds ~interval+delay of events, the production bound, instead
+    * of the whole corpus.
+    *
+    * ORDERING DEPENDENCY: "output-neutral" rests on FileStreamSource
+    * consuming files oldest-mtime-first, which the strictly increasing
+    * `fs.setTimes` stamps (1 s apart, far above any filesystem mtime
+    * granularity) pin down. If the slices ever arrived out of event-time
+    * order, earlier-range rows would fall below the advanced watermark and
+    * be silently dropped — which is why [[graft.ProbeStreamJoin]] asserts
+    * joined-rows equality against the batch join at probe scale, and
+    * `WatermarkSpec` does the same at test SF: a Spark file-ordering
+    * change surfaces as a loud count mismatch, not silent loss.
+    *
+    * The cache key includes the source file's (mtime, length), so a corpus
+    * regenerated in place within one JVM gets fresh slices, not stale
+    * ones. */
   private val splitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def eventsTimeSliced(spark: SparkSession, dir: String,
-                               nFiles: Int = 4): String =
-    splitDirs.computeIfAbsent(dir, _ => {
+                               nFiles: Int = 4): String = {
+    val srcStat = {
+      val p = new org.apache.hadoop.fs.Path(graft.Tables.path(dir, "events"))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      s"${st.getModificationTime}:${st.getLen}"
+    }
+    splitDirs.computeIfAbsent(s"$dir|$nFiles|$srcStat", _ => {
       val out = graft.Scratch.tempDir("graft_evslice_")
       val ev = graft.Tables.load(spark, dir, "events")
         .withColumn("t", unix_micros(col("ts")))
@@ -216,6 +284,7 @@ object Streams {
       fs.delete(new org.apache.hadoop.fs.Path(s"$out/.slice_tmp"), true)
       out
     })
+  }
 
   /** Stream-stream interval join: each purchase joined to signups by the
     * same user within the preceding 7 days — both sides watermarked so
@@ -262,15 +331,18 @@ object Streams {
         col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS")))
   }
 
-  private def logJoinState(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+  private def logStateMetrics(event: String,
+                              q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val stateRows = q.recentProgress.toSeq
       .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
       .map(_.numRowsTotal)
-    graft.StructuredLog.info("stream_stream_join_state",
+    graft.StructuredLog.info(event,
       "batches" -> q.recentProgress.length,
       "max_state_rows" -> (if (stateRows.isEmpty) 0L else stateRows.max),
       "last_state_rows" -> (if (stateRows.isEmpty) 0L else stateRows.last))
   }
+  private def logJoinState(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    logStateMetrics("stream_stream_join_state", q)
 
   def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
     val (s2, joined) = attributionJoined(spark, dir)
@@ -564,6 +636,7 @@ object Streams {
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
     "q_stream_hop_counts" -> ((s, dir) => hopCounts(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupCount(s, dir)),
+    "q_stream_dedup_windowed" -> ((s, dir) => dedupWindowedCount(s, dir)),
     "q_stream_user_counts" -> ((s, dir) => userCounts(s, dir)),
     "q_stream_stream_join" -> ((s, dir) => purchaseAttribution(s, dir)),
     "q_stream_dedup_pairs" -> ((s, dir) => streamingNearDupPairs(s, dir)),
@@ -612,6 +685,10 @@ object Streams {
         |  COUNT(*) AS n_events
         |FROM x GROUP BY 1, 2 ORDER BY w_start""".stripMargin,
     "q_stream_dedup" ->
+      "SELECT COUNT(DISTINCT event_id) AS n_unique_events FROM events",
+    // exact while every duplicate group spans < the 1-day lateness window
+    // (see dedupWindowedCount's contract scaladoc)
+    "q_stream_dedup_windowed" ->
       "SELECT COUNT(DISTINCT event_id) AS n_unique_events FROM events",
     "q_stream_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events

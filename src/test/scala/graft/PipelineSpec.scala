@@ -227,16 +227,38 @@ class PipelineSpec extends SparkSpec {
       assert(out.filter($"kept" =!= ($"max_benchmark_cos" < 0.45)).isEmpty)
       assert(out.filter($"max_benchmark_cos" > 1.000001 ||
         $"max_benchmark_cos" < -1.000001).isEmpty)
-      // dropped ⟺ the exact quadratic pair set holds a ≥0.45 pair against
-      // a benchmark id (q_dedup_embedding emits exactly those pairs, and
-      // vec_a < vec_b puts the benchmark side on the left for ids < 50)
-      val contaminated = Queries.all("q_dedup_embedding")(spark, sfDir)
-        .filter($"vec_a" < 50 && $"vec_b" >= 50)
-        .select($"vec_b".as("vec_id")).distinct()
+      // dropped ⟺ the UNCAPPED exact quadratic pair set holds a ≥0.45
+      // pair against a benchmark id. Built here rather than reusing
+      // q_dedup_embedding, whose vec_id < 1000 cap would miss a training
+      // vector ≥ 1000 contaminated on a regenerated corpus and fail this
+      // equality spuriously.
+      val contaminated = e.filter($"vec_id" >= 50)
+        .select($"vec_id", $"embedding".as("t_emb"))
+        .crossJoin(broadcast(
+          e.filter($"vec_id" < 50).select($"embedding".as("b_emb"))))
+        .filter(round(graft.functions.Sketches.cosineSim($"t_emb", $"b_emb"), 6) >= 0.45)
+        .select($"vec_id").distinct()
       val dropped = out.filter(!$"kept").select($"vec_id")
       assert(dropped.exceptAll(contaminated).isEmpty &&
         contaminated.exceptAll(dropped).isEmpty)
     } finally out.unpersist()
+  }
+
+  test("semantic decontamination keeps a zero training vector (null-safe gate)") {
+    // cos(0, ·) is undefined → max_benchmark_cos null; kept must coalesce
+    // to TRUE (no similarity to any benchmark item), or a downstream
+    // boolean filter would read the null as false and drop the vector
+    val dir = java.nio.file.Files.createTempDirectory("graft_zerovec").toString
+    Seq(
+      (0L, Array(1f, 0f, 0f), 0),  // benchmark side (vec_id < 50)
+      (50L, Array(0f, 0f, 0f), 0), // zero training vector
+      (51L, Array(1f, 0f, 0f), 0)) // contaminated training vector
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Queries.all("q_decontaminate_semantic")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(2)))).toMap
+    assert(out(50L) == ((None, true)), s"zero vector must be kept: $out")
+    assert(!out(51L)._2, s"contaminated vector must be dropped: $out")
   }
 
   test("minhash LSH near-dup pairs match simhash near-dup pairs on corpus") {

@@ -89,6 +89,48 @@ class SchemaDriftSpec extends SparkSpec {
     assert(cos.forall(c => math.abs(c - 1.0) < 1e-6))
   }
 
+  test("preflight passes every corpus table and logs a fingerprint per table") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = (_: String, l: String) => synchronized {
+      if (l.startsWith("event=corpus_schema")) lines += l: Unit
+    }
+    StructuredLog.addListener(listener)
+    try Tables.names.foreach { t =>
+      assert(Tables.preflightTable(spark, sfDir, t).isEmpty, s"table $t drifted")
+    } finally StructuredLog.removeListener(listener)
+    assert(lines.size == Tables.names.size, lines.mkString("\n"))
+    assert(lines.forall(l => l.contains("footer=") && l.contains("fingerprint=")),
+      lines.mkString("\n"))
+  }
+
+  test("preflight fails loudly on unhandled drift, passes handled drift") {
+    val dir = Files.createTempDirectory("graft_preflight").toString
+    // UNHANDLED: events.props regenerated as a struct — no loader adapts
+    // this, so the gate must fail with the diff, not let queries misread
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0, (1, 2)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val diff = Tables.preflightTable(spark, dir, "events")
+    assert(diff.isDefined && diff.get.contains("events"), diff.toString)
+    // HANDLED: ts as epoch-nano long (normalizeTs absorbs it) must pass
+    Seq((1L, 1704067200000000000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Tables.preflightTable(spark, dir, "events").isEmpty)
+    // UNHANDLED: embeddings as array<string> — normalizeEmbedding's cast
+    // would silently null every element; the raw-footer gate must catch it
+    Seq((1L, Array("a", "b"), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ediff = Tables.preflightTable(spark, dir, "embeddings")
+    assert(ediff.isDefined && ediff.get.contains("numeric"), ediff.toString)
+    // HANDLED: double embeddings (narrowed with a warning) must pass
+    Seq((1L, Array(1.0, 0.5), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Tables.preflightTable(spark, dir, "embeddings").isEmpty)
+  }
+
   test("csv round-trips with explicit schema; FAILFAST rejects malformed rows") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val src = Tables.load(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")

@@ -107,6 +107,73 @@ class WatermarkSpec extends SparkSpec {
     assert(viaFile.nonEmpty && viaFile == viaMemory)
   }
 
+  test("windowed dedup: within-window dups collapse, beyond-window dups re-admit") {
+    val dir = Files.createTempDirectory("graft_wdedup").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // b1: id 1 twice at the same instant (same batch → collapsed), id 2
+    // late in the batch, id 99 sets the watermark to Jan 3 (= Jan 4 − 1d).
+    // After b1: id 1's state expires (Jan 1 + 1d < Jan 3) and is evicted;
+    // id 2's survives (Jan 3 23:30 + 1d > Jan 3).
+    Seq((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:00:00")),
+        (2L, ts("2024-01-03 23:30:00")), (99L, ts("2024-01-04 00:00:00")))
+      .toDF("event_id", "ts").coalesce(1).write.parquet(s"$dir/b1")
+    Thread.sleep(1200) // distinct mod-times → deterministic batch order
+    // b2: id 2 again 40 min after its first copy (still in state →
+    // suppressed); id 98 pushes the watermark to Jan 11, far past both
+    // keys' expiries, so the end-of-batch purge clears them (state purge
+    // uses the watermark advanced at batch END — one batch after the
+    // arrival check, same one-batch lag the windowed-count test pins)
+    Seq((2L, ts("2024-01-04 00:10:00")), (98L, ts("2024-01-12 00:00:00")))
+      .toDF("event_id", "ts").coalesce(1).write.parquet(s"$dir/b2")
+    Thread.sleep(1200)
+    // b3: id 1 returns long past its eviction → RE-ADMITTED: the
+    // within-watermark contract, not global dedup
+    Seq((1L, ts("2024-01-13 00:00:00")))
+      .toDF("event_id", "ts").coalesce(1).write.parquet(s"$dir/b3")
+
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/*")
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.format("memory").queryName("wdedup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val emitted = spark.table("wdedup_test").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(emitted(1L) == 2, s"beyond-window dup must re-admit: $emitted")
+    assert(emitted(2L) == 1, s"within-window dup must collapse: $emitted")
+    assert(emitted(99L) == 1 && emitted(98L) == 1, emitted.toString)
+  }
+
+  test("q_stream_dedup_windowed equals the distinct count and evicts state") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = (_: String, l: String) => synchronized {
+      if (l.startsWith("event=stream_dedup_windowed_state")) lines += l: Unit
+    }
+    StructuredLog.addListener(listener)
+    val got = try
+      streaming.Streams.dedupWindowedCount(spark, sfDir)
+        .collect()(0).getLong(0)
+    finally StructuredLog.removeListener(listener)
+    // corpus event_ids are unique and equal-ts dups share a value-cut
+    // slice, so the windowed dedup must pass every event through
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(got == total, s"got=$got total=$total")
+    // the sliced feed must span micro-batches AND evict between them:
+    // max state rows well below the corpus-lifetime dedup's (= all keys)
+    assert(lines.size == 1, lines.toString)
+    val fields = lines.head.split(" ")
+      .collect { case s if s.contains("=") =>
+        val Array(k, v) = s.split("=", 2); k -> v }.toMap
+    assert(fields("batches").toInt > 1, lines.head)
+    assert(fields("max_state_rows").toLong < total / 2,
+      s"state not lateness-bounded: ${lines.head} vs total=$total")
+  }
+
   test("userCounts evicts idle users once the watermark passes the idle gap") {
     val dir = Files.createTempDirectory("graft_evict").toString
     def ts(s: String) = Timestamp.valueOf(s)
