@@ -120,8 +120,16 @@ object Streams {
     val deduped = eventStream(spark, dir)
       .withWatermark("ts", "1 day")
       .dropDuplicates("event_id")
-    runToTable(deduped, spark, OutputMode.Append())
-      .agg(count(lit(1)).as("n_unique_events"))
+    val name = freshName("graft_stream")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logStateMetrics("stream_dedup_state", q)
+    spark.table(name).agg(count(lit(1)).as("n_unique_events"))
   }
 
   /** Watermark-BOUNDED streaming dedup — the production form of
