@@ -91,7 +91,9 @@ object ProbeLayout {
         col("ts") >= lit(java.sql.Timestamp.valueOf(d0.atStartOfDay())) &&
         col("ts") < lit(java.sql.Timestamp.valueOf(d0.plusDays(7).atStartOfDay())) &&
         col("user_id") >= uLo && col("user_id") < uCut)
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      // decimal sum: exact and order-independent, so the equality check
+      // cannot trip on double-summation order differing across layouts
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("v"))
 
     val out = new StringBuilder("{\"probe\":\"layout_pruning\",\"sf\":\"" + sfDir + "\",")
     def run(tag: String, baseline: DataFrame, pruned: DataFrame): Unit = {
