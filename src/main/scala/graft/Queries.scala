@@ -77,7 +77,8 @@ object Queries {
       operators.SqlSurface.queries ++ operators.Ids.queries ++
       operators.DataQuality.queries ++ operators.Evolution.queries ++
       operators.SimilarityJoins.queries ++ operators.Skew.queries ++
-      operators.Graph.queries
+      operators.Graph.queries ++ operators.Retrieval.queries ++
+      streaming.Tws.queries
   def oracle: Map[String, String] =
     parityOracle ++ operators.Relational.oracle ++ operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
@@ -87,5 +88,6 @@ object Queries {
       operators.SqlSurface.oracle ++ operators.Ids.oracle ++
       operators.DataQuality.oracle ++ operators.Evolution.oracle ++
       operators.SimilarityJoins.oracle ++ operators.Skew.oracle ++
-      operators.Graph.oracle
+      operators.Graph.oracle ++ operators.Retrieval.oracle ++
+      streaming.Tws.oracle
 }

@@ -15,7 +15,11 @@ import scala.concurrent.duration.Duration
   * uniquified, temp view names are per-query, conf sets are idempotent. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg (dev-only; the driver passes two): regex over
+    // query names — dump/check just the matching subset while iterating
+    val nameFilter: String => Boolean =
+      if (args.length > 2) args(2).r.unanchored.matches(_) else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val workers = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
     val spark = SparkSession.builder()
@@ -40,7 +44,7 @@ object Verify {
     val pool = Executors.newFixedThreadPool(workers)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq.filter(t => nameFilter(t._1)).map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -75,7 +79,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(t => nameFilter(t._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.PortableMath.lnPortable
+
+/** Sparse-retrieval operators over the documents corpus: Okapi BM25
+  * scoring and inverted-index (posting-list) materialization — the
+  * lexical-search half of a training-data platform (benchmark-similarity
+  * triage, boilerplate hunting, corpus search). The reference has no
+  * retrieval surface; this extends SURVEY.md §7's text family
+  * (Robertson & Zaragoza 2009 for BM25; Lucene's +1 idf smoothing so
+  * scores stay positive for df > n/2).
+  *
+  * Scale shape (100 TB): term statistics are the word-count pattern
+  * (partial agg in the scan, one exchange on token); the query-term set
+  * and corpus stats are bounded frames that BROADCAST back, so scoring is
+  * a filter of the (doc,term) stream — only docs hitting a query term
+  * reach the per-doc aggregate, and top-k is a TakeOrdered, never a
+  * global sort. Posting lists materialize only for the selected tokens
+  * (stats pass first, broadcast semi-join second) — the full-vocabulary
+  * index build is the same plan minus the top-k filter, with output
+  * sharded by token hash.
+  *
+  * Exactness discipline (hash-green vs DuckDB): ln through [[lnPortable]]
+  * (libm parity), every per-term contribution rounded to 9 dp and summed
+  * as DECIMAL(18,9) so the per-doc sum is order-independent, final round
+  * to 6 dp — the q_lm_score/q_doc_entropy discipline.
+  */
+object Retrieval {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** (doc_id, token, tf) term frequencies over lowercase space-split
+    * tokens — shared base of both queries. */
+  private def termFreqs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k: score every document against the query term set (here:
+    * the corpus's own top-`nTerms` non-stopword tokens by total mass —
+    * self-contained and regeneration-proof) and keep the `k` best.
+    * k1 = 1.2, b = 0.75 (the standard defaults). */
+  def bm25TopK(d: DataFrame, nTerms: Int = 3, k: Int = 10): DataFrame = {
+    val tfc = termFreqs(d)
+    val dl = tfc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfc = tfc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_tok"))
+    // corpus stats: one row, broadcast via crossJoin of a 1-row aggregate
+    val g = dl.agg(sum(col("dl")).as("total_tokens"))
+      .crossJoin(d.agg(count(lit(1)).as("n_docs")))
+    // query terms: bounded frame (nTerms rows) → broadcast
+    val qt = dfc.filter(!col("token").isin("the", "a"))
+      .orderBy(col("n_tok").desc, col("token")).limit(nTerms)
+      .select(col("token"), col("df"))
+    tfc.join(broadcast(qt), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g))
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        round(lnPortable(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 9)
+          .cast(DecimalType(18, 9)))
+      .withColumn("contrib",
+        round(col("idf").cast("double") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        sum(col("contrib")).as("s"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("s").cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Inverted index for the corpus's `nTokens` highest-df tokens: per
+    * token, document frequency, total term frequency, and the sorted
+    * posting list (stringified — the cross-engine array idiom). The stats
+    * pass nominates tokens; posting lists collect only for nominees via a
+    * broadcast join, so the heavy collect never runs on the long tail. */
+  def invertedIndex(d: DataFrame, nTokens: Int = 20): DataFrame = {
+    val tfc = termFreqs(d)
+    val top = tfc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"))
+      .orderBy(col("df").desc, col("token")).limit(nTokens)
+    tfc.join(broadcast(top), "token")
+      .groupBy(col("token"), col("df"), col("total_tf"))
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+      .select(col("token"), col("df"), col("total_tf"), col("postings"))
+      .orderBy(col("df").desc, col("token"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_bm25" -> ((s, dir) => bm25TopK(docs(s, dir))),
+    "q_inverted_index" -> ((s, dir) => invertedIndex(docs(s, dir))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfc GROUP BY 1),
+        |dfc AS (SELECT token, COUNT(*) AS df, SUM(tf) AS n_tok
+        |        FROM tfc GROUP BY 1),
+        |g AS (SELECT (SELECT SUM(dl) FROM dl) AS total_tokens,
+        |             (SELECT COUNT(*) FROM documents) AS n_docs),
+        |qt AS (SELECT token, df FROM dfc WHERE token NOT IN ('the', 'a')
+        |       ORDER BY n_tok DESC, token LIMIT 3),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(round(ln(1.0 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)), 9)
+        |              AS DECIMAL(18,9)) AS idf,
+        |         t.tf, dl.dl,
+        |         CAST(total_tokens AS DOUBLE) / n_docs AS avgdl
+        |       FROM tfc t JOIN qt USING (token) JOIN dl USING (doc_id), g),
+        |c AS (SELECT doc_id,
+        |        CAST(round(CAST(idf AS DOUBLE) * (tf * 2.2) /
+        |               (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 9)
+        |             AS DECIMAL(18,9)) AS contrib
+        |      FROM sc)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+        |  round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+        |FROM c GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |top AS (SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+        |        FROM tfc GROUP BY 1
+        |        ORDER BY df DESC, token LIMIT 20)
+        |SELECT token, df, total_tf,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM tfc JOIN top USING (token)
+        |GROUP BY token, df, total_tf
+        |ORDER BY df DESC, token""".stripMargin,
+  )
+}

@@ -63,7 +63,7 @@ object Streams {
   /** File-source stream over events with `ts` normalized to TimestampType
     * regardless of the corpus's physical representation (footer-driven, see
     * [[eventSchema]]). */
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  private[streaming] def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // file source requires a directory; select just the events file via glob
@@ -75,7 +75,7 @@ object Streams {
       "ts")
   }
 
-  private def runToTable(df: DataFrame, spark: SparkSession, mode: OutputMode): DataFrame = {
+  private[streaming] def runToTable(df: DataFrame, spark: SparkSession, mode: OutputMode): DataFrame = {
     val name = freshName("graft_stream")
     val q = df.writeStream
       .format("memory")
@@ -261,14 +261,14 @@ object Streams {
     * ones. */
   private val splitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def eventsTimeSliced(spark: SparkSession, dir: String,
-                               nFiles: Int = 4): String = {
+                               nFiles: Int = 4, sentinel: Boolean = false): String = {
     val srcStat = {
       val p = new org.apache.hadoop.fs.Path(graft.Tables.path(dir, "events"))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
       s"${st.getModificationTime}:${st.getLen}"
     }
-    splitDirs.computeIfAbsent(s"$dir|$nFiles|$srcStat", _ => {
+    splitDirs.computeIfAbsent(s"$dir|$nFiles|$sentinel|$srcStat", _ => {
       val out = graft.Scratch.tempDir("graft_evslice_")
       val ev = graft.Tables.load(spark, dir, "events")
         .withColumn("t", unix_micros(col("ts")))
@@ -288,6 +288,31 @@ object Streams {
         val dst = new org.apache.hadoop.fs.Path(f"$out/events_$i%02d.parquet")
         fs.rename(part, dst)
         fs.setTimes(dst, t0 + i * 1000L, -1)
+      }
+      // Watermark flush for OUTER joins: unmatched-row emission happens at
+      // state EVICTION, which runs a batch after the watermark passes the
+      // row — on a finite feed the last slices' unmatched rows would sit in
+      // state forever. Two trailing sentinel files (30/31 days past the
+      // corpus, negative ids on both sides so they match nothing real)
+      // advance both sides' watermarks past every real event and give the
+      // eviction pass its extra batches. Consumers filter ids < 0 out.
+      if (sentinel) {
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        for (j <- 0 until 2) {
+          val far = new java.sql.Timestamp(
+            maxTs.getTime + (30L + j) * 24 * 3600 * 1000)
+          val sdf = spark.createDataFrame(Seq(
+            (-1L - 2 * j, far, -1L - 2 * j, "purchase", 0.0, null: String),
+            (-2L - 2 * j, far, -2L - 2 * j, "signup", 0.0, null: String)))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          val tmp = s"$out/.slice_tmp"
+          sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          val dst = new org.apache.hadoop.fs.Path(f"$out/events_${nFiles + j}%02d.parquet")
+          fs.rename(part, dst)
+          fs.setTimes(dst, t0 + (nFiles + j) * 1000L, -1)
+        }
       }
       fs.delete(new org.apache.hadoop.fs.Path(s"$out/.slice_tmp"), true)
       out
@@ -313,8 +338,9 @@ object Streams {
     * touching concurrently-planned queries (conf isolation is
     * per-session). At production volume per batch, size partitions to
     * the batch, exactly like any shuffle. */
-  private def attributionJoined(spark: SparkSession, dir: String): (SparkSession, DataFrame) = {
-    val sliced = eventsTimeSliced(spark, dir)
+  private def attributionJoined(spark: SparkSession, dir: String,
+                                leftOuter: Boolean = false): (SparkSession, DataFrame) = {
+    val sliced = eventsTimeSliced(spark, dir, sentinel = leftOuter)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     def side(): DataFrame = {
@@ -336,7 +362,8 @@ object Streams {
     (s2, purchases.join(signups,
       col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS")))
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+      if (leftOuter) "leftOuter" else "inner"))
   }
 
   private def logStateMetrics(event: String,
@@ -366,6 +393,37 @@ object Streams {
     s2.table(name)
       .groupBy(col("p_id"), col("user_id"))
       .agg(count(lit(1)).as("n_signups_7d"))
+      .orderBy(col("p_id"))
+  }
+
+  /** LEFT OUTER stream-stream interval join: every purchase appears in the
+    * output, attributed signups counted, zero for purchases no signup
+    * preceded — the semantics a funnel/attribution pipeline actually needs
+    * (an inner join silently drops the un-attributed cohort, usually the
+    * interesting one). The outer side's null-extended row is emitted at
+    * state EVICTION, i.e. only once the watermark proves no matching
+    * signup can still arrive — on a finite feed that final proof needs the
+    * sentinel slices [[eventsTimeSliced]] appends (ids < 0, filtered
+    * here), which push both sides' watermarks past every real event.
+    * State bound is identical to the inner join (watermark + interval);
+    * the only addition is the deferred emission. Oracle: the batch LEFT
+    * JOIN aggregate — COUNT(s_user) counts matches, null-extended rows
+    * count 0. */
+  def purchaseAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val (s2, joined) = attributionJoined(spark, dir, leftOuter = true)
+    val name = freshName("graft_stream")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logStateMetrics("stream_stream_join_outer_state", q)
+    s2.table(name)
+      .filter(col("p_id") >= 0)
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(col("s_user")).as("n_signups_7d"))
       .orderBy(col("p_id"))
   }
 
@@ -647,6 +705,7 @@ object Streams {
     "q_stream_dedup_windowed" -> ((s, dir) => dedupWindowedCount(s, dir)),
     "q_stream_user_counts" -> ((s, dir) => userCounts(s, dir)),
     "q_stream_stream_join" -> ((s, dir) => purchaseAttribution(s, dir)),
+    "q_stream_join_outer" -> ((s, dir) => purchaseAttributionOuter(s, dir)),
     "q_stream_dedup_pairs" -> ((s, dir) => streamingNearDupPairs(s, dir)),
   )
 
@@ -707,6 +766,17 @@ object Streams {
         |      FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts
         |      FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id
+        | AND s.s_ts <= p.p_ts
+        | AND s.s_ts >= p.p_ts - INTERVAL 7 DAY
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p_id""".stripMargin,
+    "q_stream_join_outer" ->
+      """SELECT p.event_id AS p_id, p.user_id, COUNT(s.user_id) AS n_signups_7d
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts
+        |           FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id
         | AND s.s_ts <= p.p_ts
         | AND s.s_ts >= p.p_ts - INTERVAL 7 DAY

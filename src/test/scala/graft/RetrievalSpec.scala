@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** BM25 + inverted-index behavior: hand-computed scores on a crafted
+  * corpus, posting-list laws, and the broadcast-shape plan audit. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // crafted masses: apple 6, banana 3, cherry 2, rest 1 → query terms are
+  // unambiguously (apple, banana, cherry); doc 3 hits none of them
+  private val crafted = Seq(
+    1L -> "apple banana apple cherry banana",
+    2L -> "apple apple apple apple banana cherry",
+    3L -> "dog cat fish")
+
+  test("bm25: hand-computed scores, hit filtering, ordering") {
+    val out = Retrieval.bm25TopK(corpus(crafted: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L).sortBy { id => // by score desc
+      -expectedBm25(id)
+    }, s"docs/order wrong: ${out.toSeq}")
+    assert(out.forall(_._2 == 3L), s"each kept doc hits all 3 terms: ${out.toSeq}")
+    out.foreach { case (id, _, score) =>
+      assert(math.abs(score - expectedBm25(id)) <= 2e-6,
+        s"doc $id: got $score expected ${expectedBm25(id)}")
+    }
+  }
+
+  /** Same formula, driver-side (Math.log vs PortableLn differ ≤ 1 ulp —
+    * the 2e-6 tolerance absorbs it; cross-engine exactness is the DuckDB
+    * hash gate's job, this validates the tf/df/dl/avgdl assembly). */
+  private def expectedBm25(docId: Long): Double = {
+    val texts = crafted.toMap
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val n = texts.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val qts = Seq("apple", "banana", "cherry")
+    val s = qts.map { t =>
+      val tf = toks(docId).count(_ == t)
+      if (tf == 0) BigDecimal(0)
+      else {
+        val df = toks.values.count(_.contains(t))
+        val idf = BigDecimal(math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        val dl = toks(docId).size
+        BigDecimal(idf.toDouble * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }.sum
+    s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("bm25 on the corpus: bounded output, monotone scores, hits in range") {
+    val rows = Queries.all("q_bm25")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse, s"not descending: $scores")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+  }
+
+  test("inverted index: postings enumerate exactly the docs holding the token") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = Queries.all("q_inverted_index")(spark, sfDir).collect()
+    assert(out.length == 20)
+    val dfs = out.map(r => r.getLong(1)).toSeq
+    assert(dfs == dfs.sorted.reverse, "df not descending")
+    out.take(3).foreach { r =>
+      val (token, df, postings) = (r.getString(0), r.getLong(1), r.getString(3))
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids == ids.sorted && ids.size == df, s"$token: df=$df vs ${ids.size}")
+      val expected = docs
+        .filter(array_contains(split(lower($"text"), " "), token))
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+      assert(ids == expected, s"postings for '$token' wrong")
+    }
+  }
+
+  test("plan audit: query terms and corpus stats broadcast; no cartesian product") {
+    val plan = Queries.all("q_bm25")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "query-term join must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "1-row stats frames must broadcast, not cartesian")
+  }
+}

@@ -96,6 +96,30 @@ class WatermarkSpec extends SparkSpec {
       s"no eviction observed: ${lines.head} vs both-sides=$everything")
   }
 
+  test("left-outer stream-stream join equals the batch left join, incl. zero-match rows") {
+    val got = streaming.Streams.purchaseAttributionOuter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val expected = p.join(sg,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"), "leftOuter")
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(col("s_user")).as("n_signups_7d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+    // the OUTER semantics must actually materialize: every purchase row is
+    // present (inner drops the zero-match cohort), zero-match rows exist,
+    // and the sentinel flush rows never leak into the output
+    assert(got.size == p.count(), "not every purchase surfaced")
+    assert(got.exists(_._3 == 0L), "no zero-match purchase in corpus/output")
+    assert(got.forall(_._1 >= 0L), "sentinel leaked")
+  }
+
   test("stream-stream join: file-sink (production) form equals the memory-sink form") {
     val out = Files.createTempDirectory("graft_ssj_out").toString
     val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
