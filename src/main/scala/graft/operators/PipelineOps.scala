@@ -77,6 +77,30 @@ object PipelineOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // Leakage-safe train/val/test split: the split UNIT is the near-dup
+    // CLUSTER (LSS components over verified minhash pairs — the scale
+    // path), not the document, so two near-duplicate documents can never
+    // straddle train and eval — the contamination mode a per-row random
+    // split bakes in. Unit id = cluster representative (min doc_id;
+    // singletons are their own unit); the 80/10/10 assignment is a pure
+    // deterministic function of the unit id, so a rerun or a late-arriving
+    // batch lands every member of an existing cluster on the same side.
+    // Scale: clustering is the LSS replication-invariant path; the
+    // assignment itself is a map over one equi-join — no extra exchange.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.docNearDupClustersLss(d)
+        .select(col("doc_id"), col("cluster_rep"))
+      val unit = coalesce(col("cluster_rep"), col("doc_id")).cast("long")
+      d.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), unit.as("split_unit"),
+          when(unit % 10 < 8, lit("train"))
+            .when(unit % 10 === 8, lit("val"))
+            .otherwise(lit("test")).as("subset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub: count then redact emails → IPs → phones, in that order
     // (fixed order makes the output deterministic when patterns could
     // overlap). Single scan, codegen'd regexes, no shuffle.
@@ -300,6 +324,15 @@ object PipelineOps {
       |GROUP BY fp ORDER BY fp""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_split_leakage_safe" ->
+      s"""SELECT d.doc_id,
+         |  CAST(COALESCE(c.cluster_rep, d.doc_id) AS BIGINT) AS split_unit,
+         |  CASE WHEN COALESCE(c.cluster_rep, d.doc_id) % 10 < 8 THEN 'train'
+         |       WHEN COALESCE(c.cluster_rep, d.doc_id) % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS subset
+         |FROM documents d LEFT JOIN (${Dedup.clustersOracleSql}) c
+         |  ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH a AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@mail.example or call 555-01' ||

@@ -42,22 +42,16 @@ object Retrieval {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
-  /** BM25 top-k: score every document against the query term set (here:
-    * the corpus's own top-`nTerms` non-stopword tokens by total mass —
-    * self-contained and regeneration-proof) and keep the `k` best.
-    * k1 = 1.2, b = 0.75 (the standard defaults). */
-  def bm25TopK(d: DataFrame, nTerms: Int = 3, k: Int = 10): DataFrame = {
-    val tfc = termFreqs(d)
+  /** BM25 scoring core: score every document's term-frequency stream
+    * against the bounded query-term frame `qt` (token, df) — qt
+    * broadcasts, so scoring is a filter of the (doc,term) stream.
+    * k1 = 1.2, b = 0.75 (the standard defaults). Returns one row per
+    * document hitting ≥1 query term: (doc_id, n_terms_hit, bm25). */
+  private def bm25Score(d: DataFrame, tfc: DataFrame, qt: DataFrame): DataFrame = {
     val dl = tfc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfc = tfc.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_tok"))
     // corpus stats: one row, broadcast via crossJoin of a 1-row aggregate
     val g = dl.agg(sum(col("dl")).as("total_tokens"))
       .crossJoin(d.agg(count(lit(1)).as("n_docs")))
-    // query terms: bounded frame (nTerms rows) → broadcast
-    val qt = dfc.filter(!col("token").isin("the", "a"))
-      .orderBy(col("n_tok").desc, col("token")).limit(nTerms)
-      .select(col("token"), col("df"))
     tfc.join(broadcast(qt), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(g))
@@ -76,7 +70,85 @@ object Retrieval {
         sum(col("contrib")).as("s"))
       .select(col("doc_id"), col("n_terms_hit"),
         round(col("s").cast("double"), 6).as("bm25"))
+  }
+
+  /** BM25 top-k: score every document against the query term set (here:
+    * the corpus's own top-`nTerms` non-stopword tokens by total mass —
+    * self-contained and regeneration-proof) and keep the `k` best. */
+  def bm25TopK(d: DataFrame, nTerms: Int = 3, k: Int = 10): DataFrame = {
+    val tfc = termFreqs(d)
+    val dfc = tfc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_tok"))
+    // query terms: bounded frame (nTerms rows) → broadcast
+    val qt = dfc.filter(!col("token").isin("the", "a"))
+      .orderBy(col("n_tok").desc, col("token")).limit(nTerms)
+      .select(col("token"), col("df"))
+    bm25Score(d, tfc, qt)
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Query-by-example BM25: the query term set is `queryDoc`'s own
+    * top-`nTerms` tokens by in-doc frequency (ties by token); every OTHER
+    * document is scored against it. Corpus statistics (df, avgdl, N)
+    * stay corpus-wide — the query doc is excluded from the output, not
+    * from the model. */
+  def bm25ForDoc(d: DataFrame, queryDoc: Long, nTerms: Int = 3,
+                 k: Int = 10): DataFrame = {
+    val tfc = termFreqs(d)
+    val dfc = tfc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qt = tfc.filter(col("doc_id") === queryDoc)
+      .join(dfc, "token")
+      .orderBy(col("tf").desc, col("token")).limit(nTerms)
+      .select(col("token"), col("df"))
+    bm25Score(d, tfc, qt)
+      .filter(col("doc_id") =!= queryDoc)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher 2009): fuse a lexical BM25 pool (query-by-example on
+    * document `queryId`) with a dense cosine pool (query vector =
+    * embedding `queryId`) as Σ 1/(rrfK + rank). The two pools are
+    * top-`poolK` TakeOrdered frames, so the rank windows and the
+    * full-outer fusion join run on ≤ poolK-row bounded frames —
+    * corpus-size work is exactly one BM25 scoring pass plus one cosine
+    * scan, both broadcast-driven single-exchange plans; at 100 TB the
+    * dense pool swaps in the certified IVF/PQ shortlist unchanged.
+    * Exactness: per-list contributions rounded to 9 dp, summed as
+    * DECIMAL(18,9) (order-independent), final round to 6 dp. */
+  def hybridRrf(d: DataFrame, emb: DataFrame, queryId: Long = 0,
+                poolK: Int = 20, rrfK: Int = 60, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Sketches
+    // rank windows are global but run AFTER the TakeOrdered pool bound —
+    // they see ≤ poolK rows, never the corpus
+    val lw = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm25ForDoc(d, queryId, nTerms = 3, k = poolK)
+      .withColumn("lex_rank", row_number().over(lw).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    val dw = Window.orderBy(col("score").desc, col("doc_id"))
+    val dense = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .withColumn("score",
+        round(Sketches.cosineSim(col("qv"), col("embedding")), 6))
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(poolK)
+      .withColumn("vec_rank", row_number().over(dw).cast("long"))
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("c_lex",
+        coalesce(round(lit(1.0) / (col("lex_rank") + lit(rrfK)), 9), lit(0.0))
+          .cast(DecimalType(18, 9)))
+      .withColumn("c_vec",
+        coalesce(round(lit(1.0) / (col("vec_rank") + lit(rrfK)), 9), lit(0.0))
+          .cast(DecimalType(18, 9)))
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round((col("c_lex") + col("c_vec")).cast("double"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
 
@@ -100,6 +172,8 @@ object Retrieval {
   val queries: Map[String, Q] = Map(
     "q_bm25" -> ((s, dir) => bm25TopK(docs(s, dir))),
     "q_inverted_index" -> ((s, dir) => invertedIndex(docs(s, dir))),
+    "q_hybrid_rrf" -> ((s, dir) =>
+      hybridRrf(docs(s, dir), Tables.load(s, dir, "embeddings"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,5 +217,58 @@ object Retrieval {
         |FROM tfc JOIN top USING (token)
         |GROUP BY token, df, total_tf
         |ORDER BY df DESC, token""".stripMargin,
+    "q_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfc GROUP BY 1),
+        |dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+        |g AS (SELECT (SELECT SUM(dl) FROM dl) AS total_tokens,
+        |             (SELECT COUNT(*) FROM documents) AS n_docs),
+        |qt AS (SELECT t.token, dfc.df FROM tfc t JOIN dfc USING (token)
+        |       WHERE t.doc_id = 0 ORDER BY t.tf DESC, t.token LIMIT 3),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(round(ln(1.0 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)), 9)
+        |              AS DECIMAL(18,9)) AS idf,
+        |         t.tf, dl.dl,
+        |         CAST(total_tokens AS DOUBLE) / n_docs AS avgdl
+        |       FROM tfc t JOIN qt USING (token) JOIN dl USING (doc_id), g
+        |       WHERE t.doc_id <> 0),
+        |c AS (SELECT doc_id,
+        |        CAST(round(CAST(idf AS DOUBLE) * (tf * 2.2) /
+        |               (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 9)
+        |             AS DECIMAL(18,9)) AS contrib
+        |      FROM sc),
+        |lexpool AS (SELECT doc_id, round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+        |            FROM c GROUP BY doc_id
+        |            ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |               AS BIGINT) AS lex_rank
+        |        FROM lexpool),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |densepool AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_inner_product(qv, v)
+        |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)
+        |      AS score
+        |  FROM e, qv WHERE vec_id <> 0
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |dense AS (SELECT doc_id,
+        |            CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |                 AS BIGINT) AS vec_rank
+        |          FROM densepool),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+        |    lex_rank, vec_rank,
+        |    COALESCE(CAST(round(1.0 / (lex_rank + 60), 9) AS DECIMAL(18,9)),
+        |             CAST(0 AS DECIMAL(18,9)))
+        |    + COALESCE(CAST(round(1.0 / (vec_rank + 60), 9) AS DECIMAL(18,9)),
+        |               CAST(0 AS DECIMAL(18,9))) AS s
+        |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+        |SELECT doc_id, lex_rank, vec_rank, round(CAST(s AS DOUBLE), 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
   )
 }

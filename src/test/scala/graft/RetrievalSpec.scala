@@ -82,6 +82,40 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rrf: fusion arithmetic law, rank sanity, ordering") {
+    val rows = Queries.all("q_hybrid_rrf")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    def rank(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val recomputed = rows.map { r =>
+      val c = rank(r, 1).map(l => r9(1.0 / (l + 60))).getOrElse(BigDecimal(0)) +
+        rank(r, 2).map(v => r9(1.0 / (v + 60))).getOrElse(BigDecimal(0))
+      c.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.zip(recomputed).foreach { case (r, exp) =>
+      assert(r.getDouble(3) == exp, s"fusion arithmetic broken at $r")
+    }
+    // ranks come from top-20 pools and are unique within each list
+    Seq(1, 2).foreach { i =>
+      val rs = rows.flatMap(rank(_, i))
+      assert(rs.forall(r => r >= 1 && r <= 20), s"rank out of pool: ${rs.toSeq}")
+      assert(rs.distinct.length == rs.length, s"duplicate ranks: ${rs.toSeq}")
+    }
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse, s"not descending: $scores")
+    assert(scores.head <= 2.0 / 61 + 1e-9 && scores.last > 0)
+    // a doc in BOTH pools beats any single-pool doc with equal-or-worse rank
+    val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = rows.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+    for (b <- both; s <- single) {
+      val sRank = rank(s, 1).orElse(rank(s, 2)).get
+      if (rank(b, 1).get <= sRank && rank(b, 2).get <= sRank)
+        assert(b.getDouble(3) > s.getDouble(3), s"fusion not monotone: $b vs $s")
+    }
+  }
+
   test("plan audit: query terms and corpus stats broadcast; no cartesian product") {
     val plan = Queries.all("q_bm25")(spark, sfDir)
       .queryExecution.executedPlan.toString

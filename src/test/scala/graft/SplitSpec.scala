@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Leakage-safety laws for q_split_leakage_safe: the split unit is the
+  * near-dup cluster, so no verified near-dup pair may straddle subsets,
+  * assignment is a pure function of the unit id, and the 80/10/10 shape
+  * holds. Runs at sf0.01 (the smallest corpus with planted near-dup
+  * clusters — sf0.001 has none, which would make the straddle check
+  * vacuous). */
+class SplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val split = Queries.all("q_split_leakage_safe")(spark, dir)
+    .cache()
+
+  test("every document is assigned exactly once") {
+    val n = Tables.load(spark, dir, "documents").count()
+    assert(split.count() == n)
+    assert(split.select($"doc_id").distinct().count() == n)
+  }
+
+  test("no verified near-dup pair straddles subsets") {
+    val pairs = Dedup.minhashNearDupPairs(spark, dir)
+    assert(pairs.count() > 0, "vacuous: corpus has no near-dup pairs")
+    val a = split.select($"doc_id".as("doc_a"), $"subset".as("sub_a"),
+      $"split_unit".as("unit_a"))
+    val b = split.select($"doc_id".as("doc_b"), $"subset".as("sub_b"),
+      $"split_unit".as("unit_b"))
+    val straddling = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter($"sub_a" =!= $"sub_b" || $"unit_a" =!= $"unit_b")
+    assert(straddling.isEmpty,
+      s"near-dup pairs split across subsets: ${straddling.head(5).toSeq}")
+  }
+
+  test("assignment is the pure mod-10 function of the unit id") {
+    val bad = split.filter(
+      $"subset" =!= when($"split_unit" % 10 < 8, "train")
+        .when($"split_unit" % 10 === 8, "val").otherwise("test"))
+    assert(bad.isEmpty)
+    // the unit is the cluster representative = min doc_id, so it never
+    // exceeds the member's own id
+    assert(split.filter($"split_unit" > $"doc_id").isEmpty)
+  }
+
+  test("80/10/10 shape: all three subsets present, train the majority") {
+    val counts = split.groupBy($"subset").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"), s"got $counts")
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9,
+      s"train fraction off: $counts")
+  }
+}
