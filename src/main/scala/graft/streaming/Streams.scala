@@ -437,8 +437,9 @@ object Streams {
     * matched rows), so any driver-collected sink OOMs by construction
     * while this path streams through unchanged. */
   def purchaseAttributionToParquet(spark: SparkSession, dir: String,
-                                   outDir: String, checkpointDir: String): DataFrame = {
-    val (s2, joined) = attributionJoined(spark, dir)
+                                   outDir: String, checkpointDir: String,
+                                   leftOuter: Boolean = false): DataFrame = {
+    val (s2, joined) = attributionJoined(spark, dir, leftOuter)
     val q = joined.writeStream
       .format("parquet")
       .option("path", outDir)
@@ -447,10 +448,13 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    logJoinState(q)
+    logStateMetrics(
+      if (leftOuter) "stream_stream_join_outer_state"
+      else "stream_stream_join_state", q)
     s2.read.parquet(outDir)
+      .filter(col("p_id") >= 0) // sentinel slices (leftOuter only)
       .groupBy(col("p_id"), col("user_id"))
-      .agg(count(lit(1)).as("n_signups_7d"))
+      .agg(count(col("s_user")).as("n_signups_7d"))
       .orderBy(col("p_id"))
   }
 
