@@ -35,24 +35,50 @@ object Retrieval {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
-  /** (doc_id, token, tf) term frequencies over lowercase space-split
-    * tokens — shared base of both queries. */
-  private def termFreqs(d: DataFrame): DataFrame =
+  /** The raw (doc_id, token) occurrence stream over lowercase space-split
+    * tokens. Deliberately NOT pre-aggregated: consumers either filter it
+    * down first (broadcast query-term semi-join, scan-pruned single-doc
+    * predicate) or aggregate it exactly once. A shared localCheckpoint'd
+    * (doc, token, tf) frame was measured SLOWER at the 100× probe
+    * (q_bm25 62.3 s vs 15.5 s restructured): materializing ~50M skinny
+    * rows costs more than re-scanning, and filtering before aggregating
+    * beats both. */
+  private def tokens(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token"))
+
+  /** (doc_id, token, tf) term frequencies — the aggregated form, for
+    * paths that genuinely consume per-(doc,token) rows more than once
+    * ([[invertedIndex]]: nominee stats AND postings): the (doc,token)
+    * partial aggregate collapses occurrences map-side, and the nominee
+    * join then carries one row per posting rather than per occurrence. */
+  private def termFreqs(d: DataFrame): DataFrame =
+    tokens(d).groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
-  /** BM25 scoring core: score every document's term-frequency stream
-    * against the bounded query-term frame `qt` (token, df) — qt
-    * broadcasts, so scoring is a filter of the (doc,term) stream.
-    * k1 = 1.2, b = 0.75 (the standard defaults). Returns one row per
-    * document hitting ≥1 query term: (doc_id, n_terms_hit, bm25). */
-  private def bm25Score(d: DataFrame, tfc: DataFrame, qt: DataFrame): DataFrame = {
-    val dl = tfc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+  /** Per-doc token count, scan-side — `size(split(...))` equals the sum
+    * of the doc's term frequencies with no explode and no shuffle. */
+  private def docLen(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("dl"))
+
+  /** BM25 scoring core: score every document's token stream against the
+    * bounded query-term frame `qt` (token, df) — qt broadcasts, so the
+    * occurrence stream is FILTERED to query-term hits before any
+    * aggregation touches it (the tf groupBy sees only hit rows, never
+    * the corpus vocabulary). Doc lengths and corpus totals come from the
+    * scan-side [[docLen]] — no full-corpus explode-aggregate anywhere in
+    * the scoring path. k1 = 1.2, b = 0.75 (the standard defaults).
+    * Returns one row per document hitting ≥1 query term:
+    * (doc_id, n_terms_hit, bm25). */
+  private def bm25Score(d: DataFrame, qt: DataFrame): DataFrame = {
+    val dl = docLen(d)
     // corpus stats: one row, broadcast via crossJoin of a 1-row aggregate
-    val g = dl.agg(sum(col("dl")).as("total_tokens"))
-      .crossJoin(d.agg(count(lit(1)).as("n_docs")))
-    tfc.join(broadcast(qt), "token")
+    val g = dl.agg(sum(col("dl")).as("total_tokens"),
+      count(lit(1)).as("n_docs"))
+    val hits = tokens(d).join(broadcast(qt), "token")
+      .groupBy(col("doc_id"), col("token"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    hits
       .join(dl, "doc_id")
       .crossJoin(broadcast(g))
       .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
@@ -76,14 +102,16 @@ object Retrieval {
     * the corpus's own top-`nTerms` non-stopword tokens by total mass —
     * self-contained and regeneration-proof) and keep the `k` best. */
   def bm25TopK(d: DataFrame, nTerms: Int = 3, k: Int = 10): DataFrame = {
-    val tfc = termFreqs(d)
-    val dfc = tfc.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_tok"))
+    // the ONE full-vocabulary aggregate: token mass + doc frequency in a
+    // single two-phase agg over the occurrence stream (partial combine on
+    // (token, doc) via count_distinct's expansion)
+    val dfc = tokens(d).groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("n_tok"))
     // query terms: bounded frame (nTerms rows) → broadcast
     val qt = dfc.filter(!col("token").isin("the", "a"))
       .orderBy(col("n_tok").desc, col("token")).limit(nTerms)
       .select(col("token"), col("df"))
-    bm25Score(d, tfc, qt)
+    bm25Score(d, qt)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
@@ -95,13 +123,18 @@ object Retrieval {
     * from the model. */
   def bm25ForDoc(d: DataFrame, queryDoc: Long, nTerms: Int = 3,
                  k: Int = 10): DataFrame = {
-    val tfc = termFreqs(d)
-    val dfc = tfc.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val qt = tfc.filter(col("doc_id") === queryDoc)
-      .join(dfc, "token")
+    // no full-vocabulary aggregate anywhere: the query doc's own tokens
+    // come from a scan-pruned single-doc aggregate (the doc_id predicate
+    // pushes below the explode), and df is computed for those ≤ nTerms
+    // tokens only, on a broadcast-filtered pass — at 100 TB this path
+    // never shuffles the corpus vocabulary, only query-term hits
+    val qtoks = tokens(d).filter(col("doc_id") === queryDoc)
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("token")).limit(nTerms)
-      .select(col("token"), col("df"))
-    bm25Score(d, tfc, qt)
+      .select(col("token"))
+    val qt = tokens(d).join(broadcast(qtoks), "token")
+      .groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    bm25Score(d, qt)
       .filter(col("doc_id") =!= queryDoc)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
