@@ -231,12 +231,121 @@ object SimilarityJoins {
       .select(col("doc_a"), col("doc_b"), col("jaccard5"))
   }
 
+  /** Exact weighted-cosine-≥-t pairs over unit-normalized tf-idf vectors —
+    * the WEIGHTED member of the AllPairs family (Bayardo et al., WWW'07:
+    * cosine is that paper's native measure; [[prefixJoinPairs]] is its
+    * set/Jaccard specialization). The prefix bound is norm-based instead
+    * of count-based: with each vector's terms in canonical rarest-first
+    * order, any partner matching only the suffix beyond prefix mass
+    * Σw² > 1 − t² has cos ≤ ‖suffix‖ < t, and the canonically-smallest
+    * SHARED term of a qualifying pair must therefore sit in BOTH prefixes
+    * — so indexing prefixes alone finds every qualifying pair. Rarest-
+    * first ordering doubles as the shortest-prefix choice: tf-idf mass
+    * concentrates in rare terms, so prefixes are few tokens AND their
+    * index buckets are small.
+    *
+    * Exactness discipline (hash-green vs the quadratic oracle): raw
+    * weight = tf · lnPortable(N/df) (deterministic product, the q_tfidf
+    * formula); the norm and every dot product are order-independent
+    * decimal sums of 9-dp-rounded terms; final cosine rounds to 6 dp.
+    * Exact-duplicate collapse keys on the (token, tf) multiset itself —
+    * identical multisets ⇒ identical vectors ⇒ identical scores — so
+    * dup-heavy corpora pay the index and verification once per distinct
+    * vector ([[prefixJoinPairs]]'s replication-invariance discipline);
+    * within-cluster pairs score the representative's self-cosine through
+    * the SAME rounded pipeline (not a 1.0 literal — the rounded sum of a
+    * unit vector's squared weights may land at 0.999999/1.000001 and the
+    * oracle computes it, not assumes it). */
+  def cosinePrefixPairs(d: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val lnP = graft.functions.PortableMath.lnPortable _
+    def dec9(c: Column): Column = round(c, 9).cast(DecimalType(28, 9))
+    val tf = d.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // corpus-wide model stats BEFORE the dup collapse: df/N count every
+    // document, duplicates included, exactly like the quadratic oracle
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val clusters = tf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("token"), col("tf")))).as("v"))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint() // feeds weights, intra pairs, and both expansions
+    val reps = clusters
+      .select(col("members")(0).as("doc_id"), explode(col("v")).as("x"))
+      .select(col("doc_id"), col("x.token").as("token"), col("x.tf").as("tf"))
+    val raw = reps.join(dfreq, "token").crossJoin(broadcast(nd))
+      .withColumn("raw", col("tf").cast("double") *
+        lnP(col("n_docs").cast("double") / col("df")))
+    val nrm = raw.groupBy(col("doc_id"))
+      .agg(sqrt(sum(dec9(col("raw") * col("raw"))).cast("double")).as("nr"))
+    // nr = 0 ⟺ every term appears in every doc (idf 0 across the board):
+    // cosine is undefined there, in both engines — excluded
+    val u = raw.join(nrm.filter(col("nr") > 0), "doc_id")
+      .withColumn("wt", col("raw") / col("nr"))
+      .select(col("doc_id"), col("df"), col("token"), col("wt"))
+    // canonical rarest-first vector; prefix = terms until cumulative
+    // squared mass exceeds 1 − t² (+ float-safety margin and one extra
+    // term, so the suffix norm is STRICTLY below t)
+    val bound = 1.0 - t * t
+    val pref = u.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("token"), col("wt"))))
+        .as("st"))
+      .withColumn("plen", least(size(col("st")), expr(
+        s"""aggregate(st, named_struct('cum', CAST(0.0 AS DOUBLE), 'cnt', 0),
+           |  (acc, x) -> IF(acc.cum < $bound + 1e-9,
+           |    named_struct('cum', acc.cum + x.wt * x.wt, 'cnt', acc.cnt + 1),
+           |    acc),
+           |  acc -> acc.cnt)""".stripMargin) + 1))
+      .select(col("doc_id"),
+        explode(expr("transform(slice(st, 1, plen), x -> x.token)")).as("token"))
+    val cand = Dedup.bucketPairs(pref, Seq("token"))
+    val vec = u.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("wt"))))
+        .as("m"))
+    def dot(a: String, b: String): Column = round(expr(
+      s"""CAST(aggregate(map_keys($a), CAST(0 AS DECIMAL(28,9)),
+         |  (acc, k) -> CAST(acc + CAST(round(element_at($a, k) *
+         |    coalesce(element_at($b, k), CAST(0.0 AS DOUBLE)), 9)
+         |    AS DECIMAL(28,9)) AS DECIMAL(28,9))) AS DOUBLE)""".stripMargin), 6)
+    val repPairs = cand
+      .join(vec.select(col("doc_id").as("doc_a"), col("m").as("m_a")), "doc_a")
+      .join(vec.select(col("doc_id").as("doc_b"), col("m").as("m_b")), "doc_b")
+      .withColumn("cosine", dot("m_a", "m_b"))
+      .filter(col("cosine") >= t)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+    // expansion with a COMPUTED self-score (see scaladoc): within-cluster
+    // pairs take their representative's self-cosine
+    val selfCos = vec.select(col("doc_id").as("rep"), dot("m", "m").as("self_cos"))
+    val cm = clusters.select(col("members")(0).as("rep"), col("members"))
+    val cross = repPairs
+      .join(cm.select(col("rep").as("doc_a"), col("members").as("ms_a")), "doc_a")
+      .join(cm.select(col("rep").as("doc_b"), col("members").as("ms_b")), "doc_b")
+      .select(explode(col("ms_a")).as("a"), col("ms_b"), col("cosine"))
+      .select(col("a"), explode(col("ms_b")).as("b"), col("cosine"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("cosine"))
+    val intra = clusters.filter(size(col("members")) >= 2)
+      .select(col("members")(0).as("rep"),
+        explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
+      .join(selfCos, "rep")
+      .filter(col("self_cos") >= t)
+      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("self_cos").as("cosine"))
+    cross.unionByName(intra)
+  }
+
   val queries: Map[String, Q] = Map(
     // the exact counterpart of q_dedup_minhash_lsh: same word-3-shingle
     // universe and 0.8 threshold, identical pair set (oracle: full-corpus
     // quadratic jaccard), found by prefix filtering instead of MinHash
     "q_dedup_prefix" -> ((s, dir) =>
       prefixJoinPairs(docs(s, dir), 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_cosine_pairs" -> ((s, dir) =>
+      cosinePrefixPairs(docs(s, dir), 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_editdist_pairs" -> ((s, dir) =>
       editDistancePairs(docs(s, dir), 30, 2)
@@ -250,6 +359,29 @@ object SimilarityJoins {
     "q_dedup_prefix" ->
       s"""SELECT doc_a, doc_b, jaccard FROM (${Dedup.exactPairsSql})
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, token,
+        |        tf * ln(CAST(n_docs AS DOUBLE) / df) AS raw
+        |      FROM tfc JOIN dfc USING (token), n),
+        |nrm AS (SELECT doc_id,
+        |          sqrt(CAST(SUM(CAST(round(raw * raw, 9) AS DECIMAL(28,9)))
+        |               AS DOUBLE)) AS nr
+        |        FROM w GROUP BY 1),
+        |u AS (SELECT w.doc_id, token, raw / nr AS wt
+        |      FROM w JOIN nrm USING (doc_id) WHERE nr > 0),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        round(CAST(SUM(CAST(round(a.wt * b.wt, 9) AS DECIMAL(28,9)))
+        |              AS DOUBLE), 6) AS cosine
+        |      FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cosine FROM p
+        |WHERE cosine >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "q_editdist_pairs" ->
       """WITH p AS (
         |  SELECT doc_id, substr(lower(text), 1, 30) AS s

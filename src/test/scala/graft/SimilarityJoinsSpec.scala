@@ -105,6 +105,64 @@ class SimilarityJoinsSpec extends SparkSpec {
     assert(gotE == wantE, s"${gotE.size} vs ${wantE.size} pairs")
   }
 
+  /** Quadratic weighted-cosine baseline sharing cosinePrefixPairs'
+    * exactness discipline (lnPortable raw weights, decimal-routed norm
+    * and dot sums) but none of its machinery: a raw token self-join over
+    * all shared terms. */
+  private def quadraticCosine(d: org.apache.spark.sql.DataFrame, t: Double) = {
+    import org.apache.spark.sql.types.DecimalType
+    val lnP = graft.functions.PortableMath.lnPortable _
+    def dec9(c: org.apache.spark.sql.Column) =
+      round(c, 9).cast(DecimalType(28, 9))
+    val tf = d.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val raw = tf.join(dfreq, "token").crossJoin(nd)
+      .withColumn("raw", col("tf").cast("double") *
+        lnP(col("n_docs").cast("double") / col("df")))
+    val nrm = raw.groupBy(col("doc_id"))
+      .agg(sqrt(sum(dec9(col("raw") * col("raw"))).cast("double")).as("nr"))
+    val u = raw.join(nrm.filter(col("nr") > 0), "doc_id")
+      .withColumn("wt", col("raw") / col("nr"))
+      .select(col("doc_id"), col("token"), col("wt"))
+    u.select(col("doc_id").as("doc_a"), col("token"), col("wt").as("wa"))
+      .join(u.select(col("doc_id").as("doc_b"), col("token"), col("wt").as("wb")),
+        Seq("token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(round(sum(dec9(col("wa") * col("wb"))).cast("double"), 6).as("cosine"))
+      .filter(col("cosine") >= t)
+  }
+
+  test("cosine prefix join == quadratic tf-idf cosine at several thresholds") {
+    for (t <- Seq(0.7, 0.9)) {
+      val got = SimilarityJoins.cosinePrefixPairs(docs, t)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      val want = quadraticCosine(docs, t)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      assert(got == want, s"t=$t: ${got.size} vs ${want.size} pairs")
+      assert(want.nonEmpty, s"t=$t: baseline found no pairs — corpus degenerate")
+    }
+  }
+
+  test("cosine join over a 3x-replicated corpus still equals quadratic") {
+    // tripling leaves every tf-idf weight unchanged (df and N scale
+    // together), so this isolates the collapse/expand machinery: intra
+    // pairs must carry the COMPUTED self-cosine, cross pairs inherit
+    val base = docs.select(col("doc_id"), col("text"))
+    val tripled = (0 until 3).map(i =>
+      base.select((col("doc_id") * 3 + i).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val got = SimilarityJoins.cosinePrefixPairs(tripled, 0.8)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+    val want = quadraticCosine(tripled, 0.8)
+      .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, s"${got.size} vs ${want.size} pairs")
+    assert(want.size >= base.count() * 3, "tripling must plant intra pairs")
+  }
+
   test("sorted neighborhood emits ≤ w pairs per doc and is deterministic") {
     val w = 3
     val pairs = SimilarityJoins.sortedNeighborhoodPairs(docs, w)
