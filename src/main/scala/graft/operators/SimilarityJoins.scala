@@ -260,24 +260,50 @@ object SimilarityJoins {
     import org.apache.spark.sql.types.DecimalType
     val lnP = graft.functions.PortableMath.lnPortable _
     def dec9(c: Column): Column = round(c, 9).cast(DecimalType(28, 9))
-    val tf = d.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("token"))
+    // ONE full-corpus pass total: the (doc,token,tf) aggregate feeds only
+    // the dup collapse. Corpus-wide model stats (df, N — duplicates
+    // counted, exactly like the quadratic oracle) are then QUOTIENT-
+    // derived from the checkpointed clusters: df(token) = Σ cluster sizes
+    // containing it, N = Σ cluster sizes. Without this the tf→df→raw→
+    // norm→weight chain re-ran the corpus explode once per consumer.
+    //
+    // Element choice (the prefixJoinPairs lesson, re-measured for the
+    // weighted case): vector terms are word-3-shingles WITH multiplicity,
+    // not unigrams. On this low-entropy corpus the unigram vocabulary is
+    // so small and flat that every document's "rarest" terms are the same
+    // ~23 tokens — the prefix index degenerates (max bucket 3,628, 32.8M
+    // candidates ≈ the quadratic baseline, 8 buckets over the hot-bucket
+    // cap ⇒ silent recall loss at scale). Word bigrams: 5.1M candidates.
+    // Trigrams: 90k candidates, max bucket 8, and a clean similarity gap
+    // (every pair either ≥0.9 or <0.5 at sf0.01) — the same element
+    // universe as the Jaccard twin above, now weighted.
+    val clusters = d.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w)-3),
+          |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))""".stripMargin))
+        .as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    // corpus-wide model stats BEFORE the dup collapse: df/N count every
-    // document, duplicates included, exactly like the quadratic oracle
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nd = d.agg(count(lit(1)).as("n_docs"))
-    val clusters = tf.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("token"), col("tf")))).as("v"))
       .groupBy(col("v"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .localCheckpoint() // feeds weights, intra pairs, and both expansions
+      .localCheckpoint() // feeds stats, weights, intra pairs, expansions
     val reps = clusters
-      .select(col("members")(0).as("doc_id"), explode(col("v")).as("x"))
-      .select(col("doc_id"), col("x.token").as("token"), col("x.tf").as("tf"))
+      .select(col("members")(0).as("doc_id"),
+        size(col("members")).cast("long").as("csz"), explode(col("v")).as("x"))
+      .select(col("doc_id"), col("csz"),
+        col("x.token").as("token"), col("x.tf").as("tf"))
+    val dfreq = reps.groupBy(col("token")).agg(sum(col("csz")).as("df"))
+    val nd = clusters.agg(sum(size(col("members"))).cast("long").as("n_docs"))
+    // raw weights are REP-level (post-collapse) — a bounded frame worth
+    // materializing: three consumers below (norm, prefix, vector map)
+    // each re-derive from it with one cheap join instead of re-running
+    // the corpus chain
     val raw = reps.join(dfreq, "token").crossJoin(broadcast(nd))
       .withColumn("raw", col("tf").cast("double") *
         lnP(col("n_docs").cast("double") / col("df")))
+      .select(col("doc_id"), col("df"), col("token"), col("tf"), col("raw"))
     val nrm = raw.groupBy(col("doc_id"))
       .agg(sqrt(sum(dec9(col("raw") * col("raw"))).cast("double")).as("nr"))
     // nr = 0 ⟺ every term appears in every doc (idf 0 across the board):
@@ -301,17 +327,36 @@ object SimilarityJoins {
       .select(col("doc_id"),
         explode(expr("transform(slice(st, 1, plen), x -> x.token)")).as("token"))
     val cand = Dedup.bucketPairs(pref, Seq("token"))
+    // verification vectors keyed by xxhash64(token), not the ~30-byte
+    // trigram string: the two candidate joins below shuffle ~2×|cand|
+    // full maps, and 8-byte keys cut that payload ~3.5× (and long
+    // equality beats string equality in every element_at probe). An
+    // in-doc hash collision would merge two map keys — Spark's default
+    // mapKeyDedupPolicy=EXCEPTION makes that a loud failure (p ≈ 3e-14
+    // per document), never a silently wrong cosine.
     val vec = u.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("token"), col("wt"))))
-        .as("m"))
+      .agg(map_from_entries(collect_list(
+        struct(xxhash64(col("token")).as("h"), col("wt")))).as("m"))
     def dot(a: String, b: String): Column = round(expr(
       s"""CAST(aggregate(map_keys($a), CAST(0 AS DECIMAL(28,9)),
          |  (acc, k) -> CAST(acc + CAST(round(element_at($a, k) *
          |    coalesce(element_at($b, k), CAST(0.0 AS DOUBLE)), 9)
          |    AS DECIMAL(28,9)) AS DECIMAL(28,9))) AS DOUBLE)""".stripMargin), 6)
+    // plain-double dot for the candidate prefilter: no per-term rounding,
+    // no decimal boxing — each rounded term of the exact dot differs from
+    // its double term by ≤ 5e-10, vectors hold ≪ 2e4 terms, and double
+    // summation error at unit magnitudes is ≪ 1e-10 per term, so
+    // |exact − approx| < 1e-5: a t − 1e-4 gate provably keeps every
+    // qualifying pair while the expensive decimal pipeline runs only on
+    // the output-bound survivor set
+    def dotFast(a: String, b: String): Column = expr(
+      s"""aggregate(map_keys($a), CAST(0.0 AS DOUBLE),
+         |  (acc, k) -> acc + element_at($a, k) *
+         |    coalesce(element_at($b, k), CAST(0.0 AS DOUBLE)))""".stripMargin)
     val repPairs = cand
       .join(vec.select(col("doc_id").as("doc_a"), col("m").as("m_a")), "doc_a")
       .join(vec.select(col("doc_id").as("doc_b"), col("m").as("m_b")), "doc_b")
+      .filter(dotFast("m_a", "m_b") >= t - 1e-4)
       .withColumn("cosine", dot("m_a", "m_b"))
       .filter(col("cosine") >= t)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
@@ -344,8 +389,15 @@ object SimilarityJoins {
     "q_dedup_prefix" -> ((s, dir) =>
       prefixJoinPairs(docs(s, dir), 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // t = 0.9, deliberately ABOVE this corpus's structural-similarity
+    // floor: at 0.8 some 3.3% of ALL pairs qualify (the synthetic text is
+    // low-entropy), so the OUTPUT of any exact join — however generated —
+    // is quadratic in corpus size, and the 100× probe dies enumerating
+    // ~billions of true pairs. A similarity threshold below the corpus's
+    // background similarity is an output-bound enumeration, not a join;
+    // 0.9 sits above the floor (22 pairs at sf0.01) and scales.
     "q_cosine_pairs" -> ((s, dir) =>
-      cosinePrefixPairs(docs(s, dir), 0.8)
+      cosinePrefixPairs(docs(s, dir), 0.9)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_editdist_pairs" -> ((s, dir) =>
       editDistancePairs(docs(s, dir), 30, 2)
@@ -360,12 +412,14 @@ object SimilarityJoins {
       s"""SELECT doc_a, doc_b, jaccard FROM (${Dedup.exactPairsSql})
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "q_cosine_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-        |  FROM documents),
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |toks AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS token
+        |  FROM d, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
         |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
         |dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |n AS (SELECT COUNT(*) AS n_docs FROM d WHERE len(w) >= 3),
         |w AS (SELECT doc_id, token,
         |        tf * ln(CAST(n_docs AS DOUBLE) / df) AS raw
         |      FROM tfc JOIN dfc USING (token), n),
@@ -381,7 +435,7 @@ object SimilarityJoins {
         |      FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT doc_a, doc_b, cosine FROM p
-        |WHERE cosine >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE cosine >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "q_editdist_pairs" ->
       """WITH p AS (
         |  SELECT doc_id, substr(lower(text), 1, 30) AS s

@@ -114,11 +114,16 @@ class SimilarityJoinsSpec extends SparkSpec {
     val lnP = graft.functions.PortableMath.lnPortable _
     def dec9(c: org.apache.spark.sql.Column) =
       round(c, 9).cast(DecimalType(28, 9))
-    val tf = d.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("token"))
+    val tf = d.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w)-3),
+          |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))""".stripMargin))
+        .as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val nd = d.select(split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3).agg(count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nd = d.agg(count(lit(1)).as("n_docs"))
     val raw = tf.join(dfreq, "token").crossJoin(nd)
       .withColumn("raw", col("tf").cast("double") *
         lnP(col("n_docs").cast("double") / col("df")))
