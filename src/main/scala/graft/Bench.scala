@@ -36,6 +36,14 @@ object Bench {
       // 60 s) — a 100+-query run otherwise carries every prior streaming
       // query's state maps on heap for most of the bench
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
+      // localCheckpoint blocks (dup-collapse cluster frames etc.) release
+      // only when the owning RDD is GC'd on the driver and ContextCleaner
+      // notices; its periodic-GC default is 30 MINUTES — longer than the
+      // whole bench — so ~10 checkpointing queries × 2 runs accumulate
+      // pinned MEMORY_AND_DISK blocks until a mid-run memory cliff
+      // (observed: a 1 s query spiking to 36 s under block-eviction
+      // pressure). A 1-minute periodic GC keeps the block store drained.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // schema preflight BEFORE any timing: an unhandled corpus drift must
