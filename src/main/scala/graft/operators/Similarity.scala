@@ -100,6 +100,25 @@ object Similarity {
     // values are exact integers so the text form hashes identically,
     // and downstream tabular harnesses can sort it (raw array columns
     // are unhashable in pandas — the round-4 red).
+    // per-label embedding centroids, one row per (label, dimension) — the
+    // aggregation a domain-mixture or clustering pipeline runs over the
+    // vector column (class centroids, domain prototypes, drift baselines).
+    // Pure two-level aggregate keyed on (label, pos): 64·|labels| groups,
+    // partial-combined map-side, skew-free by construction; no vector is
+    // ever collected. Exactness: per-dimension sums route through 9-dp
+    // decimals (order-independent), mean rounds to 6 dp.
+    "q_embed_centroids" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(round(col("v").cast("double"), 9).cast(DecimalType(28, 9))).as("sv"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("n_vecs"),
+          round(col("sv").cast("double") / col("n_vecs"), 6).as("mean_v"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -652,6 +671,16 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_embed_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT label, CAST(t.i - 1 AS BIGINT) AS pos,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(SUM(CAST(round(v[t.i], 9) AS DECIMAL(28,9)))
+        |        AS DOUBLE) / COUNT(*), 6) AS mean_v
+        |FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+        |GROUP BY label, t.i
+        |ORDER BY label, pos""".stripMargin,
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -656,6 +656,45 @@ object Streams {
     runToTable(cleaned, spark, OutputMode.Append()).orderBy(col("doc_id"))
   }
 
+  /** Streaming benchmark decontamination: the stream-static expression of
+    * the batch `q_decontaminate` gate — incoming training documents
+    * explode into distinct 8-grams and inner-join the STATIC benchmark
+    * gram set (built once from the batch table, broadcast), so each
+    * arriving doc is scored for benchmark overlap as it lands, not in a
+    * nightly sweep. The join carries no state store (static side ⇒ no
+    * watermark, re-planned per micro-batch, BroadcastHashJoin under the
+    * threshold); the only stateful operator is the per-doc count, which
+    * is exactly one row per contaminated doc. Distinctness is structural
+    * — grams are array_distinct'd per doc BEFORE the explode and the
+    * benchmark side is distinct, so a plain count equals the batch
+    * count-distinct with no streaming-unsupported distinct aggregate.
+    * At 100 TB the benchmark set stays broadcast-size by construction
+    * (benchmarks are small; that asymmetry is the whole point of the
+    * decontamination-by-broadcast design). */
+  def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
+    val grams8 = expr(
+      """array_distinct(transform(sequence(0, size(w)-8), i ->
+        |  concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+        |                 w[i+4], w[i+5], w[i+6], w[i+7])))""".stripMargin)
+    val bench = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(explode(grams8).as("gram")).distinct()
+    val training = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") >= 50)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(grams8).as("gram"))
+    val scored = training.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    runToTable(scored, spark, OutputMode.Complete()).orderBy(col("doc_id"))
+  }
+
   /** Streaming sessionization: the state-store-native expression of the
     * batch q_session_window — `session_window` merges a user's events into
     * gap-bounded sessions as they arrive, the watermark closes (and
@@ -702,6 +741,7 @@ object Streams {
   val queries: Map[String, Q] = Map(
     "q_stream_enrich" -> ((s, dir) => enrichedSegmentCounts(s, dir)),
     "q_stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
+    "q_stream_decontaminate" -> ((s, dir) => decontaminateStream(s, dir)),
     "q_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
     "q_stream_hop_counts" -> ((s, dir) => hopCounts(s, dir)),
@@ -742,6 +782,17 @@ object Streams {
         |FROM documents
         |WHERE n_chars >= 100 AND n_chars <= 2000
         |ORDER BY doc_id""".stripMargin,
+    "q_stream_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+        |                              for i in range(1, len(w)-6)])) AS gram
+        |      FROM t WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
+        |SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id >= 50
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
         |       COUNT(*) AS n_events

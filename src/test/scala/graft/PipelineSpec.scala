@@ -21,6 +21,33 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq("en", "de", "es", "fr"))
   }
 
+  test("streaming decontamination equals the batch benchmark gate") {
+    val stream = Queries.all("q_stream_decontaminate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Queries.all("q_decontaminate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "gate vacuous: no contaminated docs in corpus")
+    assert(stream == batch,
+      s"missing ${(batch -- stream).size}, spurious ${(stream -- batch).size}")
+  }
+
+  test("embedding centroids: shape, counts, and agreement with plain avg") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val nLabels = e.select($"label").distinct().count()
+    val out = Queries.all("q_embed_centroids")(spark, sfDir).cache()
+    assert(out.count() == nLabels * 64, "one row per (label, dimension)")
+    // n_vecs constant across dimensions and equal to the label's count
+    val counts = e.groupBy($"label").count()
+    assert(out.join(counts, "label")
+      .filter($"n_vecs" =!= $"count").isEmpty)
+    // the decimal-routed mean agrees with the built-in double avg to 6dp
+    val plain = e
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos").agg(avg($"v".cast("double")).as("a"))
+    assert(out.join(plain, Seq("label", "pos"))
+      .filter(abs($"mean_v" - $"a") > 1e-5).isEmpty)
+  }
+
   test("ANN LSH top-5 equals the brute-force top-5 (recall-1 band config)") {
     val bf = Queries.all("q_similarity_topk")(spark, sfDir)
       .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
