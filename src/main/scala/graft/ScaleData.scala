@@ -40,10 +40,12 @@ object ScaleData {
     def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(Tables.path(src, name))
       val all = (0 until copies).map(i => shift(base, i)).reduce(_ unionAll _)
-      if (name == "events") {
-        // the streaming file source globs for a FILE named events.parquet
-        // — write one flat file, not a directory of parts
-        val tmp = s"$out/.events_tmp"
+      if (name == "events" || name == "documents") {
+        // the streaming file sources glob for FILES named events.parquet /
+        // documents.parquet — write one flat file, not a directory of
+        // parts, or every doc-stream probe silently reads ZERO rows (the
+        // pre-r8 q_stream_doc_clean sf10 rows were vacuous exactly so)
+        val tmp = s"$out/.${name}_tmp"
         all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
