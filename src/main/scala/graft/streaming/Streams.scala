@@ -574,8 +574,10 @@ object Streams {
     * mirroring the batch `Dedup.bucketCap` smallest-ids cap under in-order
     * arrival), so one adversarial boilerplate bucket cannot grow a state
     * row or a per-doc emission quadratically. */
-  def streamingNearDupPairs(spark: SparkSession, dir: String,
-                            cap: Int = graft.operators.Dedup.bucketCap): DataFrame = {
+  /** The streaming LSH candidate-pair stream shared by the memory-sink
+    * harness form and the parquet-sink production form below. */
+  private def nearDupCandidatePairs(spark: SparkSession, dir: String,
+                                    cap: Int): DataFrame = {
     import spark.implicits._
     import graft.functions.Sketches
     val docSchema = StructType(Seq(
@@ -617,9 +619,13 @@ object Streams {
           out.iterator
         }
       .toDF("doc_a", "doc_b")
-    val cand = runToTable(pairs, spark, OutputMode.Append()).distinct()
-    // jaccard-verify candidates against the batch corpus (fused one-pass
-    // expression, same as the batch pipeline's verify join)
+    pairs
+  }
+
+  /** jaccard-verify candidate pairs against the batch corpus (fused
+    * one-pass expression, same as the batch pipeline's verify join). */
+  private def verifyNearDupPairs(spark: SparkSession, dir: String,
+                                 cand: DataFrame): DataFrame = {
     val d = graft.Tables.load(spark, dir, "documents")
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
@@ -629,6 +635,36 @@ object Streams {
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def streamingNearDupPairs(spark: SparkSession, dir: String,
+                            cap: Int = graft.operators.Dedup.bucketCap): DataFrame = {
+    val cand = runToTable(nearDupCandidatePairs(spark, dir, cap),
+      spark, OutputMode.Append()).distinct()
+    verifyNearDupPairs(spark, dir, cand)
+  }
+
+  /** Production form of [[streamingNearDupPairs]]: candidate pairs stream
+    * to a DISTRIBUTED parquet sink and the exact-jaccard verification
+    * runs as a batch join over the sink — nothing lands on the driver.
+    * The memory-sink form above is the finite-test harness ONLY: on a
+    * dup-heavy corpus the candidate volume is quadratic in cluster size
+    * (a b-member exact-dup cluster emits C(b,2) candidates per shared
+    * band), and collecting that to a driver fails on maxResultSize by
+    * construction — the 100× probe corpus (100-member planted clusters)
+    * measured 1.1 GiB of candidates per collected batch. */
+  def streamingNearDupPairsToParquet(spark: SparkSession, dir: String,
+                                     outDir: String, checkpointDir: String,
+                                     cap: Int = graft.operators.Dedup.bucketCap): DataFrame = {
+    val q = nearDupCandidatePairs(spark, dir, cap).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    verifyNearDupPairs(spark, dir, spark.read.parquet(outDir).distinct())
   }
 
   private val docSchema = StructType(Seq(

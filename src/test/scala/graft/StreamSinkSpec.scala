@@ -40,6 +40,20 @@ class StreamSinkSpec extends SparkSpec {
     assert(second == Seq("2024-02-01" -> 3L), second.toString)
   }
 
+  test("streaming near-dup pairs: parquet-sink production form equals memory-sink form") {
+    val out = Files.createTempDirectory("graft_ssp_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssp_ckpt").toString
+    val viaFile = streaming.Streams
+      .streamingNearDupPairsToParquet(spark, sfDir, s"$out/pairs", s"$ckpt/q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaMemory = streaming.Streams.streamingNearDupPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaMemory.nonEmpty, "corpus has no near-dup pairs — vacuous")
+    assert(viaFile == viaMemory,
+      s"sink forms diverge: ${(viaFile diff viaMemory).size} extra, " +
+        s"${(viaMemory diff viaFile).size} missing")
+  }
+
   test("compacted-state view: latest wins, replay and full-reprocess converge") {
     val base = Files.createTempDirectory("graft_mview").toString
     val ns = 1000L * 1000 * 1000
