@@ -135,7 +135,82 @@ object Similarity {
           concat_ws(",", col("qv")).as("qv"), col("max_err"))
         .orderBy(col("vec_id"))
     }),
+
+    // distributed Lloyd's k-means over the FULL corpus (k=8, 2 iterations,
+    // deterministic init = first k vectors) — the clustering primitive a
+    // training-data pipeline runs for domain discovery / cluster-balanced
+    // sampling. Unlike the driver-trained IVF codebook (sample-bounded),
+    // every step here is a lazy distributed plan:
+    //   assignment: corpus × broadcast(k centroids) in-scan expansion,
+    //     collapsed by a partial-aggregatable min(struct(dist, cid)) —
+    //     the exchange carries ONE candidate row per vector per partition,
+    //     never the k-way expansion;
+    //   recenter:  (cid, pos)-keyed two-level aggregate (k·dim groups,
+    //     map-side combined) exactly like q_embed_centroids.
+    // Per iteration: one broadcast + one |vecs|-row exchange + one k·dim
+    // exchange — the canonical 100 TB k-means shape (MLlib's loop, minus
+    // the driver collect). Cross-engine exactness: distances round to
+    // 6 dp before argmin (ties → lowest cid in both engines), recentered
+    // means route through 9-dp decimal sums and round to 12 dp, so both
+    // engines walk identical doubles into iteration 2 (the q_pagerank
+    // rounding discipline).
+    "q_kmeans" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      kmeansAssign(e, k = 8, iters = 2)
+        .select(col("vec_id"), col("cid").as("cluster"), col("dist2"))
+        .orderBy(col("vec_id"))
+    }),
   )
+
+  /** Distributed Lloyd's k-means: `iters` assignment passes over the full
+    * corpus, entirely as one lazy plan (no driver-side model state, unlike
+    * [[trainCodebook]] which fits on a bounded sample). Input `e` must have
+    * (vec_id: long, v: array<double>); init = the first k vectors by
+    * vec_id; returns the final (vec_id, v, cid, dist2) assignment.
+    *
+    * Each assignment is corpus × broadcast(k centroids) expanded IN-SCAN
+    * and collapsed by a partial-aggregatable min(struct(dist, cid)), so
+    * the exchange carries one candidate row per vector per partition —
+    * never the k-way expansion. Recentering is the (cid, pos)-keyed
+    * two-level aggregate (k·dim groups, map-side combined). Cross-engine
+    * exactness discipline (the q_pagerank pattern): distances round to
+    * 6 dp before argmin (ties → lowest cid in both engines), recentered
+    * means route through 9-dp decimal sums and round to 12 dp, so both
+    * engines walk identical doubles into every iteration. For deep loops
+    * (iters ≫ 10) the centroid frame should be checkpointed per iteration
+    * to bound plan depth; at the 2–8 iterations typical for corpus
+    * bucketing the lazy chain is fine. */
+  private[graft] def kmeansAssign(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1, "need at least one assignment pass")
+    def dist2(v: org.apache.spark.sql.Column, cv: org.apache.spark.sql.Column) =
+      round(aggregate(zip_with(v, cv, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, d) => acc + d), 6)
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"),
+          struct(dist2(col("v"), col("cv")).as("dd"), col("cid")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), min(col("cand")).as("m"))
+        .select(col("vec_id"), col("v"),
+          col("m.cid").as("cid"), col("m.dd").as("dist2"))
+    def recenter(a: DataFrame): DataFrame =
+      a.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x"), 9).cast(DecimalType(28, 9))).as("sx"))
+        .select(col("cid"),
+          struct(col("pos"),
+            round(col("sx").cast("double") / col("n"), 12).as("mv")).as("pm"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(col("pm"))),
+          p => p.getField("mv")).as("cv"))
+    val c0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    (1 until iters).foldLeft(assign(c0))((a, _) => assign(recenter(a)))
+  }
 
   /** Spherical k-means codebook, trained driver-side on the bounded
     * deterministic [[loadSample]] (constant-size regardless of corpus
@@ -693,6 +768,32 @@ object Similarity {
         |  list_max(list_transform(list_zip(v, qv),
         |    p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale / 127))) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d0 AS (SELECT e.vec_id, e.v, c.cid,
+        |         round(list_sum(list_transform(list_zip(e.v, c.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS dd
+        |       FROM e CROSS JOIN c0 c),
+        |a0 AS (SELECT vec_id, v, cid FROM (
+        |         SELECT vec_id, v, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        |         FROM d0) WHERE rn = 1),
+        |m1 AS (SELECT cid, t.i AS pos,
+        |         round(CAST(SUM(CAST(round(v[t.i], 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |           / COUNT(*), 12) AS mv
+        |       FROM a0, unnest(range(1, len(v) + 1)) AS t(i)
+        |       GROUP BY cid, t.i),
+        |c1 AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |         round(list_sum(list_transform(list_zip(e.v, c.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS dd
+        |       FROM e CROSS JOIN c1 c)
+        |SELECT vec_id, cluster, dist2 FROM (
+        |  SELECT vec_id, cid AS cluster, dd AS dist2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        |  FROM d1) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

@@ -283,4 +283,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!w.contains("Exchange hashpartitioning"), w.take(3000))
     assert(!w.contains("Window") && !w.contains("Join"), w.take(3000))
   }
+
+  test("k-means: broadcast centroids, partial-agg collapse, no window") {
+    val km = planOf("q_kmeans")
+    // every centroid set (init filter + recentered k-row frame) broadcasts;
+    // the k-way expansion must never become a shuffled or cartesian join
+    assert(km.contains("BroadcastNestedLoopJoin"), km.take(3000))
+    assert(!km.contains("CartesianProduct"), km.take(3000))
+    assert(!km.contains("SortMergeJoin"), km.take(3000))
+    // assignment collapses map-side: one candidate per vector per
+    // partition crosses the exchange, never the k-expanded rows
+    assert(km.contains("partial_min"), km.take(3000))
+    // recenter is the (cid,pos)-keyed two-level aggregate, no window
+    assert(km.contains("partial_sum"), km.take(3000))
+    assert(!km.contains("Window"), km.take(3000))
+  }
 }
