@@ -113,6 +113,27 @@ object Streams {
     runToTable(agg, spark, OutputMode.Complete()).orderBy(col("w_start"))
   }
 
+  /** Streaming sketch aggregation: per-day event-time windows carrying a
+    * Greenwald-Khanna percentile summary in the state store instead of
+    * rows — the streaming twin of `q_quantile_approx`. State per open
+    * window is one mergeable sketch (bounded by the accuracy parameter),
+    * NOT the window's events, so a 100 TB/day stream holds KBs per
+    * window; micro-batches merge their partial summaries into the stored
+    * one exactly like the batch partial-agg path. At gate scale the
+    * summary compresses nothing (accuracy ≫ rows/day) so the result is
+    * the exact nearest-rank percentile — hash-checkable against DuckDB's
+    * quantile_disc (the proven q_quantile_approx discipline). */
+  def dailyQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr("percentile_approx(value, 0.5, 50000)").as("p50_value"),
+        expr("percentile_approx(value, 0.9, 50000)").as("p90_value"))
+      .select(to_date(col("w.start")).as("event_day"),
+        col("p50_value"), col("p90_value"))
+    runToTable(agg, spark, OutputMode.Complete()).orderBy(col("event_day"))
+  }
+
   /** Streaming exact dedup on event_id (state-store keyed dedup), then a
     * batch count over the deduped sink — the streaming half of the dedup
     * family. */
@@ -781,6 +802,7 @@ object Streams {
     "q_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
     "q_stream_hop_counts" -> ((s, dir) => hopCounts(s, dir)),
+    "q_stream_quantile" -> ((s, dir) => dailyQuantiles(s, dir)),
     "q_stream_dedup" -> ((s, dir) => dedupCount(s, dir)),
     "q_stream_dedup_windowed" -> ((s, dir) => dedupWindowedCount(s, dir)),
     "q_stream_user_counts" -> ((s, dir) => userCounts(s, dir)),
@@ -842,6 +864,13 @@ object Streams {
         |  CAST(w + INTERVAL 2 HOUR AS TIMESTAMP) AS w_end,
         |  COUNT(*) AS n_events
         |FROM x GROUP BY 1, 2 ORDER BY w_start""".stripMargin,
+    // exact because accuracy (50k) ≫ rows per day at gate scale, so the
+    // GK summary holds every point and returns the nearest-rank element
+    "q_stream_quantile" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
+        |  quantile_disc(value, 0.5) AS p50_value,
+        |  quantile_disc(value, 0.9) AS p90_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_dedup" ->
       "SELECT COUNT(DISTINCT event_id) AS n_unique_events FROM events",
     // exact while every duplicate group spans < the 1-day lateness window

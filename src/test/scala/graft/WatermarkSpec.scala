@@ -58,6 +58,42 @@ class WatermarkSpec extends SparkSpec {
     assert(!rows.contains("2024-02-03"), rows.toString)
   }
 
+  test("streaming quantile: sketch state merges across micro-batches") {
+    // two files → two micro-batches for the SAME day-window: the stored
+    // GK summary must merge batch 2's partial into batch 1's (a
+    // last-batch-wins or row-buffering regression would change the
+    // percentile), and the merged result must equal the batch aggregate
+    // over the union.
+    val dir = Files.createTempDirectory("graft_q").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    val b1 = (1 to 40).map(i => (ts("2024-02-01 10:00:00"), i.toDouble))
+    val b2 = (41 to 100).map(i => (ts("2024-02-01 11:00:00"), i.toDouble))
+    b1.toDF("ts", "value").coalesce(1).write.parquet(s"$dir/b1")
+    Thread.sleep(1200)
+    b2.toDF("ts", "value").coalesce(1).write.parquet(s"$dir/b2")
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/*")
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr("percentile_approx(value, 0.5, 50000)").as("p50"),
+        expr("percentile_approx(value, 0.9, 50000)").as("p90"))
+      .select(to_date(col("w.start")).as("day"), col("p50"), col("p90"))
+    val q = stream.writeStream.format("memory").queryName("q_quant_merge")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val r = spark.table("q_quant_merge").collect()
+    assert(r.length == 1, r.mkString(";"))
+    // nearest-rank over the FULL 1..100: p50 = 50, p90 = 90 — a
+    // single-batch-only state would report 20/36 (batch 1 alone)
+    assert(r(0).getDouble(1) == 50.0 && r(0).getDouble(2) == 90.0,
+      r(0).toString)
+  }
+
   test("stream-stream join: multi-batch run equals the batch join, state evicts") {
     // capture the per-run state observation the harness logs
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
