@@ -138,6 +138,31 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // exact binary-content dedup over the media payloads — the first gate
+    // any multimodal training pipeline runs (byte-identical image dedup).
+    // Spark groups on md5 OF THE REAL ENCODED PNG BYTES (a 16-byte
+    // fingerprint crosses the exchange, never the payload — the 100 TB
+    // shape); the oracle groups by the generator's equivalence classes
+    // (the pattern is a pure function of (doc_id%6, doc_id%4, doc_id%32),
+    // i.e. doc_id mod 96), so hash-equality proves content-grouping is
+    // exactly content identity — which also pins PNG encode determinism
+    // across partitions.
+    "q_multimodal_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+          it.map(id => MediaRow(id, "image", encodePng(id)))
+        }
+        .toDF()
+        .select(col("doc_id"), md5(col("payload")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keeper_doc_id"), col("n_copies"))
+        .orderBy(col("keeper_doc_id"))
+    }),
+
     // REAL codec round-trip: synthesize PNG payloads (media arrival),
     // decode with javax.imageio, feature-extract — all partition-parallel;
     // hash-green against the closed-form DuckDB oracle below
@@ -155,6 +180,15 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // the generator's content-equivalence classes: the PNG payload is a
+    // pure function of (doc_id%6, doc_id%4, doc_id%32); Spark's md5-of-
+    // real-bytes grouping must reproduce them exactly
+    "q_multimodal_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY doc_id % 6, doc_id % 4, doc_id % 32
+        |ORDER BY keeper_doc_id""".stripMargin,
     // closed forms of the decoded-pixel stats (valid because the PNG
     // round-trip is lossless and gray(x,y) = base + 7x + 13y is affine):
     //   mean = base + 7(w-1)/2 + 13(h-1)/2

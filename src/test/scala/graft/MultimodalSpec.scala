@@ -46,4 +46,26 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeImages(Iterator(junk)).next())
     assert(e.getMessage.contains("undecodable payload"))
   }
+
+  test("PNG encoding is byte-deterministic; fp classes = generator classes") {
+    // q_multimodal_dedup's md5 grouping is only sound if the SAME raster
+    // always encodes to the SAME bytes (across calls — and by extension
+    // across partitions/executors, which run this same JVM codec path)
+    (0L until 200L).foreach { id =>
+      assert(java.util.Arrays.equals(
+        Multimodal.encodePng(id), Multimodal.encodePng(id)), s"doc $id")
+    }
+    // distinct payloads correspond 1:1 with the generator's (id mod 96)
+    // equivalence classes: same class -> identical bytes, different class
+    // -> different bytes (the oracle's GROUP BY relies on both directions)
+    val byClass = (0L until 200L).groupBy(_ % 96)
+    byClass.values.foreach { ids =>
+      val fps = ids.map(id =>
+        java.util.Base64.getEncoder.encodeToString(Multimodal.encodePng(id))).toSet
+      assert(fps.size == 1, s"class split: $ids")
+    }
+    val reps = byClass.values.map(ids =>
+      java.util.Base64.getEncoder.encodeToString(Multimodal.encodePng(ids.head))).toSet
+    assert(reps.size == byClass.size, "distinct classes must differ in bytes")
+  }
 }
