@@ -28,6 +28,22 @@ object TextAnalysis {
   private def toks(c: Column): Column = split(c, " ")
 
   private val stop = Seq("the", "a")
+
+  /** Linear quality-classifier model: token → weight in 64ths (dyadic, so
+    * every partial sum is exact in double and order-independent). Fluent
+    * prose markers score positive, spam/boilerplate markers negative.
+    * Single source of truth for BOTH the Spark literal-map column and the
+    * generated DuckDB oracle SQL. */
+  private[graft] val clfWeights: Seq[(String, Int)] = Seq(
+    "the" -> 16, "and" -> 12, "of" -> 12, "to" -> 10,
+    "a" -> 8, "in" -> 8, "is" -> 6, "it" -> 4,
+    "slow" -> -8, "big" -> -8,
+    "http" -> -32, "www" -> -32, "click" -> -24, "!!!" -> -24,
+    "free" -> -20, "winner" -> -20, "buy" -> -16, "subscribe" -> -16)
+  /** −1/256 — dyadic, and sited inside the corpus's weighted-density
+    * distribution (p25 ≈ −0.002 < bias-cut < p75 ≈ +0.009) so the gate
+    * genuinely separates classes at every SF. */
+  private[graft] val clfBias: Double = -1.0 / 256
   // tiny per-language stopword lists for the n-gram/stopword language guess
   val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -189,6 +205,30 @@ object TextAnalysis {
         stopRatio.as("stop_ratio"),
         (stopRatio * 0.5 + least(lit(1.0), nTok.cast("double") / 200.0) * 0.5
           - punctRatio * 0.1).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // fastText-style linear quality classifier: a fixed token→weight
+    // model scored entirely IN-SCAN — the model ships as a literal map
+    // column (the broadcast-a-tiny-model pattern; a trained model would
+    // arrive the same way), each doc's logit is one fold over its tokens,
+    // zero exchanges anywhere. Weights are exact 64ths (dyadic rationals)
+    // so the fold is EXACT in double and order-independent — no decimal
+    // routing needed; only the final /n_tokens division rounds (6 dp, the
+    // proven cross-engine discipline). The oracle SQL is GENERATED from
+    // the same weight table, so the two engines cannot drift.
+    "q_quality_classifier" -> ((s, dir) => {
+      val wmap = map(clfWeights.flatMap { case (t, n) =>
+        Seq(lit(t), lit(n / 64.0)) }: _*)
+      val tk = toks(lower(col("text")))
+      val score = aggregate(tk, lit(0.0),
+        (acc, t) => acc + coalesce(element_at(wmap, t), lit(0.0)))
+      val logit = round(lit(clfBias) + score / size(tk).cast("double"), 6)
+      docs(s, dir).select(
+        col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        logit.as("quality_logit"),
+        (logit > 0).as("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -463,6 +503,20 @@ object TextAnalysis {
         |  - (CAST(length(text) - length(replace(replace(replace(replace(text,'.',''),',',''),'!',''),'?','')) AS DOUBLE)
         |     / length(text)) * 0.1 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" -> {
+      val entries = clfWeights.map { case (t, n) =>
+        s"'${t}': CAST($n AS DOUBLE)/64" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+         |           FROM documents),
+         |s AS (SELECT doc_id, len(tk) AS n,
+         |        round($clfBias + coalesce(list_sum(list_transform(tk,
+         |            t -> coalesce(MAP {$entries}[t][1], 0.0))), 0.0)
+         |          / len(tk), 6) AS quality_logit
+         |      FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, quality_logit,
+         |  quality_logit > 0 AS kept
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "q_lang_id" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -25,6 +25,31 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("quality classifier: logit equals an exact driver-side rescore") {
+    // the in-scan fold must equal an independent exact recomputation —
+    // the dyadic-weight design means NO tolerance is needed, and a fold
+    // that lost exactness (e.g. weights no longer 64ths, or a rounding
+    // inserted mid-sum) would show up as a strict inequality here
+    val w = operators.TextAnalysis.clfWeights.toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = q("q_quality_classifier").collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val toks = docs(r.getLong(0)).toLowerCase.split(" ", -1)
+      val s = toks.map(t => w.getOrElse(t, 0) / 64.0).sum
+      val logit = BigDecimal(operators.TextAnalysis.clfBias + s / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(1) == toks.length, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(2) == logit, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(3) == (logit > 0), s"doc ${r.getLong(0)}")
+    }
+    // the model must actually separate: both classes present at gate scale
+    val kept = out.count(_.getBoolean(3))
+    assert(kept > 0 && kept < out.length, s"kept=$kept of ${out.length}")
+  }
+
   test("repetition ratios are in [0,1] and top token bounds the mode") {
     val bad = q("q_doc_repetition").filter(
       col("dup_word_ratio") < 0 || col("dup_word_ratio") > 1 ||

@@ -284,6 +284,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!w.contains("Window") && !w.contains("Join"), w.take(3000))
   }
 
+  test("quality classifier scores in-scan: no join, window, or hash exchange") {
+    val qc = planOf("q_quality_classifier")
+    assert(!qc.contains("Join"), qc.take(3000))
+    assert(!qc.contains("Window"), qc.take(3000))
+    assert(!qc.contains("Exchange hashpartitioning"), qc.take(3000))
+  }
+
   test("k-means: broadcast centroids, partial-agg collapse, no window") {
     val km = planOf("q_kmeans")
     // every centroid set (init filter + recentered k-row frame) broadcasts;
