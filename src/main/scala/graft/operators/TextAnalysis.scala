@@ -87,6 +87,34 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-gated decontamination: same semantics as q_decontaminate, but
+    // the benchmark gram set compresses to a Bloom filter (a scalar
+    // subquery of BITS) that gates the training gram stream IN ITS SCAN
+    // STAGE, before any exchange. This is the decontamination shape for
+    // when the benchmark suite is too large to broadcast as rows (at
+    // 100 TB: millions of eval grams → the semi-join becomes a shuffle,
+    // and the bloom keeps ~non-matching grams out of it entirely). The
+    // exact join afterwards removes bloom false positives, so the output
+    // is identical to the broadcast form — same oracle, hash-green.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(w)-8), i ->
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                            w[i+4], w[i+5], w[i+6], w[i+7]))"""))).as("gram"))
+      val ev = g.filter(col("doc_id") < 50).select(col("gram")).distinct()
+      val bloom = ev.agg(graft.functions.Bloom
+        .bloomAgg(xxhash64(col("gram")), 100000L, 800000L).as("bf"))
+      g.filter(col("doc_id") >= 50)
+        .filter(graft.functions.Bloom.mightContain(bloom, xxhash64(col("gram"))))
+        .join(ev, "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fractional-containment decontamination (the Dolma/BigCode policy):
     // instead of q_decontaminate's absolute shared-gram count, score each
     // training doc by the FRACTION of its distinct 8-grams that appear
@@ -424,6 +452,19 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+        |                              for i in range(1, len(w)-6)])) AS gram
+        |      FROM t WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
+        |SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id >= 50
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical answer to q_decontaminate: the bloom is a pure prefilter,
+    // false positives die in the exact join
+    "q_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |g AS (SELECT doc_id,
         |        unnest(list_distinct([array_to_string(w[i:i+7], ' ')

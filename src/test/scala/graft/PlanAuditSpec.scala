@@ -95,6 +95,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(filterLine.exists(_.contains("l_orderkey")), filterLine.toString)
   }
 
+  test("bloom decontamination: might_contain gates the gram stream pre-join") {
+    val p = planOf("q_decontaminate_bloom")
+    assert(p.contains("bloom_filter_agg"), p.take(2000))
+    // the bloom test must gate the TRAINING gram stream in a Filter below
+    // the verification join (the whole point: at 100 TB the eval grams
+    // don't broadcast, and the bloom keeps non-candidates out of the
+    // join's exchange)
+    val filterLine = p.linesIterator.find(l =>
+      l.contains("might_contain") && l.toLowerCase.contains("filter"))
+    assert(filterLine.exists(_.contains("gram")), filterLine.toString)
+  }
+
   test("log compaction is a pure aggregate: no window, partial agg present") {
     val p = planOf("q_log_compact")
     assert(!p.contains("Window"), p)
