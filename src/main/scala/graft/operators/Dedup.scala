@@ -688,7 +688,7 @@ object Dedup {
     (clusters, repPairs)
   }
 
-  private def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
     val (clusters, repPairs) = embeddingRepCandidatesOf(Tables.load(s, dir, "embeddings"))
     // within-cluster pairs (cos(v,v), ~1.0) emit from the clusters
     // directly; cross-cluster pairs re-expand over cluster members

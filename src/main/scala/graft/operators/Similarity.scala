@@ -154,6 +154,45 @@ object Similarity {
     // means route through 9-dp decimal sums and round to 12 dp, so both
     // engines walk identical doubles into iteration 2 (the q_pagerank
     // rounding discipline).
+    // contrastive training-triple generation (anchor, positive, negative)
+    // — the embedding-training counterpart of the dedup pipeline: positives
+    // are REAL near-duplicates (the exact LSH pair set, min-id partner per
+    // anchor), negatives are a deterministic pseudo-random pick via an
+    // LCG-style index map (anchor·48271+7 mod N, stepping once on a self
+    // hit). Requires contiguous vec_ids 0..N-1 (the corpus contract; the
+    // oracle shares the formula so a violation is a loud mismatch, not a
+    // silent skew). Scale shape: the pair set is the replication-invariant
+    // LSH path, N is a 1-row broadcast, negatives are ONE equi-join on the
+    // computed id — everything linear, no sampling-by-sort anywhere.
+    "q_contrastive_triples" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val pairs = Dedup.embeddingLshPairs(s, dir)
+      val sym = pairs
+        .select(col("vec_a").as("anchor_id"), col("vec_b").as("partner"), col("cos"))
+        .unionByName(pairs
+          .select(col("vec_b").as("anchor_id"), col("vec_a").as("partner"), col("cos")))
+      val pos = sym.groupBy(col("anchor_id"))
+        .agg(min(struct(col("partner"), col("cos"))).as("m"))
+        .select(col("anchor_id"), col("m.partner").as("pos_id"),
+          col("m.cos").as("pos_cos"))
+      val n = e.agg(count(lit(1)).as("n_total"))
+      val withNeg = pos.crossJoin(broadcast(n))
+        .withColumn("nid0", (col("anchor_id") * 48271L + 7L) % col("n_total"))
+        .withColumn("neg_id", when(col("nid0") === col("anchor_id"),
+          (col("nid0") + 1L) % col("n_total")).otherwise(col("nid0")))
+      val anc = e.select(col("vec_id").as("anchor_id"),
+        col("embedding").as("anchor_emb"), col("label").as("anchor_label"))
+      val neg = e.select(col("vec_id").as("neg_id"),
+        col("embedding").as("neg_emb"), col("label").as("neg_label"))
+      withNeg.join(anc, "anchor_id").join(neg, "neg_id")
+        .select(col("anchor_id"), col("anchor_label"),
+          col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_label"),
+          round(Sketches.cosineSim(col("anchor_emb"), col("neg_emb")), 6)
+            .as("neg_cos"))
+        .orderBy(col("anchor_id"))
+    }),
+
     "q_kmeans" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
