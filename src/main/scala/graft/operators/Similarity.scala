@@ -136,6 +136,16 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // contrastive training-triple generation (anchor, positive, negative)
+    // — the embedding-training counterpart of the dedup pipeline: positives
+    // are REAL near-duplicates (the exact LSH pair set, min-id partner per
+    // anchor), negatives are a deterministic pseudo-random pick via an
+    // LCG-style index map (see [[contrastiveTriples]] for the formula,
+    // the collision stepping, and the loud contiguity guard).
+    "q_contrastive_triples" -> ((s, dir) =>
+      contrastiveTriples(Tables.load(s, dir, "embeddings"),
+        Dedup.embeddingLshPairs(s, dir))),
+
     // distributed Lloyd's k-means over the FULL corpus (k=8, 2 iterations,
     // deterministic init = first k vectors) — the clustering primitive a
     // training-data pipeline runs for domain discovery / cluster-balanced
@@ -154,45 +164,6 @@ object Similarity {
     // means route through 9-dp decimal sums and round to 12 dp, so both
     // engines walk identical doubles into iteration 2 (the q_pagerank
     // rounding discipline).
-    // contrastive training-triple generation (anchor, positive, negative)
-    // — the embedding-training counterpart of the dedup pipeline: positives
-    // are REAL near-duplicates (the exact LSH pair set, min-id partner per
-    // anchor), negatives are a deterministic pseudo-random pick via an
-    // LCG-style index map (anchor·48271+7 mod N, stepping once on a self
-    // hit). Requires contiguous vec_ids 0..N-1 (the corpus contract; the
-    // oracle shares the formula so a violation is a loud mismatch, not a
-    // silent skew). Scale shape: the pair set is the replication-invariant
-    // LSH path, N is a 1-row broadcast, negatives are ONE equi-join on the
-    // computed id — everything linear, no sampling-by-sort anywhere.
-    "q_contrastive_triples" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val pairs = Dedup.embeddingLshPairs(s, dir)
-      val sym = pairs
-        .select(col("vec_a").as("anchor_id"), col("vec_b").as("partner"), col("cos"))
-        .unionByName(pairs
-          .select(col("vec_b").as("anchor_id"), col("vec_a").as("partner"), col("cos")))
-      val pos = sym.groupBy(col("anchor_id"))
-        .agg(min(struct(col("partner"), col("cos"))).as("m"))
-        .select(col("anchor_id"), col("m.partner").as("pos_id"),
-          col("m.cos").as("pos_cos"))
-      val n = e.agg(count(lit(1)).as("n_total"))
-      val withNeg = pos.crossJoin(broadcast(n))
-        .withColumn("nid0", (col("anchor_id") * 48271L + 7L) % col("n_total"))
-        .withColumn("neg_id", when(col("nid0") === col("anchor_id"),
-          (col("nid0") + 1L) % col("n_total")).otherwise(col("nid0")))
-      val anc = e.select(col("vec_id").as("anchor_id"),
-        col("embedding").as("anchor_emb"), col("label").as("anchor_label"))
-      val neg = e.select(col("vec_id").as("neg_id"),
-        col("embedding").as("neg_emb"), col("label").as("neg_label"))
-      withNeg.join(anc, "anchor_id").join(neg, "neg_id")
-        .select(col("anchor_id"), col("anchor_label"),
-          col("pos_id"), col("pos_cos"),
-          col("neg_id"), col("neg_label"),
-          round(Sketches.cosineSim(col("anchor_emb"), col("neg_emb")), 6)
-            .as("neg_cos"))
-        .orderBy(col("anchor_id"))
-    }),
-
     "q_kmeans" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -202,6 +173,67 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
   )
+
+  /** Contrastive (anchor, positive, negative) training triples over the
+    * embedding corpus — the set an embedding-model trainer consumes.
+    *
+    * Positives are REAL near-duplicates: `pairs` must be the exact
+    * cosine-≥0.45 pair set (the replication-invariant LSH path,
+    * [[Dedup.embeddingLshPairs]]); the positive per anchor is its min-id
+    * partner (struct-min on (partner, cos) — partner is unique per anchor
+    * in a distinct pair set, so this is deterministic in both engines).
+    *
+    * Negatives are a deterministic pseudo-random index map: nid0 =
+    * (anchor·48271 + 7) mod N, then the first of [nid0, nid0+1, nid0+2]
+    * (mod N) that is neither the anchor nor the positive — three
+    * candidates suffice whenever N ≥ 3, so neg ≠ anchor and neg ≠ pos by
+    * construction (the r8-ADVICE collision hole).
+    *
+    * Contract: vec_ids are contiguous 0..N-1 (TESTDATA.md corpus shape).
+    * The guard is LOUD, not silent: the negative lookup is a LEFT join
+    * and a missing vec_id raises a runtime error through `raise_error`
+    * in the `neg_cos` output column (never prunable), instead of the
+    * inner join silently dropping the anchor — and the registered DuckDB
+    * oracle shares the exact formula, so any engine-side drift is a hash
+    * mismatch on top.
+    *
+    * Scale shape: the pair set is the replication-invariant LSH path, N
+    * is a 1-row broadcast, the positive reduction is a partial-
+    * aggregatable struct-min, and the negative lookup is ONE equi-join —
+    * everything linear in the pair set, no sampling-by-sort anywhere. */
+  private[graft] def contrastiveTriples(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("vec_a").as("anchor_id"), col("vec_b").as("partner"), col("cos"))
+      .unionByName(pairs
+        .select(col("vec_b").as("anchor_id"), col("vec_a").as("partner"), col("cos")))
+    val pos = sym.groupBy(col("anchor_id"))
+      .agg(min(struct(col("partner"), col("cos"))).as("m"))
+      .select(col("anchor_id"), col("m.partner").as("pos_id"),
+        col("m.cos").as("pos_cos"))
+    val n = e.agg(count(lit(1)).as("n_total"))
+    def cand(step: Int) =
+      ((col("anchor_id") * 48271L + 7L) % col("n_total") + step) % col("n_total")
+    def ok(c: org.apache.spark.sql.Column) =
+      c =!= col("anchor_id") && c =!= col("pos_id")
+    val withNeg = pos.crossJoin(broadcast(n))
+      .withColumn("neg_id",
+        when(ok(cand(0)), cand(0)).when(ok(cand(1)), cand(1)).otherwise(cand(2)))
+    val anc = e.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("anchor_emb"), col("label").as("anchor_label"))
+    val neg = e.select(col("vec_id").as("neg_id"),
+      col("embedding").as("neg_emb"), col("label").as("neg_label"))
+    withNeg.join(anc, "anchor_id").join(neg, Seq("neg_id"), "left")
+      .select(col("anchor_id"), col("anchor_label"),
+        col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_label"),
+        when(col("neg_emb").isNull,
+          raise_error(concat(lit("contrastiveTriples: vec_ids not contiguous "
+            + "0..N-1 — computed neg_id "), col("neg_id"),
+            lit(" has no embedding row"))).cast("double"))
+          .otherwise(round(Sketches.cosineSim(col("anchor_emb"), col("neg_emb")), 6))
+          .as("neg_cos"))
+      .orderBy(col("anchor_id"))
+  }
 
   /** Distributed Lloyd's k-means: `iters` assignment passes over the full
     * corpus, entirely as one lazy plan (no driver-side model state, unlike
@@ -785,6 +817,46 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // shares the engine's exact formula end-to-end: exact cosine-≥0.45
+    // pair set (the LSH path's ground truth), min-(partner,cos) positive,
+    // the 48271-LCG negative with the three-candidate collision stepping
+    "q_contrastive_triples" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |n AS (SELECT count(*) AS n_total FROM e),
+        |p AS (SELECT a.vec_id AS pa, b.vec_id AS pb,
+        |        round(list_inner_product(a.v, b.v)
+        |          / (sqrt(list_inner_product(a.v, a.v))
+        |             * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE round(list_inner_product(a.v, b.v)
+        |          / (sqrt(list_inner_product(a.v, a.v))
+        |             * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.45),
+        |sym AS (SELECT pa AS anchor_id, pb AS partner, cos FROM p
+        |        UNION ALL SELECT pb, pa, cos FROM p),
+        |pos AS (SELECT anchor_id, partner AS pos_id, cos AS pos_cos FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |                      ORDER BY partner, cos) AS rn FROM sym)
+        |        WHERE rn = 1),
+        |cand AS (SELECT pos.*,
+        |           (anchor_id * 48271 + 7) % n_total AS c0,
+        |           ((anchor_id * 48271 + 7) % n_total + 1) % n_total AS c1,
+        |           ((anchor_id * 48271 + 7) % n_total + 2) % n_total AS c2
+        |         FROM pos CROSS JOIN n),
+        |sel AS (SELECT anchor_id, pos_id, pos_cos,
+        |          CASE WHEN c0 <> anchor_id AND c0 <> pos_id THEN c0
+        |               WHEN c1 <> anchor_id AND c1 <> pos_id THEN c1
+        |               ELSE c2 END AS neg_id
+        |        FROM cand)
+        |SELECT s.anchor_id, ea.label AS anchor_label, s.pos_id, s.pos_cos,
+        |       s.neg_id, en.label AS neg_label,
+        |       round(list_inner_product(ea.v, en.v)
+        |         / (sqrt(list_inner_product(ea.v, ea.v))
+        |            * sqrt(list_inner_product(en.v, en.v))), 6) AS neg_cos
+        |FROM sel s
+        |JOIN e ea ON ea.vec_id = s.anchor_id
+        |JOIN e en ON en.vec_id = s.neg_id
+        |ORDER BY anchor_id""".stripMargin,
     "q_embed_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

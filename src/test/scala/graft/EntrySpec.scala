@@ -13,4 +13,29 @@ class EntrySpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle without query: $extra")
     assert(qs.forall(_.matches("[a-z0-9_]+")), "snake_case names only")
   }
+
+  /** The no-red invariant, made mechanical (r8 verdict #8): a query may
+    * ship without a DuckDB oracle ONLY if it is on this explicit allowlist
+    * of principled rows-only queries — each with a documented reason and a
+    * law-test fallback (SURVEY.md §8). Adding a query without an oracle
+    * and without amending this list fails the build immediately, so an
+    * unverified operator can never ride an end-of-round snapshot commit
+    * into the registry again (the r8 q_contrastive_triples failure mode).
+    */
+  private val rowsOnlyAllowlist = Set(
+    "q_approx_distinct", // estimate is engine-defined; ±10% law-tested
+    "q_hll_sketch",      // same, + union==direct re-aggregation proven
+    "q_hll_union",
+    "q_doc_winnow",      // winnowing fingerprint not SQL-expressible
+    "q_dedup_chunks_cdc" // gear rolling hash not SQL-computable
+  )
+
+  test("every registered query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unaccounted = noOracle -- rowsOnlyAllowlist
+    assert(unaccounted.isEmpty,
+      s"queries with neither oracle nor allowlist entry: $unaccounted")
+    val stale = rowsOnlyAllowlist -- noOracle
+    assert(stale.isEmpty, s"allowlisted queries that now have oracles: $stale")
+  }
 }

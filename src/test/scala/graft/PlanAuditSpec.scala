@@ -317,4 +317,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(km.contains("partial_sum"), km.take(3000))
     assert(!km.contains("Window"), km.take(3000))
   }
+
+  test("contrastive triples: LSH pair set + bounded joins, no cartesian") {
+    val p = planOf("q_contrastive_triples")
+    // the only crossed frame is the broadcast 1-row corpus count; the
+    // negative lookup is an equi-join, positives a partial-agg struct-min
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_min"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
