@@ -4,6 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query at the target scale factor
   * and prints one JSON line `{"metric":"total",...,"queries":{...}}`.
   *
+  * Timing action (round 9+): [[ProbeMaterialize.checksum]] — every output
+  * row and column is forced through an xxhash64 fold, so the measured time
+  * is the TRUE cost of computing the full result. Rounds ≤8 timed
+  * `df.count()`, which lets Catalyst prune computed columns out of
+  * scan-shaped queries (q_quality_classifier benched 0.28 s vs a true
+  * 9.4 s at sf10) and even prunes aggregate expressions under a count of
+  * a groupBy — so r9+ per-query numbers are systematically ≥ the r≤8
+  * ledgers for value-heavy queries BY CONSTRUCTION of the honesty fix,
+  * not through plan regressions. Round-over-round comparison restarts at
+  * the r9 ledger.
+  *
   * Excluded from timing (still correctness-checked by graft.Verify): the
   * two deliberately-quadratic baselines `q_dedup_ngram` and
   * `q_dedup_embedding` — they exist as all-pairs ground truth for the LSH
@@ -61,7 +72,7 @@ object Bench {
         // recorded as -1 with the name listed under "failed"
         def once(): (Double, Boolean) = {
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch {
+          val ok = try { ProbeMaterialize.checksum(fn(spark, sfDir)); true } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }

@@ -1,21 +1,54 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, MapType}
 
-/** Dev main: time a named query with EVERY output column forced.
+/** Force FULL materialization of a query result (every row, every column)
+  * and reduce it to a tiny checksum row.
   *
-  * `Bench` times `df.count()`, which is the right cheap action for
-  * aggregate-shaped queries (the aggregation must run to know the count)
-  * but lets Catalyst prune the computed columns out of scan-shaped
-  * per-row queries — a pure projection benches as a row count. This main
-  * folds all columns through xxhash64 into one checksum, so nothing is
-  * prunable and the printed time is the true materialization cost
-  * (without `Verify`'s coalesce(1) single-writer sink distorting it).
+  * `df.count()` is NOT a materialization action: Catalyst prunes every
+  * column the count doesn't need — per-row computed columns vanish from
+  * scan-shaped queries (`q_quality_classifier` "benched" 0.28 s where its
+  * true cost is 9.4 s at sf10), and even aggregate-shaped queries lose
+  * their aggregate expressions (count over `groupBy(k).agg(sum(x))`
+  * optimizes to a distinct-count of k — verified on the optimized plan).
+  * Folding all columns through xxhash64 into an aggregate makes nothing
+  * prunable, so the measured time is the true cost of computing the full
+  * result (without `Verify`'s coalesce(1) single-writer sink distorting
+  * it).
   *
+  * The checksum triple is (row count, bit_xor of row hashes, wrapping-sum
+  * of row hashes as decimal): bit_xor alone cancels rows with even
+  * multiplicity and ignores row count entirely (r8 ADVICE), so the
+  * determinism check also compares the multiplicity-sensitive sum and the
+  * count.
+  *
+  * `main`: dev probe — time a named registry query with this action.
   * Usage: runMain graft.ProbeMaterialize <queryName> [sfDir]
   */
 object ProbeMaterialize {
+
+  /** (rows, bit_xor of xxhash64 row hashes, wrapping sum of row hashes).
+    * Order-independent, multiplicity-sensitive, nothing prunable. Map
+    * columns are json-ized first (hashing MapType is disallowed —
+    * key order would make the hash nondeterministic). */
+  def checksum(df: DataFrame): (Long, Long, BigDecimal) = {
+    val hashable = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType => to_json(col(f.name)).as(f.name)
+        case _          => col(f.name)
+      }
+    }
+    val h = df.select(hashable.toIndexedSeq: _*)
+    val r = h.select(xxhash64(h.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+        sum(col("h").cast(DecimalType(38, 0))).as("s"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
@@ -30,19 +63,18 @@ object ProbeMaterialize {
     spark.sparkContext.setLogLevel("WARN")
     Tables.preflight(spark, sfDir)
     spark.read.parquet(s"$sfDir/nation.parquet").count() // session warm-up
-    def once(): (Double, Long) = {
+    def once(): (Double, (Long, Long, BigDecimal)) = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
-      // bit_xor: order-independent, overflow-free checksum over all rows
-      val sum = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-        .agg(expr("bit_xor(h)")).head.getLong(0)
-      ((System.nanoTime() - t0) / 1e9, sum)
+      val c = checksum(df)
+      ((System.nanoTime() - t0) / 1e9, c)
     }
-    val (t1, s1) = once()
-    val (t2, s2) = once()
-    require(s1 == s2, s"nondeterministic result: checksum $s1 != $s2")
+    val (t1, c1) = once()
+    val (t2, c2) = once()
+    require(c1 == c2,
+      s"nondeterministic result: (rows, xor, sum) $c1 != $c2")
     println(f"[probe] $name materialized in ${math.min(t1, t2)}%.2f s " +
-      f"(runs $t1%.2f/$t2%.2f, checksum $s1) at $sfDir")
+      f"(runs $t1%.2f/$t2%.2f, rows ${c1._1}, checksum ${c1._2}) at $sfDir")
     spark.stop()
   }
 }

@@ -36,6 +36,36 @@ object Multimodal {
                            mean_gray: Double, min_gray: Int, max_gray: Int,
                            resized_w: Int, resized_h: Int, resized_mean: Double)
 
+  /** Perceptual fingerprint of a DECODED image: the 8×8 nearest-neighbor
+    * resample of the raster plus its 64-bit average-hash. */
+  case class PerceptualRow(doc_id: Long, p: Array[Int], ahash: Long)
+
+  /** Decode → NN-resample to 8×8 → average-hash. All arithmetic is
+    * integer so cross-engine parity is exact: resample cell (x, y) reads
+    * source pixel (x·w/8, y·h/8) (floor division), and aHash bit i is
+    * 64·p(i) > Σp — the integer form of p(i) > mean(p), immune to float
+    * rounding on the threshold. */
+  def perceptualHash(rows: Iterator[MediaRow]): Iterator[PerceptualRow] = {
+    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable payload for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val p = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        p(i) = raster.getSample((i % 8) * w / 8, (i / 8) * h / 8, 0)
+        i += 1
+      }
+      var sum = 0L; i = 0
+      while (i < 64) { sum += p(i); i += 1 }
+      var bits = 0L; i = 0
+      while (i < 64) { if (64L * p(i) > sum) bits |= (1L << i); i += 1 }
+      PerceptualRow(r.doc_id, p, bits)
+    }
+  }
+
   /** Deterministic test-pattern geometry: even dims (4–14 × 4–10) and a
     * base offset, all pure functions of doc_id; gray(x,y) = base + 7x + 13y
     * (max 31 + 7·13 + 13·9 = 239 < 256, so no clipping anywhere). */
@@ -163,6 +193,69 @@ object Multimodal {
         .orderBy(col("keeper_doc_id"))
     }),
 
+    // perceptual (near-duplicate) image dedup — the first non-trivial gate
+    // of a real multimodal pipeline, between exact binary dedup above and
+    // the text near-dup family: byte-different images that LOOK the same
+    // must still pair. The text-dedup discipline applied to the image
+    // column end-to-end:
+    //   decode (real javax.imageio PNG round-trip) → 8×8 NN-resample →
+    //   64-bit average-hash → exact-content collapse on the resampled
+    //   raster → 4×16-bit Hamming bands over collapsed representatives
+    //   (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal ⇒ 100% candidate
+    //   recall for the predicate) → exact verify (bit_count hamming ≤ 3
+    //   AND Σ|Δpixel| ≤ 512) → re-expand to member pairs.
+    // All hash/distance arithmetic is integer, so cross-engine parity is
+    // exact; the DuckDB oracle computes the same predicate over the
+    // closed-form pixel values (valid because PNG is lossless — pinned by
+    // MultimodalSpec) on an all-pairs join, which only the ORACLE may do.
+    // 100 TB shape: one codec scan, a 72-byte fingerprint (raster+hash)
+    // crosses the exchange instead of the payload, candidates are
+    // bucket-joined per band over collapsed reps (replication-invariant:
+    // copies of a pattern join the same class, never the candidate set),
+    // output is the true pair set.
+    "q_multimodal_perceptual" -> ((s, dir) => {
+      import s.implicits._
+      val fp = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          perceptualHash(it.map(id => MediaRow(id, "image", encodePng(id))))
+        }
+        .toDF()
+      val clusters = fp.groupBy(col("p"), col("ahash"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+      val banded = clusters
+        .select(col("rep").as("doc_id"), col("ahash"),
+          explode(sequence(lit(0), lit(3))).as("band_idx"))
+        .withColumn("band_val",
+          expr("shiftrightunsigned(ahash, band_idx * 16) & 65535"))
+        .select(col("doc_id"), col("band_idx"), col("band_val"))
+      val reps = clusters.select(col("rep"), col("p"), col("ahash"))
+      val cand = Dedup.bucketPairs(banded, Seq("band_idx", "band_val"))
+        .join(reps.select(col("rep").as("doc_a"), col("p").as("pa"),
+          col("ahash").as("ha")), "doc_a")
+        .join(reps.select(col("rep").as("doc_b"), col("p").as("pb"),
+          col("ahash").as("hb")), "doc_b")
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .withColumn("pix_dist",
+          aggregate(zip_with(col("pa"), col("pb"), (a, b) => abs(a - b)),
+            lit(0L), (acc, d) => acc + d.cast("long")))
+        .filter(col("pix_dist") <= 512)
+      val expanded = cand
+        .join(clusters.select(col("rep").as("doc_a"), col("members").as("ms_a")), "doc_a")
+        .join(clusters.select(col("rep").as("doc_b"), col("members").as("ms_b")), "doc_b")
+        .select(col("hamming"), col("pix_dist"), explode(expr(
+          """flatten(transform(ms_a, a -> transform(ms_b, b ->
+               struct(least(a, b) as doc_a, greatest(a, b) as doc_b))))""")).as("pr"))
+        .select(col("pr.doc_a"), col("pr.doc_b"), col("hamming"), col("pix_dist"))
+      val within = clusters.filter(size(col("members")) >= 2)
+        .select(explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
+        .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+          lit(0L).as("hamming"), lit(0L).as("pix_dist"))
+      expanded.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // REAL codec round-trip: synthesize PNG payloads (media arrival),
     // decode with javax.imageio, feature-extract — all partition-parallel;
     // hash-green against the closed-form DuckDB oracle below
@@ -189,6 +282,34 @@ object Multimodal {
         |FROM documents
         |GROUP BY doc_id % 6, doc_id % 4, doc_id % 32
         |ORDER BY keeper_doc_id""".stripMargin,
+    // the perceptual predicate over closed-form pixels: the 8×8
+    // NN-resample of gray(x,y) = base + 7x + 13y samples source pixel
+    // ((i%8)·w/8, (i/8)·h/8); aHash bit i is the integer form
+    // 64·p[i] > Σp; pairs qualify at hamming ≤ 3 AND Σ|Δp| ≤ 512. The
+    // oracle may go all-pairs (ground truth); the engine must not.
+    "q_multimodal_perceptual" ->
+      """WITH d AS (SELECT doc_id,
+        |             2*((doc_id % 6) + 2) AS w,
+        |             2*((doc_id % 4) + 2) AS h,
+        |             doc_id % 32 AS base
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |        list_transform(range(0, 64), i ->
+        |          base + 7 * (((i % 8) * w) // 8)
+        |               + 13 * (((i // 8) * h) // 8)) AS p
+        |      FROM d),
+        |s AS (SELECT doc_id, p, list_sum(p) AS sp FROM r),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         list_sum(list_transform(range(0, 64), i ->
+        |           CASE WHEN (64*a.p[i+1] > a.sp) <> (64*b.p[i+1] > b.sp)
+        |                THEN 1 ELSE 0 END)) AS hamming,
+        |         list_sum(list_transform(range(0, 64), i ->
+        |           abs(a.p[i+1] - b.p[i+1]))) AS pix_dist
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming,
+        |       CAST(pix_dist AS BIGINT) AS pix_dist
+        |FROM pr WHERE hamming <= 3 AND pix_dist <= 512
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // closed forms of the decoded-pixel stats (valid because the PNG
     // round-trip is lossless and gray(x,y) = base + 7x + 13y is affine):
     //   mean = base + 7(w-1)/2 + 13(h-1)/2

@@ -68,4 +68,44 @@ class MultimodalSpec extends SparkSpec {
       java.util.Base64.getEncoder.encodeToString(Multimodal.encodePng(ids.head))).toSet
     assert(reps.size == byClass.size, "distinct classes must differ in bytes")
   }
+
+  test("perceptual hash: aHash is invariant to brightness offset") {
+    // the defining perceptual property: adding a constant to every pixel
+    // (same dims, different base) must not change a single aHash bit —
+    // 64·(base+g_i) > 64·base + Σg  ⟺  64·g_i > Σg, base cancels exactly
+    def hashOf(id: Long) = Multimodal.perceptualHash(Iterator(
+      Multimodal.MediaRow(id, "image", Multimodal.encodePng(id)))).next()
+    // ids ≡ mod 12 share dims; bases differ via mod 32
+    val sameDims = Seq(0L, 12L, 24L, 36L, 48L).map(hashOf)
+    assert(sameDims.map(_.ahash).toSet.size == 1,
+      "same-dims images must share the full aHash")
+    // and the rasters differ exactly by the base offset
+    val (a, b) = (sameDims(0), sameDims(1))
+    val diffs = a.p.zip(b.p).map { case (x, y) => x - y }.toSet
+    assert(diffs.size == 1, s"non-constant pixel offset: $diffs")
+  }
+
+  test("perceptual near-dup pairs: replication + threshold laws") {
+    val out = Queries.all("q_multimodal_perceptual")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    val n = Tables.load(spark, sfDir, "documents").count()
+    // exact replicas (same id mod 96 → identical image) always pair at 0/0
+    for (a <- 0L until math.min(96L, n); b <- Seq(a + 96L) if b < n) {
+      assert(out.get((a, b)).contains((0L, 0L)), s"replica pair ($a,$b)")
+    }
+    // same dims, base diff ≤ 8 → hamming 0 and pix_dist = 64·|Δbase|;
+    // base diff > 8 with same dims → excluded by the distance verify
+    for (((a, b), (hd, pd)) <- out) {
+      assert(hd <= 3 && pd <= 512, s"($a,$b) exceeds thresholds")
+      if (a % 12 == b % 12) {
+        val dbase = math.abs(a % 32 - b % 32)
+        assert(hd == 0L, s"same-dims pair ($a,$b) hamming $hd")
+        assert(pd == 64L * dbase, s"($a,$b) pix_dist $pd != ${64 * dbase}")
+      }
+    }
+    // negative control: same dims, base diff 16 (e.g. doc 0 vs doc 48)
+    // must NOT pair — near-dup is a threshold, not a dims bucket
+    assert(!out.contains((0L, 48L)), "base-diff-16 pair leaked through")
+  }
 }

@@ -318,6 +318,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!km.contains("Window"), km.take(3000))
   }
 
+  test("perceptual image dedup: banded buckets, never an all-pairs join") {
+    val p = planOf("q_multimodal_perceptual")
+    // candidates come from the band bucket aggregate (packed-pair
+    // expansion), not a self-join of the fingerprint frame
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("packedpairs"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("contrastive triples: LSH pair set + bounded joins, no cartesian") {
     val p = planOf("q_contrastive_triples")
     // the only crossed frame is the broadcast 1-row corpus count; the
