@@ -146,6 +146,17 @@ object Similarity {
       contrastiveTriples(Tables.load(s, dir, "embeddings"),
         Dedup.embeddingLshPairs(s, dir))),
 
+    // hard-negative mining for the contrastive set — the form an
+    // embedding-training pipeline actually wants (r8 verdict #7): instead
+    // of the LCG's random pick, the negative per anchor is the HARDEST
+    // sound one — the highest-cosine vector that is NOT a near-dup
+    // (rounded cos < 0.45, the same threshold that defines positives, so
+    // a hard negative can never be a true near-dup BY CONSTRUCTION; ties
+    // → lowest vec_id). See [[contrastiveHard]] for the scale shape.
+    "q_contrastive_hard" -> ((s, dir) =>
+      contrastiveHard(Tables.load(s, dir, "embeddings"),
+        Dedup.embeddingLshPairs(s, dir))),
+
     // distributed Lloyd's k-means over the FULL corpus (k=8, 2 iterations,
     // deterministic init = first k vectors) — the clustering primitive a
     // training-data pipeline runs for domain discovery / cluster-balanced
@@ -201,15 +212,22 @@ object Similarity {
     * is a 1-row broadcast, the positive reduction is a partial-
     * aggregatable struct-min, and the negative lookup is ONE equi-join —
     * everything linear in the pair set, no sampling-by-sort anywhere. */
-  private[graft] def contrastiveTriples(e: DataFrame, pairs: DataFrame): DataFrame = {
-    val sym = pairs
+  /** (anchor_id, pos_id, pos_cos): min-id near-dup partner per anchor —
+    * the positive side shared by both contrastive queries. Partial-
+    * aggregatable struct-min; partner is unique per anchor in a distinct
+    * pair set, so the reduction is deterministic in both engines. */
+  private def positivesOf(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("vec_a").as("anchor_id"), col("vec_b").as("partner"), col("cos"))
       .unionByName(pairs
         .select(col("vec_b").as("anchor_id"), col("vec_a").as("partner"), col("cos")))
-    val pos = sym.groupBy(col("anchor_id"))
+      .groupBy(col("anchor_id"))
       .agg(min(struct(col("partner"), col("cos"))).as("m"))
       .select(col("anchor_id"), col("m.partner").as("pos_id"),
         col("m.cos").as("pos_cos"))
+
+  private[graft] def contrastiveTriples(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val pos = positivesOf(pairs)
     val n = e.agg(count(lit(1)).as("n_total"))
     def cand(step: Int) =
       ((col("anchor_id") * 48271L + 7L) % col("n_total") + step) % col("n_total")
@@ -232,6 +250,47 @@ object Similarity {
             lit(" has no embedding row"))).cast("double"))
           .otherwise(round(Sketches.cosineSim(col("anchor_emb"), col("neg_emb")), 6))
           .as("neg_cos"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** Hard-negative contrastive triples: per anchor (= every vector with a
+    * near-dup partner), the positive is its min-id exact near-dup (as in
+    * [[contrastiveTriples]]) and the negative is the MOST SIMILAR vector
+    * that is not a near-dup — argmax of the 6-dp-rounded cosine over
+    * vectors with score < 0.45 (ties → lowest vec_id), plus the training
+    * margin pos_cos − hard_neg_cos.
+    *
+    * Soundness is definitional: the negative's score is bounded below the
+    * near-dup threshold that produced the positive, so no hard negative
+    * is ever a true near-dup (law-tested in ContrastiveSpec).
+    *
+    * Scale shape (the q_similarity_topk discipline): anchors broadcast,
+    * the corpus STREAMS through one scan scoring against all anchors, and
+    * [[graft.plans.TopK]] bounded heaps collapse to one candidate per
+    * (anchor, partition) map-side — the exchange carries |anchors| rows
+    * per partition, never the scored expansion. Mining cost is the known
+    * |anchors|·n compute every exact hard-negative pass pays; corpora
+    * where the anchor set outgrows a broadcast batch the anchor frame
+    * (the IVF probe path trades exactness guarantees for that regime
+    * only when its coverage certificates hold, so exact batching is the
+    * default). Zero vectors have no cosine (null score) and are excluded
+    * on both engines. */
+  private[graft] def contrastiveHard(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val pos = positivesOf(pairs)
+    val anchors = pos.join(
+      e.select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_emb")),
+      "anchor_id")
+    val scored = broadcast(anchors)
+      .join(e, col("vec_id") =!= col("anchor_id"))
+      .withColumn("score", round(Sketches.cosineSim(col("anchor_emb"), col("embedding")), 6))
+      .filter(col("score").isNotNull && col("score") < 0.45)
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("vec_id"), col("score"))
+    graft.plans.TopK.perKey(scored, Seq("anchor_id"),
+        Seq(("score", true), ("vec_id", false)), 1)
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("vec_id").as("hard_neg_id"), col("score").as("hard_neg_cos"),
+        round(col("pos_cos") - col("score"), 6).as("margin"))
       .orderBy(col("anchor_id"))
   }
 
@@ -857,6 +916,39 @@ object Similarity {
         |JOIN e ea ON ea.vec_id = s.anchor_id
         |JOIN e en ON en.vec_id = s.neg_id
         |ORDER BY anchor_id""".stripMargin,
+    // hard negative = argmax rounded cosine among sub-threshold vectors
+    // (ties → lowest vec_id); NULL cosines (zero vectors) fall out of the
+    // `< 0.45` predicate in both engines
+    "q_contrastive_hard" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS pa, b.vec_id AS pb,
+        |        round(list_inner_product(a.v, b.v)
+        |          / (sqrt(list_inner_product(a.v, a.v))
+        |             * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE round(list_inner_product(a.v, b.v)
+        |          / (sqrt(list_inner_product(a.v, a.v))
+        |             * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.45),
+        |sym AS (SELECT pa AS anchor_id, pb AS partner, cos FROM p
+        |        UNION ALL SELECT pb, pa, cos FROM p),
+        |pos AS (SELECT anchor_id, partner AS pos_id, cos AS pos_cos FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |                      ORDER BY partner, cos) AS rn FROM sym)
+        |        WHERE rn = 1),
+        |sc AS (SELECT pos.anchor_id, pos.pos_id, pos.pos_cos, b.vec_id,
+        |         round(list_inner_product(a.v, b.v)
+        |           / (sqrt(list_inner_product(a.v, a.v))
+        |              * sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |       FROM pos
+        |       JOIN e a ON a.vec_id = pos.anchor_id
+        |       JOIN e b ON b.vec_id <> pos.anchor_id),
+        |sel AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |                    ORDER BY score DESC, vec_id) AS rn
+        |        FROM sc WHERE score < 0.45)
+        |SELECT anchor_id, pos_id, pos_cos, vec_id AS hard_neg_id,
+        |       score AS hard_neg_cos, round(pos_cos - score, 6) AS margin
+        |FROM sel WHERE rn = 1 ORDER BY anchor_id""".stripMargin,
     "q_embed_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

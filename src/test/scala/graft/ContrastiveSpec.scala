@@ -68,6 +68,38 @@ class ContrastiveSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: never a true near-dup; true argmax below threshold") {
+    val hard = Queries.all("q_contrastive_hard")(spark, sfDir).collect()
+    assert(hard.nonEmpty)
+    assert(hard.map(_.getLong(0)).toSet == exactSym.keySet,
+      "hard variant mines every anchor")
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    hard.foreach { r =>
+      val (anchor, negId, negCos, margin) =
+        (r.getLong(0), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      // soundness: strictly below the near-dup threshold, so by the
+      // threshold's own definition never a true near-dup of the anchor
+      assert(negCos < 0.45, s"anchor $anchor: hard neg at $negCos")
+      assert(!exactSym(anchor).exists(_._1 == negId),
+        s"anchor $anchor: hard neg $negId IS a near-dup")
+      // hardness: the driver-side quadratic recompute agrees it's argmax
+      val best = vecs.view.filterKeys(_ != anchor)
+        .mapValues(v => cos(vecs(anchor), v)).toSeq
+        .filter(_._2 < 0.45).minBy { case (id, c) => (-c, id) }
+      assert((negId, negCos) == best, s"anchor $anchor: $negId/$negCos != $best")
+      assert(math.abs(margin - BigDecimal(r.getDouble(2) - negCos)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("non-contiguous vec_ids fail LOUDLY, not by silent anchor drop") {
     import spark.implicits._
     // two identical vectors (cos 1.0 → a guaranteed anchor pair) plus a

@@ -335,4 +335,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("hard-negative mining: broadcast anchors + bounded top-k heaps") {
+    val p = planOf("q_contrastive_hard")
+    // corpus streams against broadcast anchors; the argmax is the custom
+    // partial/final heap operator, never a per-anchor window sort
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
