@@ -69,8 +69,14 @@ object ScaleData {
       df.withColumn("doc_id", col("doc_id") + lit(i * idStep))
         .withColumn("text", translate(col("text"), vowels, rot(i)))
     }
+    // embeddings keep the CORPUS CONTRACT: vec_ids contiguous 0..N-1
+    // (TESTDATA.md shape; q_contrastive_triples' LCG negative indexing
+    // depends on it and fails loudly otherwise — the r9 probe corpus
+    // with idStep-sparse vec_ids tripped exactly that guard). Copies
+    // shift by the exact source count, so contiguity is preserved.
+    val vecCount = spark.read.parquet(Tables.path(src, "embeddings")).count()
     replicate("embeddings") { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * idStep))
+      df.withColumn("vec_id", col("vec_id") + lit(i * vecCount))
     }
     replicate("events") { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * idStep))

@@ -137,6 +137,50 @@ object Multimodal {
     }
   }
 
+  /** Shared machinery of the perceptual family: (raster classes, verified
+    * rep pairs).
+    *
+    * classes: one row per DISTINCT resampled raster — (p, ahash, rep =
+    * min doc_id, members sorted). Exact-content collapse first, so every
+    * downstream step scales with unique perceptual content
+    * (replication-invariant, the embeddingRepCandidatesOf discipline).
+    *
+    * repPairs: distinct representative pairs passing the perceptual
+    * predicate — 4×16-bit Hamming bands bucket the candidates (pigeonhole:
+    * hamming ≤ 3 ⇒ ≥ 1 band equal ⇒ 100% recall), then the exact verify
+    * (bit_count hamming ≤ 3 AND Σ|Δpixel| ≤ 512). */
+  private def perceptualParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val fp = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        perceptualHash(it.map(id => MediaRow(id, "image", encodePng(id))))
+      }
+      .toDF()
+    val clusters = fp.groupBy(col("p"), col("ahash"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    val banded = clusters
+      .select(col("rep").as("doc_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("band_idx"))
+      .withColumn("band_val",
+        expr("shiftrightunsigned(ahash, band_idx * 16) & 65535"))
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
+    val reps = clusters.select(col("rep"), col("p"), col("ahash"))
+    val repPairs = Dedup.bucketPairs(banded, Seq("band_idx", "band_val"))
+      .join(reps.select(col("rep").as("doc_a"), col("p").as("pa"),
+        col("ahash").as("ha")), "doc_a")
+      .join(reps.select(col("rep").as("doc_b"), col("p").as("pb"),
+        col("ahash").as("hb")), "doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .withColumn("pix_dist",
+        aggregate(zip_with(col("pa"), col("pb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, d) => acc + d.cast("long")))
+      .filter(col("pix_dist") <= 512)
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("pix_dist"))
+    (clusters, repPairs)
+  }
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").select(
       col("doc_id"),
@@ -214,46 +258,63 @@ object Multimodal {
     // copies of a pattern join the same class, never the candidate set),
     // output is the true pair set.
     "q_multimodal_perceptual" -> ((s, dir) => {
-      import s.implicits._
-      val fp = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          perceptualHash(it.map(id => MediaRow(id, "image", encodePng(id))))
-        }
-        .toDF()
-      val clusters = fp.groupBy(col("p"), col("ahash"))
-        .agg(min(col("doc_id")).as("rep"),
-          sort_array(collect_list(col("doc_id"))).as("members"))
-      val banded = clusters
-        .select(col("rep").as("doc_id"), col("ahash"),
-          explode(sequence(lit(0), lit(3))).as("band_idx"))
-        .withColumn("band_val",
-          expr("shiftrightunsigned(ahash, band_idx * 16) & 65535"))
-        .select(col("doc_id"), col("band_idx"), col("band_val"))
-      val reps = clusters.select(col("rep"), col("p"), col("ahash"))
-      val cand = Dedup.bucketPairs(banded, Seq("band_idx", "band_val"))
-        .join(reps.select(col("rep").as("doc_a"), col("p").as("pa"),
-          col("ahash").as("ha")), "doc_a")
-        .join(reps.select(col("rep").as("doc_b"), col("p").as("pb"),
-          col("ahash").as("hb")), "doc_b")
-        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-        .filter(col("hamming") <= 3)
-        .withColumn("pix_dist",
-          aggregate(zip_with(col("pa"), col("pb"), (a, b) => abs(a - b)),
-            lit(0L), (acc, d) => acc + d.cast("long")))
-        .filter(col("pix_dist") <= 512)
-      val expanded = cand
+      val (clusters, repPairs) = perceptualParts(s, dir)
+      // the member-pair expansion multiplies each rep pair by |A|·|B| —
+      // on a replicated corpus that is the TRUE output size (every copy
+      // of A pairs with every copy of B; the oracle's semantics), but the
+      // rep-pair frame itself is tiny, so AQE coalesces its exchange to
+      // ~1 partition and the whole blow-up would run in ONE task (the r9
+      // sf10 probe measured exactly that: single-core for 30+ min). An
+      // EXPLICIT-width repartition is exempt from AQE coalescing and
+      // spreads the expansion; exploding side A before side B keeps the
+      // per-row array at |B| elements instead of |A|·|B|.
+      val np = s.sessionState.conf.numShufflePartitions
+      val expanded = repPairs
         .join(clusters.select(col("rep").as("doc_a"), col("members").as("ms_a")), "doc_a")
         .join(clusters.select(col("rep").as("doc_b"), col("members").as("ms_b")), "doc_b")
-        .select(col("hamming"), col("pix_dist"), explode(expr(
-          """flatten(transform(ms_a, a -> transform(ms_b, b ->
-               struct(least(a, b) as doc_a, greatest(a, b) as doc_b))))""")).as("pr"))
+        .repartition(np, col("doc_a"), col("doc_b"))
+        .select(col("hamming"), col("pix_dist"), explode(col("ms_a")).as("a"),
+          col("ms_b"))
+        .select(col("hamming"), col("pix_dist"), explode(
+          transform(col("ms_b"), b => struct(least(col("a"), b).as("doc_a"),
+            greatest(col("a"), b).as("doc_b")))).as("pr"))
         .select(col("pr.doc_a"), col("pr.doc_b"), col("hamming"), col("pix_dist"))
       val within = clusters.filter(size(col("members")) >= 2)
+        .repartition(np, col("rep"))
         .select(explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
         .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
           lit(0L).as("hamming"), lit(0L).as("pix_dist"))
       expanded.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // perceptual dedup DECISION: one keeper per connected component of the
+    // perceptual near-dup graph (pairwise similarity is not transitive —
+    // keep-smaller-of-each-pair can drop every doc of a chain, so the
+    // component policy from the text family applies unchanged). Components
+    // run over raster-class REPRESENTATIVES only (a class is internally
+    // connected at distance 0, so a class joins a component iff its rep
+    // does); min-label propagation makes the component label the smallest
+    // rep, which IS the smallest member doc_id — the keeper. One row per
+    // doc: (doc_id, keeper_doc_id, cluster_size).
+    "q_multimodal_perceptual_clusters" -> ((s, dir) => {
+      val (clusters, repPairs) = perceptualParts(s, dir)
+      val labels = Dedup.connectedComponents(
+        repPairs.select(col("doc_a"), col("doc_b")))
+      clusters
+        .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
+        // a class with no external edge is its own component (internally
+        // connected at distance 0 whatever its size — no zero-vector-style
+        // null edge case exists for rasters)
+        .withColumn("label", coalesce(col("label"), col("rep")))
+        .withColumn("m", size(col("members")).cast("long"))
+        .groupBy(col("label"))
+        .agg(sum(col("m")).as("cluster_size"),
+          flatten(collect_list(col("members"))).as("docs"))
+        .select(col("label").as("keeper_doc_id"), col("cluster_size"),
+          explode(col("docs")).as("doc_id"))
+        .select(col("doc_id"), col("keeper_doc_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
     }),
 
     // REAL codec round-trip: synthesize PNG payloads (media arrival),
@@ -310,6 +371,45 @@ object Multimodal {
         |       CAST(pix_dist AS BIGINT) AS pix_dist
         |FROM pr WHERE hamming <= 3 AND pix_dist <= 512
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the dedup decision: recursive closure of the perceptual pair graph,
+    // keeper = min doc_id per component, one row per doc
+    "q_multimodal_perceptual_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |             2*((doc_id % 6) + 2) AS w,
+        |             2*((doc_id % 4) + 2) AS h,
+        |             doc_id % 32 AS base
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |        list_transform(range(0, 64), i ->
+        |          base + 7 * (((i % 8) * w) // 8)
+        |               + 13 * (((i // 8) * h) // 8)) AS p
+        |      FROM d),
+        |s AS (SELECT doc_id, p, list_sum(p) AS sp FROM r),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         list_sum(list_transform(range(0, 64), i ->
+        |           CASE WHEN (64*a.p[i+1] > a.sp) <> (64*b.p[i+1] > b.sp)
+        |                THEN 1 ELSE 0 END)) AS hamming,
+        |         list_sum(list_transform(range(0, 64), i ->
+        |           abs(a.p[i+1] - b.p[i+1]))) AS pix_dist
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |q AS (SELECT doc_a, doc_b FROM pr
+        |      WHERE hamming <= 3 AND pix_dist <= 512),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM q
+        |       UNION SELECT doc_b, doc_a FROM q),
+        |nn AS (SELECT DISTINCT a AS id FROM ed),
+        |reach AS (
+        |  SELECT id, id AS x FROM nn
+        |  UNION
+        |  SELECT rr.id, ed.b AS x FROM reach rr JOIN ed ON rr.x = ed.a),
+        |lab AS (SELECT id, MIN(x) AS label FROM reach GROUP BY id),
+        |lab2 AS (SELECT doc_id, COALESCE(l.label, doc_id) AS label
+        |         FROM documents LEFT JOIN lab l ON l.id = doc_id),
+        |sizes AS (SELECT label, count(*) AS cluster_size
+        |          FROM lab2 GROUP BY label)
+        |SELECT l.doc_id, CAST(l.label AS BIGINT) AS keeper_doc_id,
+        |       CAST(sz.cluster_size AS BIGINT) AS cluster_size
+        |FROM lab2 l JOIN sizes sz USING (label)
+        |ORDER BY doc_id""".stripMargin,
     // closed forms of the decoded-pixel stats (valid because the PNG
     // round-trip is lossless and gray(x,y) = base + 7x + 13y is affine):
     //   mean = base + 7(w-1)/2 + 13(h-1)/2

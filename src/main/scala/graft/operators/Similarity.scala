@@ -264,33 +264,42 @@ object Similarity {
     * near-dup threshold that produced the positive, so no hard negative
     * is ever a true near-dup (law-tested in ContrastiveSpec).
     *
-    * Scale shape (the q_similarity_topk discipline): anchors broadcast,
-    * the corpus STREAMS through one scan scoring against all anchors, and
-    * [[graft.plans.TopK]] bounded heaps collapse to one candidate per
-    * (anchor, partition) map-side — the exchange carries |anchors| rows
-    * per partition, never the scored expansion. Mining cost is the known
-    * |anchors|·n compute every exact hard-negative pass pays; corpora
-    * where the anchor set outgrows a broadcast batch the anchor frame
-    * (the IVF probe path trades exactness guarantees for that regime
-    * only when its coverage certificates hold, so exact batching is the
-    * default). Zero vectors have no cosine (null score) and are excluded
-    * on both engines. */
+    * Scale shape — QUOTIENTED exact mining (the LSS discipline): the
+    * hard negative is a pure function of the anchor's EMBEDDING, because
+    * (a) identical anchors score identically against everything, and
+    * (b) the explicit self-exclusion is subsumed by the threshold —
+    * cos(v, v) = 1.0 ≥ 0.45, so an anchor (and its exact copies) can
+    * never be its own hard negative. Mining therefore runs once per
+    * DISTINCT anchor embedding against DISTINCT corpus embeddings (each
+    * represented by its min vec_id, which also reproduces the global
+    * (score desc, vec_id asc) tie-break exactly: ties between classes
+    * resolve to the class with the lower min-id member), and the result
+    * re-expands to all anchors by one equi-join on the embedding. On a
+    * replicated corpus the scored frame is replication-INVARIANT; the
+    * residual |distinct anchors|·|distinct vectors| compute is the known
+    * price of exact mining. [[graft.plans.TopK]] bounded heaps collapse
+    * the argmax to one candidate per (anchor-class, partition) map-side.
+    * Zero vectors have no cosine (null score) → excluded on both
+    * engines; anchor sets too large to broadcast batch the rep frame. */
   private[graft] def contrastiveHard(e: DataFrame, pairs: DataFrame): DataFrame = {
     val pos = positivesOf(pairs)
     val anchors = pos.join(
       e.select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_emb")),
       "anchor_id")
-    val scored = broadcast(anchors)
-      .join(e, col("vec_id") =!= col("anchor_id"))
+    val aReps = anchors.groupBy(col("anchor_emb")).agg(min(col("anchor_id")).as("arep"))
+    val classes = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("crep"))
+    val scored = classes.crossJoin(broadcast(aReps))
       .withColumn("score", round(Sketches.cosineSim(col("anchor_emb"), col("embedding")), 6))
       .filter(col("score").isNotNull && col("score") < 0.45)
+      .select(col("arep"), col("anchor_emb"), col("crep"), col("score"))
+    val mined = graft.plans.TopK.perKey(scored, Seq("arep"),
+        Seq(("score", true), ("crep", false)), 1)
+      .select(col("anchor_emb"), col("crep").as("hard_neg_id"),
+        col("score").as("hard_neg_cos"))
+    anchors.join(mined, "anchor_emb")
       .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
-        col("vec_id"), col("score"))
-    graft.plans.TopK.perKey(scored, Seq("anchor_id"),
-        Seq(("score", true), ("vec_id", false)), 1)
-      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
-        col("vec_id").as("hard_neg_id"), col("score").as("hard_neg_cos"),
-        round(col("pos_cos") - col("score"), 6).as("margin"))
+        col("hard_neg_id"), col("hard_neg_cos"),
+        round(col("pos_cos") - col("hard_neg_cos"), 6).as("margin"))
       .orderBy(col("anchor_id"))
   }
 

@@ -108,4 +108,24 @@ class MultimodalSpec extends SparkSpec {
     // must NOT pair — near-dup is a threshold, not a dims bucket
     assert(!out.contains((0L, 48L)), "base-diff-16 pair leaked through")
   }
+
+  test("perceptual clusters: partition of the corpus, consistent with pairs") {
+    val cl = Queries.all("q_multimodal_perceptual_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables.load(spark, sfDir, "documents").count()
+    assert(cl.size == n, "exactly one row per doc")
+    // keeper is a member of its own cluster and the minimum of it
+    val byKeeper = cl.groupBy(_._2._1)
+    byKeeper.foreach { case (k, ms) =>
+      assert(cl(k)._1 == k, s"keeper $k not its own keeper")
+      assert(ms.keys.min == k, s"keeper $k is not the component minimum")
+      val sizes = ms.values.map(_._2).toSet
+      assert(sizes == Set(ms.size.toLong), s"keeper $k size drift: $sizes")
+    }
+    // pair consistency: every near-dup pair lands in the same component
+    Queries.all("q_multimodal_perceptual")(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(cl(a)._1 == cl(b)._1, s"paired docs ($a,$b) split across clusters")
+    }
+  }
 }
