@@ -752,6 +752,43 @@ object Streams {
     runToTable(scored, spark, OutputMode.Complete()).orderBy(col("doc_id"))
   }
 
+  /** Ingest-time streaming image dedup — the streaming form of the batch
+    * multimodal dedup gate, keyed on the PERCEPTUAL raster class: arriving
+    * payloads run the real `javax.imageio` decode → 8×8 NN-resample →
+    * aHash fingerprint inside the micro-batch (the same
+    * [[graft.operators.Multimodal.perceptualHash]] partition iterator as
+    * batch), and a stateful aggregation elects keeper = min doc_id and
+    * counts copies per class. State is ONE ~80-byte row per DISTINCT
+    * content class — bounded by unique content, not stream length — and
+    * only the 72-byte fingerprint ever reaches the state store, never the
+    * payload. Complete mode re-emits the bounded class table for the
+    * finite harness; a 100 TB ingest would run Update mode with a
+    * downstream merge, same state shape. Oracle: the NN-resample of the
+    * synthesized pattern is injective in (w, h, base) — each width's
+    * floor(x·w/8) sample sequence is distinct — so perceptual classes
+    * coincide exactly with the generator's (doc%6, doc%4, doc%32)
+    * equivalence classes, the same closed form the batch byte-dedup
+    * oracle uses (and `MultimodalSpec` pins stream == batch). */
+  def multimodalDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id")).as[Long]
+    val fp = ids.mapPartitions { it =>
+      graft.operators.Multimodal.perceptualHash(it.map(id =>
+        graft.operators.Multimodal.MediaRow(id, "image",
+          graft.operators.Multimodal.encodePng(id))))
+    }.toDF()
+    val perClass = fp.groupBy(col("p"), col("ahash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keeper_doc_id"), col("n_copies"))
+    runToTable(perClass, spark, OutputMode.Complete())
+      .orderBy(col("keeper_doc_id"))
+  }
+
   /** Streaming sessionization: the state-store-native expression of the
     * batch q_session_window — `session_window` merges a user's events into
     * gap-bounded sessions as they arrive, the watermark closes (and
@@ -809,6 +846,7 @@ object Streams {
     "q_stream_stream_join" -> ((s, dir) => purchaseAttribution(s, dir)),
     "q_stream_join_outer" -> ((s, dir) => purchaseAttributionOuter(s, dir)),
     "q_stream_dedup_pairs" -> ((s, dir) => streamingNearDupPairs(s, dir)),
+    "q_stream_multimodal_dedup" -> ((s, dir) => multimodalDedupStream(s, dir)),
   )
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
@@ -873,6 +911,15 @@ object Streams {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_dedup" ->
       "SELECT COUNT(DISTINCT event_id) AS n_unique_events FROM events",
+    // perceptual raster classes are injective in (w, h, base) — see
+    // multimodalDedupStream scaladoc — so the generator's closed-form
+    // equivalence classes apply, as in the batch q_multimodal_dedup
+    "q_stream_multimodal_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY doc_id % 6, doc_id % 4, doc_id % 32
+        |ORDER BY keeper_doc_id""".stripMargin,
     // exact while every duplicate group spans < the 1-day lateness window
     // (see dedupWindowedCount's contract scaladoc)
     "q_stream_dedup_windowed" ->

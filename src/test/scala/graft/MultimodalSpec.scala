@@ -109,6 +109,18 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.contains((0L, 48L)), "base-diff-16 pair leaked through")
   }
 
+  test("streaming multimodal dedup == batch byte dedup (class injectivity)") {
+    // the streaming form keys state on the perceptual raster class; the
+    // batch form groups md5-of-PNG-bytes. Both partitions coincide with
+    // the generator's (w, h, base) classes — the raster resample is
+    // injective in (w, h, base) — so keeper/copy-count sets must be equal
+    val stream = Queries.all("q_stream_multimodal_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Queries.all("q_multimodal_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch)
+  }
+
   test("perceptual clusters: partition of the corpus, consistent with pairs") {
     val cl = Queries.all("q_multimodal_perceptual_clusters")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
