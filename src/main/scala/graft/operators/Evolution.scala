@@ -129,9 +129,46 @@ object Evolution {
             .otherwise(0L)).as("n_below"))
         .orderBy(col("event_type"))
     }),
+
+    // corpus snapshot diff — the "what changed between dataset versions"
+    // audit every dataset release pipeline runs (added / removed /
+    // changed doc sets between v1 and v2), as a registered query over the
+    // [[DataQuality.diffKeyed]] utility (tested in DataOpsSpec, until now
+    // query-less). Versions derive deterministically from the corpus (v1
+    // drops doc_id%10==7, v2 drops %10==3 and rewrites text for %5==0 —
+    // arrival and edit churn); a real pipeline reads two snapshot paths
+    // with identical plan shape. Scale shape (diffKeyed's contract):
+    // content compares by md5 computed IN-SCAN, so only (doc_id, 16-byte
+    // hash) crosses the one full-outer exchange — never the payload; the
+    // output is churn-sized, not table-sized.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val v1 = d.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("text"))
+      val v2 = d.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      DataQuality.diffKeyed(v1, v2, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents
+        |            WHERE doc_id % 10 <> 7),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |                  ELSE text END) AS h2
+        |       FROM documents WHERE doc_id % 10 <> 3)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |       CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN v1.h1 <> v2.h2 THEN 'changed' END AS change
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h1 <> v2.h2)
+        |ORDER BY doc_id""".stripMargin,
     "q_scd2_build" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  event_type FROM events),

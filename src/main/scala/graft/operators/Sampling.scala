@@ -99,9 +99,83 @@ object Sampling {
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("bucket"))
     }),
+
+    // α-power source-mixture weights (α = 0.5, the multilingual-sampling
+    // rebalancing family: w_s ∝ c_s^α upweights small sources relative to
+    // proportional sampling) plus the per-source token allocation for a
+    // fixed 1M-token epoch budget. Shape: one two-level aggregate to
+    // per-source counts (|sources| rows), the normalizer broadcast back
+    // as a 1-row frame — no window, no second scan. Cross-engine
+    // exactness: per-source sqrt rounds to 9 dp and sums as decimal
+    // (order-independent), the weight division rounds to 6, the
+    // allocation floors — all integer/decimal-exact in both engines.
+    "q_mix_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val perSrc = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .withColumn("pw", round(sqrt(col("n_tokens")), 9).cast(DecimalType(28, 9)))
+      val total = perSrc.agg(sum(col("pw")).as("tw"))
+      perSrc.crossJoin(broadcast(total))
+        .withColumn("weight",
+          round(col("pw").cast("double") / col("tw").cast("double"), 6))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+          floor(col("weight") * 1000000).cast("long").as("budget_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // temporal embargo split — the time-series leakage guard: train on
+    // the past, evaluate on the future, and DISCARD an embargo window
+    // between them so near-boundary correlations (a user's session
+    // straddling the cutoff) can't leak. Cutoffs anchor to max(ts) −
+    // {5,7} days, so the split is a pure function of the corpus, rerun-
+    // stable, and needs no config. Shape: one 1-row max aggregate
+    // broadcast back onto the scan, then a 3-group partial agg — the
+    // labeling itself never shuffles, so the same plan labels 100 TB of
+    // events with one exchange of 3 rows per partition. Output is the
+    // per-split boundary audit (count, distinct, min/max ts) a pipeline
+    // logs to prove the gap exists.
+    "q_time_split" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(col("event_id"), col("ts"))
+      val mx = e.agg(max(col("ts")).as("mx"))
+      e.crossJoin(broadcast(mx))
+        .withColumn("split",
+          when(col("ts") > col("mx") - expr("INTERVAL 5 DAYS"), "test")
+            .when(col("ts") > col("mx") - expr("INTERVAL 7 DAYS"), "embargo")
+            .otherwise("train"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy(col("split"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_time_split" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+        |lab AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS t,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) > mx - INTERVAL 5 DAY THEN 'test'
+        |              WHEN CAST(ts AS TIMESTAMP) > mx - INTERVAL 7 DAY THEN 'embargo'
+        |              ELSE 'train' END AS split
+        |        FROM events CROSS JOIN m)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |       min(t) AS min_ts, max(t) AS max_ts
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin,
+    "q_mix_weights" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |p AS (SELECT *, CAST(round(sqrt(n_tokens), 9) AS DECIMAL(28,9)) AS pw
+        |      FROM s),
+        |t AS (SELECT SUM(pw) AS tw FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
+        |  CAST(floor(round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+        |             * 1000000) AS BIGINT) AS budget_tokens
+        |FROM p CROSS JOIN t ORDER BY source""".stripMargin,
     "q_sample_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'

@@ -119,6 +119,50 @@ object Similarity {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // embedding outlier pruning — the prototypicality gate a curation
+    // pipeline runs after clustering (drop/flag vectors far from their
+    // class prototype; mislabeled or junk points sit in the distance
+    // tail). Distance to the per-label centroid, then a per-label z-score
+    // over the distance distribution; rows with z > 2 are the flagged
+    // outliers. Scale shape: the centroid table (|labels|·64 rows) and
+    // the per-label distance stats (|labels| rows) are bounded frames
+    // broadcast back onto the scan; the only corpus-sized exchanges are
+    // the two linear vec_id-keyed partial aggs. Output is tail-sized.
+    // Exactness discipline: coordinates round to 9 dp, squared diffs
+    // route through decimals (order-independent sums), distances round
+    // to 6 dp and their per-label moments sum as DECIMAL(18,6) — the
+    // q_zscore_outliers discipline on a derived measure.
+    "q_embed_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ex = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          round(col("v").cast("double"), 9).as("rv"))
+      val cent = ex.groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("rv").cast(DecimalType(28, 9))).cast("double")
+          / count(lit(1)), 6).as("mean_v"))
+      val dist = ex.join(broadcast(cent), Seq("label", "pos"))
+        .select(col("vec_id"), col("label"),
+          round((col("rv") - col("mean_v")) * (col("rv") - col("mean_v")), 9)
+            .cast(DecimalType(28, 9)).as("sq"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sqrt(sum(col("sq")).cast("double")), 6).as("dist"))
+      val dd = col("dist").cast(DecimalType(18, 6))
+      val n = count(lit(1)).cast("double")
+      val sx = sum(dd).cast("double")
+      val sxx = sum(dd * dd).cast("double")
+      val stats = dist.groupBy(col("label")).agg(
+        round(sx / n, 6).as("mean_dist"),
+        round(sqrt((sxx - sx * sx / n) / (n - 1)), 6).as("std_dist"))
+      dist.join(broadcast(stats), "label")
+        .withColumn("z",
+          round((col("dist") - col("mean_dist")) / col("std_dist"), 4))
+        .filter(col("z") > 2.0)
+        .select(col("vec_id"), col("label"), col("dist"), col("z"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -968,6 +1012,34 @@ object Similarity {
         |FROM e, unnest(range(1, len(v) + 1)) AS t(i)
         |GROUP BY label, t.i
         |ORDER BY label, pos""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, label, t.i - 1 AS pos, round(v[t.i], 9) AS rv
+        |      FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |c AS (SELECT label, pos,
+        |        round(CAST(SUM(CAST(rv AS DECIMAL(28,9))) AS DOUBLE)
+        |              / COUNT(*), 6) AS mean_v
+        |      FROM x GROUP BY label, pos),
+        |d AS (SELECT vec_id, x.label,
+        |        round(sqrt(CAST(SUM(CAST(round((rv - mean_v)*(rv - mean_v), 9)
+        |              AS DECIMAL(28,9))) AS DOUBLE)), 6) AS dist
+        |      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+        |      GROUP BY vec_id, x.label),
+        |s AS (SELECT label,
+        |        round(CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+        |              / COUNT(*), 6) AS mean_dist,
+        |        round(sqrt((CAST(SUM(CAST(dist AS DECIMAL(18,6))
+        |                             * CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+        |          - CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+        |            * CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+        |            / COUNT(*)) / (COUNT(*) - 1)), 6) AS std_dist
+        |      FROM d GROUP BY label)
+        |SELECT vec_id, d.label, dist,
+        |  round((dist - mean_dist) / std_dist, 4) AS z
+        |FROM d JOIN s ON d.label = s.label
+        |WHERE round((dist - mean_dist) / std_dist, 4) > 2.0
+        |ORDER BY vec_id""".stripMargin,
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

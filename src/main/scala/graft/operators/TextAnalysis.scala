@@ -44,6 +44,12 @@ object TextAnalysis {
     * distribution (p25 ≈ −0.002 < bias-cut < p75 ≈ +0.009) so the gate
     * genuinely separates classes at every SF. */
   private[graft] val clfBias: Double = -1.0 / 256
+
+  /** Candidate operating points for the quality-gate PR sweep. Dyadic
+    * rationals (exact doubles), so `logit > t` is bit-identical across
+    * engines with no rounding discipline needed on the threshold side. */
+  private[graft] val prThresholds: Seq[Double] =
+    Seq(-1.0 / 64, -1.0 / 128, 0.0, 1.0 / 128, 1.0 / 64)
   // tiny per-language stopword lists for the n-gram/stopword language guess
   val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -66,6 +72,74 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // pairwise source-overlap matrix — the cross-corpus contamination
+    // audit a mixture designer runs before weighting sources ("how much
+    // of src_a is already in src_b?"): per source pair, the count and
+    // Jaccard of shared word-8-gram sets. Scale shape: the (source, gram)
+    // distinct is ONE linear shuffle; the per-gram source set is bounded
+    // by |sources| (~20), so the pair fan-out is ≤ C(|S|,2) rows per gram
+    // and partial-combines map-side down to the |S|² output groups; the
+    // per-source gram totals are a bounded frame broadcast back. No
+    // gram-key self-join (that shape is output-quadratic per hot gram at
+    // corpus scale — the oracle uses it only because DuckDB runs at gate
+    // SF).
+    "q_source_overlap" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("source"), explode(array_distinct(expr(
+          """transform(sequence(0, size(w)-8), i ->
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                            w[i+4], w[i+5], w[i+6], w[i+7]))"""))).as("gram"))
+        .distinct()
+      val perSrc = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val pairs = g.groupBy(col("gram"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(flatten(expr(
+          """transform(ss, (a, i) ->
+             transform(slice(ss, i + 2, size(ss)), b -> struct(a, b)))"""
+        ))).as("p"))
+        .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+      pairs
+        .join(broadcast(perSrc.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n_grams", "na")), "src_a")
+        .join(broadcast(perSrc.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n_grams", "nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          round(col("shared_grams").cast("double")
+            / (col("na") + col("nb") - col("shared_grams")), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // first-occurrence novelty — the memorization-risk metric a curation
+    // pipeline scores per doc: what fraction of this doc's word-8-grams
+    // appears HERE for the first time, in doc_id ingest order? Low
+    // novelty = mostly restatement of earlier corpus content (dedup's
+    // soft sibling: a score, not a drop decision). Scale shape: two
+    // linear gram-keyed exchanges (per-doc distinct grams → min-doc_id
+    // first-occurrence table → join back) then a doc_id partial agg —
+    // no self-join, no window, and the join key is the gram (bounded
+    // fan-in: each gram matches its occurrence list once, not
+    // quadratically). Conservation law (tested): Σ n_novel over docs ==
+    // |distinct grams| — every gram is novel exactly once.
+    "q_novelty" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(gram8)).as("gram"))
+      val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      g.join(first, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: training docs (id >= 50) sharing any
     // word-8-gram with the eval set (id < 50). The eval gram set is tiny →
     // broadcast; the training side streams and only hits shuffle into the
@@ -260,6 +334,42 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // classifier threshold calibration — the PR sweep a pipeline runs
+    // before picking the quality gate's operating point: for each
+    // candidate threshold, precision/recall of (logit > t) against a
+    // deterministic weak label (lang = 'en' here; a labeled eval set
+    // would arrive the same way). One scan computes each doc's logit
+    // once, a 5-element literal explode fans it across thresholds, and
+    // the conditional-sum aggregate partial-combines to 5 groups — the
+    // exchange carries 5 rows per partition regardless of corpus size.
+    "q_classifier_pr_curve" -> ((s, dir) => {
+      val wmap = map(clfWeights.flatMap { case (t, n) =>
+        Seq(lit(t), lit(n / 64.0)) }: _*)
+      val tk = toks(lower(col("text")))
+      val score = aggregate(tk, lit(0.0),
+        (acc, t) => acc + coalesce(element_at(wmap, t), lit(0.0)))
+      val logit = round(lit(clfBias) + score / size(tk).cast("double"), 6)
+      docs(s, dir)
+        .select(logit.as("logit"), (col("lang") === "en").as("y"),
+          explode(typedLit(prThresholds)).as("threshold"))
+        .groupBy(col("threshold"))
+        .agg(
+          sum(when(col("logit") > col("threshold") && col("y"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("logit") > col("threshold") && !col("y"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(!(col("logit") > col("threshold")) && col("y"), 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+            .as("precision"),
+          when(col("tp") + col("fn") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+            .as("recall"))
+        .orderBy(col("threshold"))
+    }),
+
     // stopword-profile language guess (deterministic argmax with fixed
     // tie-break order en > de > es > fr)
     "q_lang_id" -> ((s, dir) => {
@@ -451,6 +561,66 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest([array_to_string(w[i:i+7], ' ')
+        |                for i in range(1, len(w)-6)]) AS gram
+        |      FROM t WHERE len(w) >= 8),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_novel,
+        |  round(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |        * 1.0 / COUNT(*), 6) AS novelty
+        |FROM g JOIN f USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // gate-SF transcription: the gram-key self-join is fine at oracle
+    // scale; the engine's collect_set/pair-explode form is the scale path
+    "q_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') w FROM documents),
+        |g0 AS (SELECT source,
+        |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+        |                               for i in range(1, len(w)-6)])) AS gram
+        |       FROM t WHERE len(w) >= 8),
+        |g AS (SELECT DISTINCT source, gram FROM g0),
+        |n AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+        |c AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        |      FROM g a JOIN g b USING (gram) WHERE a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_grams,
+        |  round(CAST(shared AS DOUBLE)
+        |        / (na.n_grams + nb.n_grams - shared), 6) AS jaccard
+        |FROM c JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+    // generated from the same weight table + threshold list as the engine
+    // (the q_quality_classifier discipline) — the two cannot drift
+    "q_classifier_pr_curve" -> {
+      val entries = clfWeights.map { case (t, n) =>
+        s"'${t}': CAST($n AS DOUBLE)/64" }.mkString(", ")
+      val ths = prThresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tk
+         |           FROM documents),
+         |s AS (SELECT lang = 'en' AS y,
+         |        round($clfBias + coalesce(list_sum(list_transform(tk,
+         |            t -> coalesce(MAP {$entries}[t][1], 0.0))), 0.0)
+         |          / len(tk), 6) AS logit
+         |      FROM t),
+         |x AS (SELECT th.threshold, s.logit, s.y
+         |      FROM s CROSS JOIN (SELECT unnest([$ths]) AS threshold) th),
+         |g AS (SELECT threshold,
+         |        SUM(CASE WHEN logit > threshold AND y THEN 1 ELSE 0 END) AS tp,
+         |        SUM(CASE WHEN logit > threshold AND NOT y THEN 1 ELSE 0 END) AS fp,
+         |        SUM(CASE WHEN NOT (logit > threshold) AND y THEN 1 ELSE 0 END) AS fn
+         |      FROM x GROUP BY threshold)
+         |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CASE WHEN tp + fp > 0
+         |       THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |       THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+         |FROM g ORDER BY threshold""".stripMargin
+    },
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |g AS (SELECT doc_id,

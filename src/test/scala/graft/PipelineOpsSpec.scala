@@ -337,6 +337,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("q_source_overlap equals a brute-force gram-set computation") {
+    val rows = q("q_source_overlap").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.keys.forall { case (a, b) => a < b }, "canonical pair order")
+    assert(rows.values.forall { case (s, j) => s >= 1 && j > 0.0 && j <= 1.0 })
+    // independent recomputation: per-source distinct 8-gram sets in Scala
+    val bySrc = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1)
+      .map { case (src, ds) =>
+        src -> ds.flatMap { case (_, t) =>
+          val w = t.split(" ", -1)
+          if (w.length >= 8) w.sliding(8).map(_.mkString(" ")) else Iterator.empty
+        }.toSet
+      }
+    val expect = (for {
+      (a, ga) <- bySrc; (b, gb) <- bySrc if a < b
+      shared = (ga & gb).size if shared > 0
+    } yield (a, b) -> (shared.toLong,
+      BigDecimal(shared.toDouble / (ga.size + gb.size - shared))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(rows == expect, s"got ${rows.size} pairs, expected ${expect.size}")
+  }
+
+  test("q_novelty: conservation (Σ n_novel = |gram vocab|), first doc fully novel") {
+    val rows = q("q_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall { case (_, g, n, f) =>
+      n <= g && f > 0.0 == (n > 0) && f >= 0.0 && f <= 1.0 })
+    // every distinct gram is novel in exactly one doc
+    val vocab = Tables.load(spark, sfDir, "documents")
+      .where(size(split(col("text"), " ")) >= 8)
+      .select(explode(expr(
+        """array_distinct(transform(sequence(0, size(split(text,' '))-8), i ->
+           concat_ws(' ', slice(split(text,' '), i+1, 8))))""")).as("g"))
+      .agg(countDistinct(col("g"))).head.getLong(0)
+    assert(rows.map(_._3).sum == vocab,
+      s"sum(n_novel)=${rows.map(_._3).sum} != |vocab|=$vocab")
+    // the lowest doc_id with >= 8 words sees every one of its grams first
+    val firstDoc = rows.minBy(_._1)
+    assert(firstDoc._4 == 1.0, s"doc ${firstDoc._1} novelty ${firstDoc._4}")
+  }
+
   test("containment: bounded ratio, consistent with decontaminate counts") {
     val out = q("q_ngram_containment").cache()
     try {

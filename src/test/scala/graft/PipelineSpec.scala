@@ -173,6 +173,53 @@ class PipelineSpec extends SparkSpec {
     assert(bad == 0, s"$bad vectors exceed the s/254 dequantization bound")
   }
 
+  test("q_embed_outliers: flagged set is exactly the per-label z>2 distance tail") {
+    val got = Queries.all("q_embed_outliers")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.forall(_._4 > 2.0), "every flagged row has z > 2")
+    assert(got.forall(_._3 >= 0.0), "distances are non-negative")
+    val total = Tables.load(spark, sfDir, "embeddings").count()
+    assert(got.nonEmpty && got.length < total / 5,
+      s"outliers are a tail: ${got.length} of $total")
+    // brute-force recomputation (same rounding discipline, plain Scala)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect().map(r =>
+      (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v => BigDecimal(v.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dist = vecs.groupBy(_._2).toSeq.flatMap { case (label, vs) =>
+      val dim = vs.head._3.length
+      val cent = (0 until dim).map(p => r6(
+        vs.map(v => BigDecimal(v._3(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / vs.length))
+      vs.map { case (id, _, v) =>
+        val d2 = (0 until dim).map { p =>
+          val d = v(p) - cent(p)
+          BigDecimal(d * d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (id, label, r6(math.sqrt(d2.toDouble)))
+      }
+    }
+    val expect = dist.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val n = ds.size.toDouble
+      val sx = ds.map(d => BigDecimal(d._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val sxx = ds.map { d =>
+        val b = BigDecimal(d._3).setScale(6, BigDecimal.RoundingMode.HALF_UP); b * b
+      }.sum.toDouble
+      val mean = r6(sx / n)
+      val std = r6(math.sqrt((sxx - sx * sx / n) / (n - 1)))
+      ds.map { case (id, label, d) =>
+        val z = BigDecimal((d - mean) / std)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, label, d, z)
+      }.filter(_._4 > 2.0)
+    }.toSet
+    assert(got.toSet == expect,
+      s"flagged sets differ: got ${got.length}, expected ${expect.size}")
+  }
+
   test("PqEncode picks the L2-argmin sub-centroid, ties to the lower index") {
     import graft.functions.Pq
     // 2 subspaces of dim 2; centroids chosen so expected codes are obvious

@@ -346,4 +346,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("snapshot diff: hashes computed below the single full-outer join") {
+    val p = planOf("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(3000))
+    // md5 is projected in the scan stage, so only (key, hash) crosses the
+    // exchange — the hash expression must sit under the join, not above it
+    // (node details list children before the join node)
+    val joinAt = p.indexOf("Join type: FullOuter")
+    assert(joinAt > 0 && p.take(joinAt).contains("md5"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("mix weights / time split: 1-row normalizer broadcasts, no window") {
+    for (name <- Seq("q_mix_weights", "q_time_split")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("Window"), s"$name: ${p.take(3000)}")
+      // the per-group reduction partial-aggregates map-side
+      assert(p.contains("partial_"), s"$name: ${p.take(3000)}")
+    }
+  }
+
+  test("PR curve: in-scan logit, literal explode, 5-group partial agg") {
+    val p = planOf("q_classifier_pr_curve")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
+  test("embed outliers: bounded frames broadcast; aggs partial; no window") {
+    val p = planOf("q_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
+  test("source overlap: pair fan-out from the gram agg, never a gram self-join") {
+    val p = planOf("q_source_overlap")
+    // the scale trap is joining the (source,gram) frame to itself on gram
+    // (output-quadratic per hot gram); the plan must build per-gram source
+    // sets by aggregation and only broadcast-join the |S|-row totals
+    assert(p.contains("collect_set"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("novelty: two linear gram-keyed exchanges, min-doc partial agg") {
+    val p = planOf("q_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(3000))
+    // first-occurrence table is an aggregate (partial min), not a window
+    assert(p.contains("partial_min"), p.take(3000))
+    // the gram join must be an equi-join (hashable key), never a
+    // nested-loop; Catalyst may legitimately broadcast the aggregated
+    // first-occurrence side at gate SF (its estimate grows with the
+    // corpus, flipping to a shuffled join at scale)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
