@@ -261,6 +261,28 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // RAG / retrieval chunking: fixed 32-word windows with stride 24
+    // (8-word overlap so boundary-straddling facts land whole in some
+    // chunk) — the document→passage transform every retrieval index and
+    // long-context training pipeline runs first. Pure in-scan Generate:
+    // chunk starts come from a per-row sequence, the chunk text from a
+    // slice of the already-split array — no exchange anywhere except the
+    // presentation sort, so 100 TB chunks as a single map pass. Output is
+    // ~len/24 rows per doc (bounded per-row fan-out, linear overall).
+    "q_chunk_overlap" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).as("len"), col("w"),
+          explode(sequence(lit(0), size(col("w")) - 1, lit(24))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 24).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start"),
+          least(lit(32), col("len") - col("start")).cast("long").as("n_tokens"),
+          concat_ws(" ", slice(col("w"), col("start") + 1, lit(32)))
+            .as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Sequence packing (concat-and-chunk): docs stream in md5 order within
     // their shard; a doc belongs to the 2048-token bin its start offset
     // falls in. The window is partitioned by shard — packing 100 TB is N
@@ -400,6 +422,15 @@ object PipelineOps {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(CAST(CEIL(length(text)/4.0) AS BIGINT)) AS BIGINT) AS total_est_tokens
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, len(w) AS l, w,
+        |        unnest(range(0, len(w), 24)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(least(32, l - start) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[start + 1 : start + 32], ' ') AS chunk
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) shard,

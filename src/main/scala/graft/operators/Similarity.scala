@@ -163,6 +163,22 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // top principal component of the embedding corpus — the spectral
+    // summary a curation pipeline uses for whitening checks, dominant-
+    // axis drift detection, and dimensionality-reduction sizing.
+    // Computed the 100 TB way: ONE linear pass builds the centered
+    // scatter matrix G = Σ (x−μ)(x−μ)ᵀ as an upper-triangle aggregate of
+    // dim(dim+1)/2 groups (map-side partial combine — only the 2080-entry
+    // frame crosses the exchange), then power iteration runs DRIVER-side
+    // on the collected bounded matrix: 3 unrolled steps, no per-iteration
+    // corpus scan (iterating y = Xᵀ(Xv) instead would re-scan the corpus
+    // per step). Cross-engine exactness: elements round to 9 dp, products
+    // to 9 dp and sum as DECIMAL(28,9); each iteration routes G·v terms
+    // through 12-dp decimals, re-rounds v to 9 dp — the DuckDB oracle
+    // unrolls the identical three steps in SQL, so every double on both
+    // sides is the IEEE image of the same decimal.
+    "q_embed_pca" -> ((s, dir) => embedPca(s, Tables.load(s, dir, "embeddings"))),
+
     "q_embed_quantize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -393,6 +409,66 @@ object Similarity {
     val c0 = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     (1 until iters).foldLeft(assign(c0))((a, _) => assign(recenter(a)))
+  }
+
+  /** Top principal component via a one-pass upper-triangle scatter-matrix
+    * aggregate + bounded driver-side power iteration (3 unrolled steps;
+    * see the q_embed_pca registry comment for the scale shape and the
+    * cross-engine rounding protocol). The two collects are bounded by the
+    * dimensionality (dim rows of means; dim(dim+1)/2 scatter cells) —
+    * constant-size regardless of corpus size, the same legitimacy class
+    * as the k-means codebook collects below. */
+  private[graft] def embedPca(s: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    def rd(x: Double, sc: Int): Double =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rv = transform(col("embedding"), x => round(x.cast("double"), 9))
+    // per-dimension mean: one dim-group aggregate, collected (bounded)
+    val muMap = e.select(posexplode(rv).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("v").cast(DecimalType(28, 9))).cast("double")
+        / count(lit(1)), 6).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = muMap.size
+    val mu = array((0 until dim).map(p => lit(muMap(p))): _*)
+    // centered upper-triangle products → dim(dim+1)/2 exact decimal sums
+    val triRows = e.select(zip_with(rv, mu, (x, m) => x - m).as("cv"))
+      .select(explode(expr(
+        """flatten(transform(cv, (a, p) ->
+             transform(slice(cv, p + 1, size(cv) - p), (b, j) ->
+               named_struct('p', p, 'q', p + j, 't', round(a * b, 9)))))"""))
+        .as("s"))
+      .select(col("s.p").as("p"), col("s.q").as("q"),
+        col("s.t").cast(DecimalType(28, 9)).as("t"))
+      .groupBy(col("p"), col("q")).agg(sum(col("t")).as("g"))
+      .collect()
+    val gBig = Array.fill(dim, dim)(BigDecimal(0))
+    triRows.foreach { r =>
+      val (p, q) = (r.getInt(0), r.getInt(1))
+      val v = BigDecimal(r.getDecimal(2))
+      gBig(p)(q) = v; gBig(q)(p) = v
+    }
+    val trace = (0 until dim).map(p => gBig(p)(p)).sum.toDouble
+    val gD = Array.tabulate(dim, dim)((p, q) => gBig(p)(q).toDouble)
+    var v = Array.fill(dim)(rd(1.0 / math.sqrt(dim.toDouble), 9))
+    var lam = 0.0
+    for (_ <- 1 to 3) {
+      val y = Array.tabulate(dim) { p =>
+        (0 until dim).map(q => BigDecimal(rd(gD(p)(q) * v(q), 12))).sum.toDouble
+      }
+      val n2 = y.map(x => BigDecimal(rd(x * x, 12))).sum.toDouble
+      lam = rd(math.sqrt(n2), 9)
+      v = y.map(x => rd(x / lam, 9))
+    }
+    val rows = (0 until dim).map(p =>
+      Row(p.toLong, rd(v(p), 6), rd(lam / trace, 6)))
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("loading", DoubleType, nullable = false),
+      StructField("var_share", DoubleType, nullable = false))))
+      .orderBy(col("pos"))
   }
 
   /** Spherical k-means codebook, trained driver-side on the bounded
@@ -929,6 +1005,44 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // unrolls the engine's exact three power-iteration steps in SQL over
+    // the same decimal-routed scatter matrix (the quadratic vec_id
+    // self-join is gate-SF-only; the engine builds G in one linear pass)
+    "q_embed_pca" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, t.i - 1 AS pos, round(v[t.i], 9) AS rv
+        |      FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |m AS (SELECT pos, round(CAST(SUM(CAST(rv AS DECIMAL(28,9))) AS DOUBLE)
+        |              / COUNT(*), 6) AS mu
+        |      FROM x GROUP BY pos),
+        |c AS (SELECT vec_id, pos, rv - mu AS cv FROM x JOIN m USING (pos)),
+        |g AS (SELECT a.pos AS p, b.pos AS q,
+        |        SUM(CAST(round(a.cv * b.cv, 9) AS DECIMAL(28,9))) AS gd
+        |      FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+        |d AS (SELECT COUNT(*) AS dim FROM m),
+        |tr AS (SELECT CAST(SUM(gd) AS DOUBLE) AS trace FROM g WHERE p = q),
+        |v0 AS (SELECT pos, round(1.0 / sqrt(dim), 9) AS vv FROM m, d),
+        |y1 AS (SELECT p AS pos, CAST(SUM(CAST(round(CAST(gd AS DOUBLE) * vv, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS y
+        |       FROM g JOIN v0 ON g.q = v0.pos GROUP BY p),
+        |l1 AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE)), 9) AS lam FROM y1),
+        |v1 AS (SELECT pos, round(y / lam, 9) AS vv FROM y1, l1),
+        |y2 AS (SELECT p AS pos, CAST(SUM(CAST(round(CAST(gd AS DOUBLE) * vv, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS y
+        |       FROM g JOIN v1 ON g.q = v1.pos GROUP BY p),
+        |l2 AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE)), 9) AS lam FROM y2),
+        |v2 AS (SELECT pos, round(y / lam, 9) AS vv FROM y2, l2),
+        |y3 AS (SELECT p AS pos, CAST(SUM(CAST(round(CAST(gd AS DOUBLE) * vv, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS y
+        |       FROM g JOIN v2 ON g.q = v2.pos GROUP BY p),
+        |l3 AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE)), 9) AS lam FROM y3),
+        |v3 AS (SELECT pos, round(y / lam, 9) AS vv FROM y3, l3)
+        |SELECT pos, round(vv, 6) AS loading, round(lam / trace, 6) AS var_share
+        |FROM v3, l3, tr ORDER BY pos""".stripMargin,
     // shares the engine's exact formula end-to-end: exact cosine-≥0.45
     // pair set (the LSH path's ground truth), min-(partner,cos) positive,
     // the 48271-LCG negative with the three-candidate collision stepping

@@ -82,9 +82,15 @@ object TextAnalysis {
     // per-source gram totals are a bounded frame broadcast back. No
     // gram-key self-join (that shape is output-quadratic per hot gram at
     // corpus scale — the oracle uses it only because DuckDB runs at gate
-    // SF).
+    // SF). Quotiented by (source, text) identity up front: the gram set
+    // is a pure function of the text, so exact-duplicate docs within a
+    // source contribute nothing — collapsing them first cut the 100×
+    // dup-heavy probe from 112 s to the volume of UNIQUE text (the
+    // final distinct already implied this; doing it pre-explode keeps
+    // the gram exchange duplicate-free too).
     "q_source_overlap" -> ((s, dir) => {
       val g = docs(s, dir)
+        .select(col("source"), col("text")).distinct()
         .select(col("source"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
         .select(col("source"), explode(array_distinct(expr(
@@ -124,19 +130,81 @@ object TextAnalysis {
     // fan-in: each gram matches its occurrence list once, not
     // quadratically). Conservation law (tested): Σ n_novel over docs ==
     // |distinct grams| — every gram is novel exactly once.
+    // Quotiented by text identity: per text group, only the min-id
+    // holder (the rep) can be first-seen for any of its grams — a later
+    // exact copy restates its rep by construction, so its n_novel is 0
+    // without touching the gram machinery. And min-over-reps equals the
+    // global first-occurrence (every doc's rep precedes it with the same
+    // grams), so rep novelty is unchanged by the collapse. The expensive
+    // gram exchanges run over UNIQUE text (112 s-class blowup avoided on
+    // the 100-copy probe); members re-expand through two linear joins.
     "q_novelty" -> ((s, dir) => {
-      val g = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"), explode(array_distinct(gram8)).as("gram"))
-      val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-      g.join(first, "gram")
-        .groupBy(col("doc_id"))
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(size(split(col("text"), " ")) >= 8)
+      val reps = base.groupBy(col("text")).agg(min(col("doc_id")).as("rep_id"))
+      val g = reps
+        .select(col("rep_id"), split(col("text"), " ").as("w"))
+        .select(col("rep_id"), explode(array_distinct(gram8)).as("gram"))
+      val first = g.groupBy(col("gram")).agg(min(col("rep_id")).as("first_doc"))
+      val repNov = g.join(first, "gram")
+        .groupBy(col("rep_id"))
         .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+          sum(when(col("first_doc") === col("rep_id"), 1L).otherwise(0L))
+            .as("rep_novel"))
+      base.join(reps, "text").join(repNov, "rep_id")
+        .select(col("doc_id"), col("n_grams"),
+          when(col("doc_id") === col("rep_id"), col("rep_novel"))
+            .otherwise(0L).as("n_novel"))
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // boilerplate phrase stripping — the CCNet/RefinedWeb-style rewrite
+    // gate: any word-5-gram appearing in ≥ 2 DISTINCT documents is
+    // boilerplate (shared template/navigation text); every token position
+    // covered by a boilerplate gram occurrence is removed and the doc is
+    // reassembled from the surviving words in order. This is the corpus's
+    // one document-REWRITING operator (dedup drops docs; this repairs
+    // them). Scale shape: grams, coverage, and the rewrite are pure
+    // functions of the text, so the whole pipeline runs on DISTINCT texts
+    // (the quotient discipline) — gram doc-frequency is one linear
+    // gram-keyed agg, coverage re-expands each boilerplate occurrence to
+    // its 5 positions (bounded ×5), and the reassembly is a per-text
+    // sort_array over collect_list bounded by doc length. Members rejoin
+    // through one text-keyed join. No self-join, no window, no driver
+    // loop; per-gram fan-out is its occurrence count (the same contract
+    // as q_novelty), never quadratic.
+    "q_boilerplate_strip" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val uniq = base.select(col("text")).distinct()
+        .withColumn("w", split(col("text"), " "))
+      val g = uniq.filter(size(col("w")) >= 5)
+        .select(col("text"), posexplode(gram5).as(Seq("s", "gram")))
+      val boiler = g.select(col("gram"), col("text")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("gram"))
+      val covered = g.join(boiler, "gram")
+        .select(col("text"), explode(sequence(col("s"), col("s") + 4)).as("pos"))
+        .distinct()
+      val words = uniq.select(col("text"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+      val kept = words.join(covered, Seq("text", "pos"), "left_anti")
+        .groupBy(col("text"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word"))).as("clean_text"))
+      val perText = uniq
+        .select(col("text"), size(col("w")).cast("long").as("n_tokens"))
+        .join(kept, Seq("text"), "left")
+        .select(col("text"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+      base.join(perText, "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -339,9 +407,14 @@ object TextAnalysis {
     // candidate threshold, precision/recall of (logit > t) against a
     // deterministic weak label (lang = 'en' here; a labeled eval set
     // would arrive the same way). One scan computes each doc's logit
-    // once, a 5-element literal explode fans it across thresholds, and
-    // the conditional-sum aggregate partial-combines to 5 groups — the
-    // exchange carries 5 rows per partition regardless of corpus size.
+    // once and reduces straight to a SINGLE row of 3×|thresholds|
+    // conditional sums; the 5 output rows come from stack() over that
+    // one row. (The first cut exploded a 5-threshold literal per doc and
+    // grouped — Catalyst collapsed the projection into the Generate and
+    // re-evaluated the token-fold logit per exploded row: 46.5 s at the
+    // 100× probe, ≈ 5× the classifier's own 9.4 s scan. The one-row
+    // aggregate keeps the fold per-doc: no corpus-sized Generate exists
+    // in this plan at all.)
     "q_classifier_pr_curve" -> ((s, dir) => {
       val wmap = map(clfWeights.flatMap { case (t, n) =>
         Seq(lit(t), lit(n / 64.0)) }: _*)
@@ -349,17 +422,18 @@ object TextAnalysis {
       val score = aggregate(tk, lit(0.0),
         (acc, t) => acc + coalesce(element_at(wmap, t), lit(0.0)))
       val logit = round(lit(clfBias) + score / size(tk).cast("double"), 6)
+      val sums = prThresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("logit") > t && col("y"), 1L).otherwise(0L)).as(s"tp$i"),
+        sum(when(col("logit") > t && !col("y"), 1L).otherwise(0L)).as(s"fp$i"),
+        sum(when(!(col("logit") > t) && col("y"), 1L).otherwise(0L)).as(s"fn$i"))
+      }
+      val rows = prThresholds.zipWithIndex.map { case (t, i) =>
+        s"CAST($t AS DOUBLE), tp$i, fp$i, fn$i" }.mkString(", ")
       docs(s, dir)
-        .select(logit.as("logit"), (col("lang") === "en").as("y"),
-          explode(typedLit(prThresholds)).as("threshold"))
-        .groupBy(col("threshold"))
-        .agg(
-          sum(when(col("logit") > col("threshold") && col("y"), 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("logit") > col("threshold") && !col("y"), 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(!(col("logit") > col("threshold")) && col("y"), 1L)
-            .otherwise(0L)).as("fn"))
+        .select(logit.as("logit"), (col("lang") === "en").as("y"))
+        .agg(sums.head, sums.tail: _*)
+        .select(expr(s"stack(${prThresholds.size}, $rows)")
+          .as(Seq("threshold", "tp", "fp", "fn")))
         .select(col("threshold"), col("tp"), col("fp"), col("fn"),
           when(col("tp") + col("fp") > 0,
             round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
@@ -521,6 +595,10 @@ object TextAnalysis {
        concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
                       w[i+4], w[i+5], w[i+6], w[i+7]))""")
 
+  private val gram5 = expr(
+    """transform(sequence(0, size(w)-5), i ->
+       concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))""")
+
   /** Fractional 8-gram containment of each training doc (doc_id ≥ 50)
     * against the benchmark set (doc_id < 50), quotiented by text identity.
     *
@@ -561,6 +639,33 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // doc-frequency counts DISTINCT TEXTS (not doc_ids): replication-
+    // invariant by construction — an exact copy can't make its own
+    // phrases boilerplate, and the quotient path needs no special-casing
+    "q_boilerplate_strip" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        |u AS (SELECT DISTINCT text FROM b),
+        |t AS (SELECT text, string_split(text, ' ') AS w FROM u),
+        |g AS (SELECT text, r.i - 1 AS s, array_to_string(w[r.i:r.i+4], ' ') AS gram
+        |      FROM t, unnest(range(1, len(w) - 3)) AS r(i) WHERE len(w) >= 5),
+        |bo AS (SELECT gram FROM (SELECT DISTINCT gram, text FROM g)
+        |       GROUP BY gram HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT g.text, s + q.j AS pos
+        |        FROM g JOIN bo USING (gram), unnest(range(0, 5)) AS q(j)),
+        |w2 AS (SELECT text, r.i - 1 AS pos, w[r.i] AS word
+        |       FROM t, unnest(range(1, len(w) + 1)) AS r(i)),
+        |k AS (SELECT text, COUNT(*) AS n_kept,
+        |        string_agg(word, ' ' ORDER BY pos) AS clean_text
+        |      FROM w2
+        |      WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                        WHERE cov.text = w2.text AND cov.pos = w2.pos)
+        |      GROUP BY text),
+        |p AS (SELECT t.text, len(w) AS n_tokens FROM t)
+        |SELECT b.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(p.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM b JOIN p USING (text) LEFT JOIN k USING (text)
+        |ORDER BY doc_id""".stripMargin,
     "q_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |g AS (SELECT DISTINCT doc_id,

@@ -382,6 +382,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(firstDoc._4 == 1.0, s"doc ${firstDoc._1} novelty ${firstDoc._4}")
   }
 
+  test("q_boilerplate_strip equals a brute-force coverage computation") {
+    val got = q("q_boilerplate_strip").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docsRaw = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // brute force over distinct texts (frequency counts distinct TEXTS —
+    // replication-invariant): grams in >= 2 texts cover their positions
+    val texts = docsRaw.map(_._2).distinct
+    val gramTexts = texts.flatMap { t =>
+      val w = t.split(" ", -1)
+      if (w.length >= 5) w.sliding(5).map(g => g.mkString(" ") -> t)
+      else Iterator.empty
+    }.distinct.groupBy(_._1).filter(_._2.length >= 2).keySet
+    val expect = docsRaw.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val covered = (0 to w.length - 5).flatMap { s =>
+        if (gramTexts.contains(w.slice(s, s + 5).mkString(" ")))
+          (s until s + 5) else Seq.empty
+      }.toSet
+      val kept = w.indices.filterNot(covered).map(w)
+      (id, w.length.toLong, (w.length - kept.length).toLong,
+        kept.mkString(" "))
+    }.toSet
+    assert(got.toSet == expect)
+    // invariants: untouched docs round-trip; counts reconcile
+    assert(got.forall { case (_, n, rm, clean) =>
+      rm >= 0 && rm <= n &&
+        (rm > 0 || clean.split(" ", -1).length.toLong == n) })
+    assert(got.exists(_._3 > 0), "corpus plants cross-doc phrases")
+  }
+
+  test("q_chunk_overlap: stride/overlap laws reconstruct every doc") {
+    val chunks = q("q_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2) }
+    val docsRaw = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == docsRaw.keySet, "every doc chunks")
+    chunks.foreach { case (id, cs) =>
+      val w = docsRaw(id).split(" ", -1)
+      // starts are exactly 0, 24, 48... strictly below len
+      assert(cs.map(_._3).toSeq == (0L until w.length.toLong by 24L).toSeq)
+      cs.foreach { case (_, _, start, n, chunk) =>
+        val words = chunk.split(" ", -1)
+        assert(n == math.min(32, w.length - start), s"doc $id @$start")
+        assert(words.length == n, s"doc $id @$start: ${words.length} != $n")
+        assert(words.sameElements(
+          w.slice(start.toInt, start.toInt + n.toInt)), s"doc $id @$start")
+      }
+      // full coverage: last chunk reaches the end of the doc
+      val last = cs.last
+      assert(last._3 + last._4 == w.length.toLong, s"doc $id tail")
+    }
+  }
+
   test("containment: bounded ratio, consistent with decontaminate counts") {
     val out = q("q_ngram_containment").cache()
     try {

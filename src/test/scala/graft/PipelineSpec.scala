@@ -220,6 +220,58 @@ class PipelineSpec extends SparkSpec {
       s"flagged sets differ: got ${got.length}, expected ${expect.size}")
   }
 
+  test("q_embed_pca: unit-norm loading aligned with an independent eigensolve") {
+    val rows = Queries.all("q_embed_pca")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val dim = rows.length
+    val v = rows.sortBy(_._1).map(_._2)
+    // protocol invariants: unit norm after 6-dp rounding; one var_share
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4, "unit norm")
+    assert(rows.map(_._3).distinct.length == 1, "var_share constant")
+    val share = rows.head._3
+    assert(share > 0.0 && share <= 1.0)
+    // independent check: plain-double scatter matrix + 100 power steps
+    // (no decimal routing — a DIFFERENT computation of the same object);
+    // the 3-step protocol vector must already align with the converged
+    // top eigenvector
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val mu = Array.tabulate(dim)(p => vecs.map(_(p)).sum / n)
+    val g = Array.tabulate(dim, dim)((p, q) =>
+      vecs.map(x => (x(p) - mu(p)) * (x(q) - mu(q))).sum)
+    // replay the SAME 3-step protocol in plain doubles (no decimal
+    // routing, no 9/12-dp rounding) — the engine vector must match up to
+    // rounding noise. (Alignment with the fully-converged eigenvector is
+    // NOT a law here: near-random embeddings have a flat spectrum, so 3
+    // power steps provably cannot converge on them.)
+    def rayleigh(x: Array[Double]): Double = {
+      val nn = x.map(a => a * a).sum
+      (0 until dim).map(p =>
+        (0 until dim).map(q => g(p)(q) * x(q)).sum * x(p)).sum / nn
+    }
+    var t = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    val r0 = rayleigh(t)
+    var lamP = 0.0
+    for (_ <- 1 to 3) {
+      val y = Array.tabulate(dim)(p => (0 until dim).map(q => g(p)(q) * t(q)).sum)
+      lamP = math.sqrt(y.map(x => x * x).sum)
+      t = y.map(_ / lamP)
+    }
+    val cos = math.abs(v.zip(t).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.9999, s"engine drifted from the plain-double protocol: $cos")
+    // power iteration never decreases the Rayleigh quotient, and the
+    // eigenvalue estimate stays inside the spectrum (≤ trace)
+    val trace = (0 until dim).map(p => g(p)(p)).sum
+    val r3 = rayleigh(t)
+    assert(r3 >= r0 - 1e-9, s"Rayleigh decreased: $r0 -> $r3")
+    assert(lamP > 0 && lamP <= trace + 1e-9)
+    // var_share equals the plain-double lam/trace up to rounding noise
+    assert(math.abs(share - lamP / trace) / (lamP / trace) < 1e-3,
+      s"var_share $share vs plain-double ${lamP / trace}")
+  }
+
   test("PqEncode picks the L2-argmin sub-centroid, ties to the lower index") {
     import graft.functions.Pq
     // 2 subspaces of dim 2; centroids chosen so expected codes are obvious

@@ -397,6 +397,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("boilerplate strip: quotient equi-joins + anti-join, no window") {
+    val p = planOf("q_boilerplate_strip")
+    // kept words come from an anti-join against covered positions, the
+    // reassembly from an aggregate sort — never a per-doc window pass
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("chunk overlap: pure in-scan Generate, no joins or keyed shuffles") {
+    val p = planOf("q_chunk_overlap")
+    assert(p.contains("Generate"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // the only exchange is the presentation sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
   test("novelty: two linear gram-keyed exchanges, min-doc partial agg") {
     val p = planOf("q_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(3000))
