@@ -399,6 +399,48 @@ object Dedup {
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       minhashNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
+    // Incremental NEAR-dup admission — the steady-state crawl shape the
+    // exact-fingerprint q_dedup_incremental can't cover: a new batch
+    // (doc_id % 10 == 0 stands in for today's arrivals) is admitted
+    // against the indexed corpus, rejecting any doc whose verified
+    // 3-shingle jaccard against SOME corpus doc reaches 0.8. Candidates
+    // come from a band-signature equi-join BETWEEN the two sides (never
+    // corpus×corpus — the corpus side of a production run reads its
+    // persisted signature table, recomputed in-plan here only because the
+    // gate corpus is parquet-only); verification touches candidate rows
+    // only. Output is decision-scale: one row per batch doc, admitted or
+    // not, with the match count and the strongest hit.
+    "q_dedup_minhash_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      def banded(df: DataFrame, idCol: String) = df
+        .select(col("doc_id").as(idCol), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col(idCol), posexplode(
+          Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+          .as(Seq("band_idx", "band_hash")))
+      val cand = banded(batch, "new_id")
+        .join(banded(corpus, "old_id"), Seq("band_idx", "band_hash"))
+        .select(col("new_id"), col("old_id")).distinct()
+      val hits = cand
+        .join(batch.select(col("doc_id").as("new_id"), col("text").as("text_n")),
+          "new_id")
+        .join(corpus.select(col("doc_id").as("old_id"), col("text").as("text_o")),
+          "old_id")
+        .withColumn("jaccard",
+          Sketches.jaccardShingles(col("text_n"), col("text_o"), 3))
+        .filter(col("jaccard") >= 0.8)
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
+      batch.select(col("doc_id"))
+        .join(hits.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_matches").isNull.as("admitted"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("max_jaccard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup CLUSTERS: connected components over the verified pair set —
     // one row per clustered doc with its component representative (the
     // keeper) and component size. Jaccard is not transitive, so this, not
@@ -813,6 +855,27 @@ object Dedup {
     "q_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // exact batch×corpus jaccard (quadratic is gate-SF-only; the engine's
+    // band join is the scale path). Same recall precondition as above.
+    "q_dedup_minhash_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |j AS (SELECT b.doc_id AS new_id,
+        |        CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(b.sh, c.sh))) AS jaccard
+        |      FROM (SELECT * FROM s WHERE doc_id % 10 = 0) b,
+        |           (SELECT * FROM s WHERE doc_id % 10 <> 0) c),
+        |h AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |        MAX(jaccard) AS max_jaccard
+        |      FROM j WHERE jaccard >= 0.8 GROUP BY new_id)
+        |SELECT d.doc_id, h.new_id IS NULL AS admitted,
+        |  COALESCE(h.n_matches, 0) AS n_matches, h.max_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN h ON h.new_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // transitive closure of the exact pair set via recursive min-label
     // reachability — the ground truth for BOTH distributed clusterings
     // (label propagation and large-star/small-star must agree with it

@@ -89,6 +89,96 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Features from a DECODED audio payload: geometry, planted-silence
+    * frame census, active-region bounds (the silence-trim decision), and
+    * RMS energy over the active frames. */
+  case class AudioFeatures(doc_id: Long, n_samples: Int, n_frames: Int,
+                           n_silent: Int, first_active: Int,
+                           last_active: Int, rms_active: Double)
+
+  /** Deterministic PCM test signal (the audio analog of [[encodePng]]'s
+    * pattern): n = 1024 + (doc_id % 7)·256 mono samples at 8 kHz in
+    * 256-sample frames; frame f is SILENT (all-zero) when
+    * (doc_id + f) % 5 == 0, else sample(t) = (doc_id·31 + t·17) % 4096 −
+    * 2048. Pure integers, so every decoded feature has a closed form in
+    * doc_id for the DuckDB oracle. */
+  def audioSamples(docId: Long): Array[Short] = {
+    val n = 1024 + ((docId % 7) * 256).toInt
+    val out = new Array[Short](n)
+    var t = 0
+    while (t < n) {
+      out(t) =
+        if ((docId + t / 256) % 5 == 0) 0
+        else ((docId * 31 + t.toLong * 17) % 4096 - 2048).toShort
+      t += 1
+    }
+    out
+  }
+
+  /** Encode the doc's test signal as a REAL RIFF/WAV container via the
+    * JDK-builtin `javax.sound.sampled` codec (16-bit signed LE mono). */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val samples = audioSamples(docId)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched WAV decode + feature-extract: per-partition iterator, one
+    * real `AudioSystem.getAudioInputStream` per row, features computed
+    * from the DECODED PCM (not the generator's formula — WAV PCM is
+    * lossless, which `MultimodalSpec` pins sample-exactly). */
+  def decodeAudio(rows: Iterator[MediaRow]): Iterator[AudioFeatures] = {
+    rows.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getChannels == 1, s"unexpected WAV format for doc ${r.doc_id}")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val s = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        s(i) = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xFF)
+        i += 1
+      }
+      val nf = n / 256
+      var silent = 0; var first = -1; var last = -1
+      var ssq = 0L; var nAct = 0
+      var f = 0
+      while (f < nf) {
+        val lo = f * 256; val hi = lo + 256
+        var allZero = true
+        var t = lo
+        while (t < hi) { if (s(t) != 0) allZero = false; t += 1 }
+        if (allZero) silent += 1
+        else {
+          if (first < 0) first = f
+          last = f
+          var u = lo
+          while (u < hi) { ssq += s(u).toLong * s(u); u += 1 }
+          nAct += 256
+        }
+        f += 1
+      }
+      val rms = BigDecimal(math.sqrt(ssq.toDouble / nAct))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      AudioFeatures(r.doc_id, n, nf, silent, first, last, rms)
+    }
+  }
+
   /** Batched decode + feature-extract: per-partition iterator, one real
     * `ImageIO.read` per row, stats and a genuine 2×2 box-average downscale
     * computed from the DECODED raster (not from the generator's formula —
@@ -331,9 +421,63 @@ object Multimodal {
         .toDF()
         .orderBy(col("doc_id"))
     }),
+
+    // audio as a first-class modality: synthesize a REAL RIFF/WAV payload
+    // per doc (javax.sound.sampled encode), decode it back through the
+    // same codec, and extract the features an audio-curation pipeline
+    // gates on — duration geometry, silent-frame census, active-region
+    // bounds (the silence-trim decision), RMS energy of the active part.
+    // Same scale shape as the image path: partition-parallel
+    // mapPartitions, only the fixed-width feature row crosses any
+    // exchange (the presentation sort), never the waveform.
+    "q_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          decodeAudio(it.map(id => MediaRow(id, "audio", encodeWav(id))))
+        }
+        .toDF()
+        .select(col("doc_id"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_silent").cast("long").as("n_silent"),
+          col("first_active").cast("long").as("first_active"),
+          col("last_active").cast("long").as("last_active"),
+          col("rms_active"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // regenerates the PCM closed-form per doc — valid because WAV PCM
+    // round-trips losslessly (MultimodalSpec pins sample-exactness)
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, 1024 + (doc_id % 7) * 256 AS n
+        |           FROM documents),
+        |t AS (SELECT doc_id, n, r.t, r.t // 256 AS f
+        |      FROM d, unnest(range(0, n)) AS r(t)),
+        |s AS (SELECT doc_id, n, f,
+        |        CASE WHEN (doc_id + f) % 5 = 0 THEN 0
+        |             ELSE (doc_id * 31 + t * 17) % 4096 - 2048 END AS v
+        |      FROM t),
+        |fr AS (SELECT doc_id, n, f, max(abs(v)) AS mx, SUM(v * v) AS ssq
+        |       FROM s GROUP BY doc_id, n, f),
+        |a AS (SELECT doc_id, n,
+        |        CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |        CAST(SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_silent,
+        |        CAST(MIN(CASE WHEN mx > 0 THEN f END) AS BIGINT)
+        |          AS first_active,
+        |        CAST(MAX(CASE WHEN mx > 0 THEN f END) AS BIGINT)
+        |          AS last_active,
+        |        round(sqrt(CAST(SUM(CASE WHEN mx > 0 THEN ssq ELSE 0 END)
+        |            AS DOUBLE)
+        |          / (256 * SUM(CASE WHEN mx > 0 THEN 1 ELSE 0 END))), 6)
+        |          AS rms_active
+        |      FROM fr GROUP BY doc_id, n)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, n_frames, n_silent,
+        |  first_active, last_active, rms_active
+        |FROM a ORDER BY doc_id""".stripMargin,
     // the generator's content-equivalence classes: the PNG payload is a
     // pure function of (doc_id%6, doc_id%4, doc_id%32); Spark's md5-of-
     // real-bytes grouping must reproduce them exactly

@@ -24,6 +24,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode → decode round-trips every PCM sample exactly") {
+    for (docId <- Seq(0L, 1L, 4L, 23L, 64L, 1234L)) {
+      val bytes = Multimodal.encodeWav(docId)
+      // a real RIFF/WAVE container, not a stub: magic bytes
+      assert(bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte
+        && bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = ais.readAllBytes()
+      val expect = Multimodal.audioSamples(docId)
+      assert(raw.length == expect.length * 2)
+      for (i <- expect.indices) {
+        val got = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xFF)).toShort
+        assert(got == expect(i), s"sample $i of doc $docId corrupted")
+      }
+    }
+  }
+
+  test("audio features: silence census and trim bounds match the planting") {
+    for (docId <- Seq(0L, 2L, 6L, 11L, 999L)) {
+      val f = Multimodal.decodeAudio(
+        Iterator(MediaRow(docId, "audio", Multimodal.encodeWav(docId)))).next()
+      val nf = (1024 + (docId % 7) * 256).toInt / 256
+      val silentFrames = (0 until nf).filter(fr => (docId + fr) % 5 == 0)
+      val active = (0 until nf).filterNot(fr => (docId + fr) % 5 == 0)
+      assert(f.n_frames == nf && f.n_samples == nf * 256)
+      assert(f.n_silent == silentFrames.size, s"doc $docId silence census")
+      assert(f.first_active == active.head && f.last_active == active.last,
+        s"doc $docId trim bounds")
+      assert(f.rms_active > 0.0 && f.rms_active < 2048.0)
+    }
+  }
+
   test("decoded features match the oracle's closed forms") {
     for (docId <- Seq(0L, 3L, 17L, 100L)) {
       val f = Multimodal.decodeImages(

@@ -220,6 +220,38 @@ class PipelineSpec extends SparkSpec {
       s"flagged sets differ: got ${got.length}, expected ${expect.size}")
   }
 
+  test("q_dedup_minhash_incremental: rejections = cross-side verified pairs") {
+    val out = Queries.all("q_dedup_minhash_incremental")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val batchIds = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == batchIds && out.length == batchIds.size,
+      "one decision row per batch doc")
+    // ground truth from the full-corpus verified pair set: a batch doc is
+    // rejected iff some pair links it to a corpus-side (non-batch) doc
+    val pairs = graft.operators.Dedup.minhashNearDupPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def isBatch(id: Long) = id % 10 == 0
+    val reject = collection.mutable.Map[Long, (Long, Double)]()
+    for ((a, b, j) <- pairs; (bd, cd) <- Seq((a, b), (b, a))
+         if isBatch(bd) && !isBatch(cd)) {
+      val (c, m) = reject.getOrElse(bd, (0L, 0.0))
+      reject(bd) = (c + 1, math.max(m, j))
+    }
+    out.foreach { case (id, admitted, n, mj) =>
+      reject.get(id) match {
+        case Some((c, m)) =>
+          assert(!admitted && n == c && mj.contains(m), s"doc $id")
+        case None =>
+          assert(admitted && n == 0 && mj.isEmpty, s"doc $id")
+      }
+    }
+    assert(out.exists(!_._2) && out.exists(_._2),
+      "corpus exercises both admission outcomes")
+  }
+
   test("q_embed_pca: unit-norm loading aligned with an independent eigensolve") {
     val rows = Queries.all("q_embed_pca")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))

@@ -397,6 +397,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("incremental minhash: band equi-join between sides, no cartesian") {
+    val p = planOf("q_dedup_minhash_incremental")
+    // candidates come from a hash-shuffled (band_idx, band_hash) equi-join
+    // BETWEEN batch and corpus signatures — never a cross product, never
+    // a window; verification joins are id-keyed equi-joins
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // decision output comes from a left join preserving every batch doc
+    assert(p.contains("LeftOuter"), p.take(3000))
+  }
+
+  test("audio features: partition-parallel decode, no joins or keyed shuffles") {
+    val p = planOf("q_audio_features")
+    assert(p.contains("MapPartitions"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
   test("boilerplate strip: quotient equi-joins + anti-join, no window") {
     val p = planOf("q_boilerplate_strip")
     // kept words come from an anti-join against covered positions, the
