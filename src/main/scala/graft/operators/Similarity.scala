@@ -179,6 +179,12 @@ object Similarity {
     // sides is the IEEE image of the same decimal.
     "q_embed_pca" -> ((s, dir) => embedPca(s, Tables.load(s, dir, "embeddings"))),
 
+    // apply the PCA model in-scan: per-vector dominant-axis score and
+    // residual norm (see [[embedProject]] — μ and v enter as bounded
+    // literal arrays; one linear scan + one vec_id-keyed decimal agg)
+    "q_embed_project" -> ((s, dir) =>
+      embedProject(Tables.load(s, dir, "embeddings"))),
+
     "q_embed_quantize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val v = transform(col("embedding"), x => x.cast("double"))
@@ -418,10 +424,12 @@ object Similarity {
     * dimensionality (dim rows of means; dim(dim+1)/2 scatter cells) —
     * constant-size regardless of corpus size, the same legitimacy class
     * as the k-means codebook collects below. */
-  private[graft] def embedPca(s: SparkSession, e: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
-    import org.apache.spark.sql.Row
-    import scala.jdk.CollectionConverters._
+  /** The bounded PCA model: per-dim means, the 3-step protocol component,
+    * its eigenvalue estimate, and the scatter trace. Shared by the
+    * component query and the in-scan projection query. */
+  private[graft] def pcaModel(e: DataFrame)
+      : (Array[Double], Array[Double], Double, Double) = {
+    import org.apache.spark.sql.types.DecimalType
     def rd(x: Double, sc: Int): Double =
       BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rv = transform(col("embedding"), x => round(x.cast("double"), 9))
@@ -462,13 +470,50 @@ object Similarity {
       lam = rd(math.sqrt(n2), 9)
       v = y.map(x => rd(x / lam, 9))
     }
-    val rows = (0 until dim).map(p =>
-      Row(p.toLong, rd(v(p), 6), rd(lam / trace, 6)))
+    (Array.tabulate(dim)(muMap), v, lam, trace)
+  }
+
+  private[graft] def embedPca(s: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    def rd(x: Double, sc: Int): Double =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (_, v, lam, trace) = pcaModel(e)
+    val rows = v.indices.map(p => Row(p.toLong, rd(v(p), 6), rd(lam / trace, 6)))
     s.createDataFrame(rows.asJava, StructType(Seq(
       StructField("pos", LongType, nullable = false),
       StructField("loading", DoubleType, nullable = false),
       StructField("var_share", DoubleType, nullable = false))))
       .orderBy(col("pos"))
+  }
+
+  /** Project every vector onto the protocol component: score = (x−μ)·v
+    * and the residual norm √(‖x−μ‖² − score²) — the "how much of this
+    * vector does the dominant axis explain" diagnostic, and the first
+    * step of any whitening/compression pass. The model (μ, v) enters as
+    * LITERAL arrays (bounded, from [[pcaModel]]), so the projection is
+    * one linear scan + one vec_id-keyed decimal aggregate — no join. */
+  private[graft] def embedProject(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (mu, v, _, _) = pcaModel(e)
+    val muLit = array(mu.map(lit(_)): _*)
+    val vLit = array(v.map(lit(_)): _*)
+    val rv = transform(col("embedding"), x => round(x.cast("double"), 9))
+    e.select(col("vec_id"), col("label"),
+      posexplode(zip_with(rv, muLit, (x, m) => x - m)).as(Seq("pos", "cv")))
+      .select(col("vec_id"), col("label"), col("cv"),
+        element_at(vLit, col("pos") + 1).as("vv"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(round(col("cv") * col("vv"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("dot"),
+        sum(round(col("cv") * col("cv"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("ss"))
+      .select(col("vec_id"), col("label"), round(col("dot"), 6).as("score"),
+        round(sqrt(greatest(lit(0.0), col("ss") - col("dot") * col("dot"))), 6)
+          .as("residual"))
+      .orderBy(col("vec_id"))
   }
 
   /** Spherical k-means codebook, trained driver-side on the bounded
@@ -1043,6 +1088,50 @@ object Similarity {
         |v3 AS (SELECT pos, round(y / lam, 9) AS vv FROM y3, l3)
         |SELECT pos, round(vv, 6) AS loading, round(lam / trace, 6) AS var_share
         |FROM v3, l3, tr ORDER BY pos""".stripMargin,
+    // same CTE chain as q_embed_pca, then the per-vector projection
+    // against the UNROUNDED 9-dp protocol vector (the engine's literal)
+    "q_embed_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, t.i - 1 AS pos, round(v[t.i], 9) AS rv
+        |      FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |m AS (SELECT pos, round(CAST(SUM(CAST(rv AS DECIMAL(28,9))) AS DOUBLE)
+        |              / COUNT(*), 6) AS mu
+        |      FROM x GROUP BY pos),
+        |c AS (SELECT vec_id, pos, rv - mu AS cv FROM x JOIN m USING (pos)),
+        |g AS (SELECT a.pos AS p, b.pos AS q,
+        |        SUM(CAST(round(a.cv * b.cv, 9) AS DECIMAL(28,9))) AS gd
+        |      FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+        |d AS (SELECT COUNT(*) AS dim FROM m),
+        |v0 AS (SELECT pos, round(1.0 / sqrt(dim), 9) AS vv FROM m, d),
+        |y1 AS (SELECT p AS pos, CAST(SUM(CAST(round(CAST(gd AS DOUBLE) * vv, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS y
+        |       FROM g JOIN v0 ON g.q = v0.pos GROUP BY p),
+        |l1 AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE)), 9) AS lam FROM y1),
+        |v1 AS (SELECT pos, round(y / lam, 9) AS vv FROM y1, l1),
+        |y2 AS (SELECT p AS pos, CAST(SUM(CAST(round(CAST(gd AS DOUBLE) * vv, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS y
+        |       FROM g JOIN v1 ON g.q = v1.pos GROUP BY p),
+        |l2 AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE)), 9) AS lam FROM y2),
+        |v2 AS (SELECT pos, round(y / lam, 9) AS vv FROM y2, l2),
+        |y3 AS (SELECT p AS pos, CAST(SUM(CAST(round(CAST(gd AS DOUBLE) * vv, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE) AS y
+        |       FROM g JOIN v2 ON g.q = v2.pos GROUP BY p),
+        |l3 AS (SELECT round(sqrt(CAST(SUM(CAST(round(y * y, 12)
+        |              AS DECIMAL(38,12))) AS DOUBLE)), 9) AS lam FROM y3),
+        |v3 AS (SELECT pos, round(y / lam, 9) AS vv FROM y3, l3),
+        |pr AS (SELECT c.vec_id,
+        |         CAST(SUM(CAST(round(cv * vv, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS dot,
+        |         CAST(SUM(CAST(round(cv * cv, 12) AS DECIMAL(38,12)))
+        |           AS DOUBLE) AS ss
+        |       FROM c JOIN v3 USING (pos) GROUP BY c.vec_id)
+        |SELECT pr.vec_id, e2.label, round(dot, 6) AS score,
+        |  round(sqrt(greatest(0.0, ss - dot * dot)), 6) AS residual
+        |FROM pr JOIN (SELECT vec_id, label FROM embeddings) e2 USING (vec_id)
+        |ORDER BY pr.vec_id""".stripMargin,
     // shares the engine's exact formula end-to-end: exact cosine-≥0.45
     // pair set (the LSH path's ground truth), min-(partner,cos) positive,
     // the 48271-LCG negative with the three-candidate collision stepping

@@ -728,6 +728,48 @@ object Streams {
     * At 100 TB the benchmark set stays broadcast-size by construction
     * (benchmarks are small; that asymmetry is the whole point of the
     * decontamination-by-broadcast design). */
+  /** Streaming near-dup ADMISSION — the ingest-time form of
+    * `q_dedup_minhash_incremental`: arriving batch docs (doc_id % 10 == 0,
+    * "today's crawl") band-join the STATIC corpus signature frame (in
+    * production the persisted signature index — stream-static equi-joins
+    * are exactly Spark's model for "a stream probes an index"), the exact
+    * 3-shingle jaccard verifies candidate rows only, and a Complete-mode
+    * aggregation maintains the REJECTION table (doc_id, n_matches,
+    * max_jaccard); admission is absence from it. State is bounded by
+    * rejected docs × their true partners, never by stream length.
+    * Distinct-partner counting goes through collect_set because streaming
+    * aggregations cannot express COUNT(DISTINCT). */
+  def nearDupAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    def banded(df: DataFrame, idc: String, txt: String) = df
+      .withColumn("w", split(col(txt), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col(idc), col(txt), posexplode(Sketches.bandhashes(
+        Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+        .as(Seq("band_idx", "band_hash")))
+    val corpusSig = banded(
+      graft.Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("old_id"), col("text").as("text_o")),
+      "old_id", "text_o")
+    val stream = banded(
+      spark.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val rejects = stream.join(corpusSig, Seq("band_idx", "band_hash"))
+      .withColumn("jaccard",
+        Sketches.jaccardShingles(col("text"), col("text_o"), 3))
+      .filter(col("jaccard") >= 0.8)
+      .groupBy(col("doc_id"))
+      .agg(size(collect_set(col("old_id"))).cast("long").as("n_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+    runToTable(rejects, spark, OutputMode.Complete()).orderBy(col("doc_id"))
+  }
+
   def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
     val grams8 = expr(
       """array_distinct(transform(sequence(0, size(w)-8), i ->
@@ -836,6 +878,7 @@ object Streams {
     "q_stream_enrich" -> ((s, dir) => enrichedSegmentCounts(s, dir)),
     "q_stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
     "q_stream_decontaminate" -> ((s, dir) => decontaminateStream(s, dir)),
+    "q_stream_neardup_rejects" -> ((s, dir) => nearDupAdmissionStream(s, dir)),
     "q_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
     "q_stream_hop_counts" -> ((s, dir) => hopCounts(s, dir)),
@@ -889,6 +932,23 @@ object Streams {
         |FROM g JOIN ev USING (gram)
         |WHERE doc_id >= 50
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the rejected slice of the batch-admission oracle (admission is
+    // absence from the rejection table)
+    "q_stream_neardup_rejects" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |j AS (SELECT b.doc_id AS new_id,
+        |        CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(b.sh, c.sh))) AS jaccard
+        |      FROM (SELECT * FROM s WHERE doc_id % 10 = 0) b,
+        |           (SELECT * FROM s WHERE doc_id % 10 <> 0) c)
+        |SELECT new_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  MAX(jaccard) AS max_jaccard
+        |FROM j WHERE jaccard >= 0.8 GROUP BY new_id
+        |ORDER BY doc_id""".stripMargin,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
         |       COUNT(*) AS n_events

@@ -31,6 +31,42 @@ class PipelineSpec extends SparkSpec {
       s"missing ${(batch -- stream).size}, spurious ${(stream -- batch).size}")
   }
 
+  test("streaming near-dup rejection table equals the batch rejected slice") {
+    val stream = Queries.all("q_stream_neardup_rejects")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Queries.all("q_dedup_minhash_incremental")(spark, sfDir)
+      .filter(!col("admitted"))
+      .select(col("doc_id"), col("n_matches"), col("max_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "gate vacuous: no rejected docs in corpus")
+    assert(stream == batch,
+      s"missing ${(batch -- stream).size}, spurious ${(stream -- batch).size}")
+  }
+
+  test("q_embed_project: score/residual satisfy the Pythagorean identity") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val out = Queries.all("q_embed_project")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == e.count())
+    val (mu, v, _, _) = Similarity.pcaModel(e)
+    // independent plain-double recomputation per vector
+    val vecs = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble).toArray).toMap
+    out.foreach { case (id, score, resid) =>
+      val cv = vecs(id).indices.map(p => vecs(id)(p) - mu(p))
+      val dot = cv.indices.map(p => cv(p) * v(p)).sum
+      val ss = cv.map(x => x * x).sum
+      assert(math.abs(score - dot) < 1e-5, s"vec $id score")
+      assert(math.abs(resid - math.sqrt(math.max(0, ss - dot * dot))) < 1e-5,
+        s"vec $id residual")
+      // projection never exceeds the vector's centered norm
+      assert(score * score <= ss + 1e-6, s"vec $id Cauchy-Schwarz")
+    }
+  }
+
   test("embedding centroids: shape, counts, and agreement with plain avg") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val nLabels = e.select($"label").distinct().count()

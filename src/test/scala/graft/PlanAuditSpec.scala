@@ -416,6 +416,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
 
+  test("embed project: literal model in-scan, one keyed agg, no join") {
+    val p = planOf("q_embed_project")
+    // μ and v are bounded literal arrays — the projection plan must not
+    // contain any join; the only exchange is the vec_id-keyed aggregate
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
   test("boilerplate strip: quotient equi-joins + anti-join, no window") {
     val p = planOf("q_boilerplate_strip")
     // kept words come from an anti-join against covered positions, the
