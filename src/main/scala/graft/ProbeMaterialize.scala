@@ -62,7 +62,13 @@ object ProbeMaterialize {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.preflight(spark, sfDir)
-    spark.read.parquet(s"$sfDir/nation.parquet").count() // session warm-up
+    // session warm-up against whichever table the (possibly partial)
+    // probe corpus actually has
+    val fs = new org.apache.hadoop.fs.Path(sfDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tables.names.find(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(Tables.path(sfDir, n))))
+      .foreach(n => spark.read.parquet(Tables.path(sfDir, n)).count())
     def once(): (Double, (Long, Long, BigDecimal)) = {
       // t0 BEFORE the query fn, matching Bench: streaming queries run
       // their stream (and e.g. IVF its driver-side prep) inside the fn,

@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
   *    dimension tables stay single-copy (10x facts per dimension row).
   *  - events: event_ids shift; timestamps repeat (10x events per day).
   *
-  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [copies]
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [copies] [tables]
+  * (tables = comma list to replicate a subset, e.g. "documents,embeddings"
+  * for a deep text/embedding probe without paying for 1000x events)
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "args: <srcSfDir> <outDir> [copies]")
     val (src, out) = (args(0), args(1))
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,6 +42,7 @@ object ScaleData {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val base = spark.read.parquet(Tables.path(src, name))
       val all = (0 until copies).map(i => shift(base, i)).reduce(_ unionAll _)
       if (name == "events" || name == "documents") {
@@ -87,7 +92,8 @@ object ScaleData {
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * idStep))
     }
-    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part")
+         if only.isEmpty || only.contains(dim))
       spark.read.parquet(Tables.path(src, dim))
         .write.mode(SaveMode.Overwrite).parquet(Tables.path(out, dim))
     spark.stop()

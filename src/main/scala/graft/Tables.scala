@@ -180,7 +180,16 @@ object Tables {
     val echo = (_: String, line: String) =>
       if (line.startsWith("event=corpus_schema")) System.err.println(line)
     StructuredLog.addListener(echo)
-    val problems = try names.flatMap(preflightTable(spark, sfDir, _))
+    // partial probe corpora (ScaleData table subsets) legitimately omit
+    // tables; absence is logged loudly and the query that needs a missing
+    // table still fails at read — only PRESENT tables are drift-gated
+    val fs = new org.apache.hadoop.fs.Path(sfDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (present, absent) =
+      names.partition(n => fs.exists(new org.apache.hadoop.fs.Path(path(sfDir, n))))
+    absent.foreach(n => StructuredLog.info("corpus_table_absent",
+      "table" -> n, "dir" -> sfDir))
+    val problems = try present.flatMap(preflightTable(spark, sfDir, _))
     finally StructuredLog.removeListener(echo)
     if (problems.nonEmpty) {
       val msg = "corpus schema preflight FAILED — unhandled drift; refusing " +

@@ -433,23 +433,37 @@ object Similarity {
     def rd(x: Double, sc: Int): Double =
       BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rv = transform(col("embedding"), x => round(x.cast("double"), 9))
-    // per-dimension mean: one dim-group aggregate, collected (bounded)
-    val muMap = e.select(posexplode(rv).as(Seq("pos", "v")))
+    // exact-dup quotient (the corpus-wide discipline): mean and scatter
+    // are MULTISET sums, so each DISTINCT vector contributes its value ×
+    // multiplicity — decimal × integer is exact, so the result is
+    // bit-identical to the unquotiented sums while the expensive
+    // ×dim(dim+1)/2 fan-out runs over UNIQUE vectors only (the 1000×
+    // dup-heavy probe collapsed 2M rows → 2k uniques: 397 s → seconds)
+    // decimal × multiplicity must stay EXACT: precisions are sized so the
+    // product fits 38 digits without Spark's allowPrecisionLoss scale
+    // shrink (coordinates/products are < 1e6 in magnitude by the 9-dp
+    // rounding of unit-scale embeddings; multiplicity < 1e13)
+    val uniq = e.groupBy(col("embedding"))
+      .agg(count(lit(1)).cast(DecimalType(13, 0)).as("nc"))
+    // per-dimension weighted mean: one dim-group aggregate, collected
+    val muMap = uniq.select(col("nc"), posexplode(rv).as(Seq("pos", "v")))
       .groupBy(col("pos"))
-      .agg(round(sum(col("v").cast(DecimalType(28, 9))).cast("double")
-        / count(lit(1)), 6).as("mu"))
+      .agg(round(sum(col("v").cast(DecimalType(15, 9)) * col("nc"))
+        .cast("double") / sum(col("nc")).cast("double"), 6).as("mu"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val dim = muMap.size
     val mu = array((0 until dim).map(p => lit(muMap(p))): _*)
-    // centered upper-triangle products → dim(dim+1)/2 exact decimal sums
-    val triRows = e.select(zip_with(rv, mu, (x, m) => x - m).as("cv"))
-      .select(explode(expr(
+    // centered upper-triangle products × multiplicity → dim(dim+1)/2
+    // exact decimal sums
+    val triRows = uniq
+      .select(col("nc"), zip_with(rv, mu, (x, m) => x - m).as("cv"))
+      .select(col("nc"), explode(expr(
         """flatten(transform(cv, (a, p) ->
              transform(slice(cv, p + 1, size(cv) - p), (b, j) ->
                named_struct('p', p, 'q', p + j, 't', round(a * b, 9)))))"""))
         .as("s"))
       .select(col("s.p").as("p"), col("s.q").as("q"),
-        col("s.t").cast(DecimalType(28, 9)).as("t"))
+        (col("s.t").cast(DecimalType(15, 9)) * col("nc")).as("t"))
       .groupBy(col("p"), col("q")).agg(sum(col("t")).as("g"))
       .collect()
     val gBig = Array.fill(dim, dim)(BigDecimal(0))
