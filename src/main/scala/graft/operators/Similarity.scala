@@ -454,8 +454,17 @@ object Similarity {
     val dim = muMap.size
     val mu = array((0 until dim).map(p => lit(muMap(p))): _*)
     // centered upper-triangle products × multiplicity → dim(dim+1)/2
-    // exact decimal sums
+    // exact decimal sums. Explicit-width ROUND-ROBIN repartition before
+    // the ×2080 fan-out: AQE coalesces the tiny post-groupBy shuffle to
+    // ONE partition and the Generate then runs single-core (the standing
+    // AQE-coalesce-before-explode lesson). NB a key-based
+    // repartition(n, embedding) here is ELIMINATED as redundant (the
+    // groupBy already hash-distributes on the same key) and the coalesce
+    // then wins — measured 7.8 s vs 2.5 s on identical unique counts
+    // purely from that; round-robin has a different distribution, so the
+    // exchange survives and is exempt from AQE coalescing
     val triRows = uniq
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
       .select(col("nc"), zip_with(rv, mu, (x, m) => x - m).as("cv"))
       .select(col("nc"), explode(expr(
         """flatten(transform(cv, (a, p) ->
