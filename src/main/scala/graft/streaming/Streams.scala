@@ -701,16 +701,38 @@ object Streams {
     * Stateless transforms need no state store or watermark: each
     * micro-batch maps through the same codegen'd expressions as the batch
     * query, and the source's file listing is the only scaling surface. */
-  def docCleanStream(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.readStream
+  private def cleanedDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val cleaned = docs
       .filter(col("n_chars") >= 100 && col("n_chars") <= 2000)
       .select(col("doc_id"), col("lang"),
         regexp_replace(trim(lower(col("text"))), " +", " ").as("norm_text"))
-    runToTable(cleaned, spark, OutputMode.Append()).orderBy(col("doc_id"))
+
+  def docCleanStream(spark: SparkSession, dir: String): DataFrame =
+    runToTable(cleanedDocStream(spark, dir), spark, OutputMode.Append())
+      .orderBy(col("doc_id"))
+
+  /** Production form of [[docCleanStream]]: the cleaned corpus streams to
+    * a DISTRIBUTED parquet sink instead of a driver-collected memory
+    * table. The memory-sink form is the finite-test harness ONLY — its
+    * output is corpus-sized by contract, so collecting it fails on
+    * `spark.driver.maxResultSize` once the corpus outgrows the driver
+    * (measured: 5M docs → 1.2 GiB of collected batches at the 1000×
+    * probe). The stream itself is stateless either way; only the sink
+    * placement changes. */
+  def docCleanStreamToParquet(spark: SparkSession, dir: String,
+                              outDir: String, checkpointDir: String): DataFrame = {
+    val q = cleanedDocStream(spark, dir).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 
   /** Streaming benchmark decontamination: the stream-static expression of
@@ -738,20 +760,33 @@ object Streams {
     * max_jaccard); admission is absence from it. State is bounded by
     * rejected docs × their true partners, never by stream length.
     * Distinct-partner counting goes through collect_set because streaming
-    * aggregations cannot express COUNT(DISTINCT). */
+    * aggregations cannot express COUNT(DISTINCT).
+    *
+    * The corpus index is QUOTIENTED by text identity (the standing
+    * exact-dup-quotient discipline, BENCH_SCALING 1000×): one signature
+    * row per DISTINCT corpus text carrying its class representative
+    * (min old_id) and multiplicity m. Candidate volume is then linear in
+    * distinct texts — per-copy banding made it quadratic in replication
+    * (an arriving doc near a b-copy class met all b copies in every
+    * shared band). jaccard is constant on an exact-dup class, so
+    * n_matches = Σ m over matched distinct texts and max_jaccard is
+    * unchanged — exactly the per-copy answer. The collect_set dedupes
+    * one candidate row per (doc, rep) across the 16 bands; state per
+    * rejected doc is the ~16-byte (rep, m) struct set, never texts. */
   def nearDupAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Sketches
-    def banded(df: DataFrame, idc: String, txt: String) = df
+    def banded(df: DataFrame, carry: Seq[String], txt: String) = df
       .withColumn("w", split(col(txt), " "))
       .filter(size(col("w")) >= 3)
-      .select(col(idc), col(txt), posexplode(Sketches.bandhashes(
+      .select(carry.map(col) :+ col(txt) :+ posexplode(Sketches.bandhashes(
         Sketches.shingleMinhashes(col("w"), 3, 64), 4))
-        .as(Seq("band_idx", "band_hash")))
+        .as(Seq("band_idx", "band_hash")): _*)
     val corpusSig = banded(
       graft.Tables.load(spark, dir, "documents")
         .filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id").as("old_id"), col("text").as("text_o")),
-      "old_id", "text_o")
+        .groupBy(col("text").as("text_o"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m")),
+      Seq("rep_id", "m"), "text_o")
     val stream = banded(
       spark.readStream
         .schema(docSchema)
@@ -759,13 +794,16 @@ object Streams {
         .parquet(dir)
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text")),
-      "doc_id", "text")
+      Seq("doc_id"), "text")
     val rejects = stream.join(corpusSig, Seq("band_idx", "band_hash"))
       .withColumn("jaccard",
         Sketches.jaccardShingles(col("text"), col("text_o"), 3))
       .filter(col("jaccard") >= 0.8)
       .groupBy(col("doc_id"))
-      .agg(size(collect_set(col("old_id"))).cast("long").as("n_matches"),
+      .agg(
+        expr("""aggregate(collect_set(named_struct('r', rep_id, 'm', m)),
+               |  CAST(0 AS BIGINT), (a, x) -> a + x.m)""".stripMargin)
+          .as("n_matches"),
         max(col("jaccard")).as("max_jaccard"))
     runToTable(rejects, spark, OutputMode.Complete()).orderBy(col("doc_id"))
   }
