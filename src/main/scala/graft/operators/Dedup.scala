@@ -705,7 +705,7 @@ object Dedup {
     * candidate problem scales with UNIQUE vectors. On a 10×-replicated
     * probe corpus this cut the pair query from 224 s to seconds; on a
     * dup-free corpus it is a no-op costing one aggregate. */
-  private[operators] def embeddingRepCandidatesOf(e: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def embeddingRepCandidatesOf(e: DataFrame): (DataFrame, DataFrame) = {
     val clusters = e.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep"), sort_array(collect_list(col("vec_id"))).as("members"))
     val sigCols = (0 until 4).map(i =>

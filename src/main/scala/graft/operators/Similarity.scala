@@ -54,31 +54,56 @@ object Similarity {
     // candidates, making the output equal brute force (the registered
     // oracle). On a corpus with real cluster structure the same operator
     // runs r=8/b=16 and probes a small fraction — b, r are tuning knobs.
+    // Scale shape (probe-driven, 1000×): banding/scoring is QUOTIENTED by
+    // embedding identity — identical vectors have identical signatures,
+    // bands, and scores, so one row per DISTINCT embedding carries
+    // (rep_id, the topK+1 smallest member ids) through the pipeline; a
+    // class can contribute at most topK rows to any result (its members
+    // in vec_id order, minus a possible qid self-exclusion), so the
+    // bounded-heap collapse loses nothing. The candidate exchange carries
+    // only (qid, rep_id) — the pre-quotient form shuffled BOTH 64-float
+    // arrays through a corpus-sized distinct() (240M candidate rows /
+    // ~130 GB at 2M vectors in 1000-member dup classes: 166 s at 1000×
+    // vs 5.8 s at 100× — super-linear; identical output checksum).
     "q_similarity_lsh" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
+      val members = graft.plans.TopK.perKey(
+        e.select(col("embedding"), col("vec_id")),
+        Seq("embedding"), Seq(("vec_id", false)), topK + 1)
+      val uniq = members.groupBy(col("embedding")).agg(
+        min(col("vec_id")).as("rep_id"),
+        sort_array(collect_list(col("vec_id"))).as("member_ids"))
+      val sig = uniq
+        .select(col("rep_id"), col("embedding"), col("member_ids"),
           Sketches.rhSignature(col("embedding"), 64, 64, 256).as("sa"),
           Sketches.rhSignature(col("embedding"), 32, 64, 320).as("sb"))
-      val banded = e
-        .select(col("vec_id"), col("embedding"), col("sa"), col("sb"),
-          explode(sequence(lit(0), lit(47))).as("band_idx"))
+      def bands(df: DataFrame, idc: Seq[String]) = df
+        .select(idc.map(col) :+ explode(sequence(lit(0), lit(47))).as("band_idx"): _*)
         .withColumn("band_val", expr(
           """CASE WHEN band_idx < 32
             |  THEN shiftrightunsigned(sa, band_idx * 2) & 3
             |  ELSE shiftrightunsigned(sb, (band_idx - 32) * 2) & 3 END""".stripMargin))
-        .select(col("vec_id"), col("embedding"), col("band_idx"), col("band_val"))
-      val q = banded.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("band_idx"), col("band_val"))
-      val cand = broadcast(q).join(banded,
-          Seq("band_idx", "band_val"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
-        .distinct()
+      val banded = bands(sig.select(col("rep_id"), col("sa"), col("sb")),
+          Seq("rep_id", "sa", "sb"))
+        .select(col("rep_id"), col("band_idx"), col("band_val"))
+      val qf = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qBanded = bands(qf
+          .select(col("qid"),
+            Sketches.rhSignature(col("qv"), 64, 64, 256).as("sa"),
+            Sketches.rhSignature(col("qv"), 32, 64, 320).as("sb")),
+          Seq("qid", "sa", "sb"))
+        .select(col("qid"), col("band_idx"), col("band_val"))
+      val cand = broadcast(qBanded).join(banded, Seq("band_idx", "band_val"))
+        .select(col("qid"), col("rep_id")).distinct()
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("vec_id"))
       cand
+        .join(sig.select(col("rep_id"), col("embedding"), col("member_ids")), "rep_id")
+        .join(broadcast(qf), "qid")
         .withColumn("score", round(Sketches.cosineSim(col("qv"), col("embedding")), 6))
+        .select(col("qid"), col("score"), explode(col("member_ids")).as("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= topK)
         .select(col("qid"), col("vec_id"), col("score"), col("rn"))
@@ -207,10 +232,16 @@ object Similarity {
     // are REAL near-duplicates (the exact LSH pair set, min-id partner per
     // anchor), negatives are a deterministic pseudo-random pick via an
     // LCG-style index map (see [[contrastiveTriples]] for the formula,
-    // the collision stepping, and the loud contiguity guard).
-    "q_contrastive_triples" -> ((s, dir) =>
-      contrastiveTriples(Tables.load(s, dir, "embeddings"),
-        Dedup.embeddingLshPairs(s, dir))),
+    // the collision stepping, and the loud contiguity guard). The
+    // registered form computes the positive on the CLASS-LEVEL quotient
+    // ([[positivesQuotiented]]) — never the expanded pair set, which is
+    // quadratic in replication by pair semantics (1.14B rows / 382 s at
+    // the 1000× probe through the expanded path).
+    "q_contrastive_triples" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (cl, rp) = Dedup.embeddingRepCandidatesOf(e)
+      contrastiveTriplesFromPos(e, positivesQuotiented(cl, rp))
+    }),
 
     // hard-negative mining for the contrastive set — the form an
     // embedding-training pipeline actually wants (r8 verdict #7): instead
@@ -218,10 +249,15 @@ object Similarity {
     // sound one — the highest-cosine vector that is NOT a near-dup
     // (rounded cos < 0.45, the same threshold that defines positives, so
     // a hard negative can never be a true near-dup BY CONSTRUCTION; ties
-    // → lowest vec_id). See [[contrastiveHard]] for the scale shape.
-    "q_contrastive_hard" -> ((s, dir) =>
-      contrastiveHard(Tables.load(s, dir, "embeddings"),
-        Dedup.embeddingLshPairs(s, dir))),
+    // → lowest vec_id). See [[contrastiveHard]] for the scale shape; the
+    // registered form draws positives from the class-level quotient
+    // ([[positivesQuotiented]]) like q_contrastive_triples — the expanded
+    // pair set never materializes.
+    "q_contrastive_hard" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (cl, rp) = Dedup.embeddingRepCandidatesOf(e)
+      contrastiveHardFromPos(e, positivesQuotiented(cl, rp))
+    }),
 
     // distributed Lloyd's k-means over the FULL corpus (k=8, 2 iterations,
     // deterministic init = first k vectors) — the clustering primitive a
@@ -282,7 +318,7 @@ object Similarity {
     * the positive side shared by both contrastive queries. Partial-
     * aggregatable struct-min; partner is unique per anchor in a distinct
     * pair set, so the reduction is deterministic in both engines. */
-  private def positivesOf(pairs: DataFrame): DataFrame =
+  private[graft] def positivesOf(pairs: DataFrame): DataFrame =
     pairs
       .select(col("vec_a").as("anchor_id"), col("vec_b").as("partner"), col("cos"))
       .unionByName(pairs
@@ -292,8 +328,71 @@ object Similarity {
       .select(col("anchor_id"), col("m.partner").as("pos_id"),
         col("m.cos").as("pos_cos"))
 
-  private[graft] def contrastiveTriples(e: DataFrame, pairs: DataFrame): DataFrame = {
-    val pos = positivesOf(pairs)
+  /** Class-level quotient of [[positivesOf]] — the positive per anchor
+    * computed from the embedding family's (clusters, repPairs)
+    * decomposition ([[Dedup.embeddingRepCandidatesOf]]) WITHOUT expanding
+    * the pair set. The expansion is quadratic in replication by pair
+    * semantics (1.14 BILLION pair rows on the 1000× probe corpus), but
+    * the positive is a struct-min the quotient computes directly:
+    *
+    *  - inter-class: a neighbor class D's minimum member IS its rep
+    *    (rep = min vec_id), so the min partner any anchor in C can draw
+    *    from D is rep(D), at the rep-pair cosine (member cosines are
+    *    byte-identical to the representatives'). One struct-min over the
+    *    symmetrized rep pairs — a |classes|-scale aggregate.
+    *  - intra-class: the min partner of anchor a in class C (members
+    *    sorted asc, m1 = min, m2 = second) is m1 unless a == m1, then m2
+    *    — at the self-cosine (identical expression as the pair query's
+    *    within-cluster form: null for zero vectors, which therefore
+    *    produce no intra candidate, matching the pair set).
+    *
+    * Partner ids are disjoint across the two candidates (different
+    * classes), so `least` of the two structs is exactly the pair-set
+    * struct-min. Output == positivesOf(expanded pairs) row-for-row
+    * (law-tested in ContrastiveSpec); cost is linear in distinct
+    * embeddings + true anchor count, replication-invariant.
+    *
+    * The round-robin repartition before the member fan-out is the
+    * standing AQE lesson: the tiny post-groupBy class frame would
+    * otherwise coalesce to one partition and explode corpus-sized
+    * output single-core. */
+  private[graft] def positivesQuotiented(clusters: DataFrame,
+                                         repPairs: DataFrame): DataFrame = {
+    val np = clusters.sparkSession.sparkContext.defaultParallelism
+    val sym = repPairs
+      .select(col("vec_a").as("rep"), col("vec_b").as("partner"), col("cos"))
+      .unionByName(repPairs
+        .select(col("vec_b").as("rep"), col("vec_a").as("partner"), col("cos")))
+    val nbr = sym.groupBy(col("rep"))
+      .agg(min(struct(col("partner"), col("cos"))).as("nb"))
+      .select(col("rep").as("nrep"), col("nb"))
+    val selfCos = round(Sketches.cosineSim(col("embedding"), col("embedding")), 6)
+    clusters
+      .join(nbr, col("rep") === col("nrep"), "left")
+      .withColumn("self_cos",
+        when(size(col("members")) >= 2, selfCos))
+      .filter(col("nb").isNotNull ||
+        (col("self_cos").isNotNull && col("self_cos") >= 0.45))
+      .select(col("members"), element_at(col("members"), 1).as("m1"),
+        try_element_at(col("members"), lit(2)).as("m2"),
+        col("nb"), col("self_cos"))
+      .repartition(np)
+      .select(explode(col("members")).as("anchor_id"), col("m1"), col("m2"),
+        col("nb"), col("self_cos"))
+      .withColumn("intra",
+        when(col("self_cos").isNotNull && col("self_cos") >= 0.45,
+          struct(when(col("anchor_id") === col("m1"), col("m2"))
+            .otherwise(col("m1")).as("partner"),
+            col("self_cos").as("cos"))))
+      .select(col("anchor_id"), least(col("intra"), col("nb")).as("m"))
+      .select(col("anchor_id"), col("m.partner").as("pos_id"),
+        col("m.cos").as("pos_cos"))
+  }
+
+  private[graft] def contrastiveTriples(e: DataFrame, pairs: DataFrame): DataFrame =
+    contrastiveTriplesFromPos(e, positivesOf(pairs))
+
+  private[graft] def contrastiveTriplesFromPos(e: DataFrame, pos: DataFrame): DataFrame = {
     val n = e.agg(count(lit(1)).as("n_total"))
     def cand(step: Int) =
       ((col("anchor_id") * 48271L + 7L) % col("n_total") + step) % col("n_total")
@@ -347,8 +446,10 @@ object Similarity {
     * the argmax to one candidate per (anchor-class, partition) map-side.
     * Zero vectors have no cosine (null score) → excluded on both
     * engines; anchor sets too large to broadcast batch the rep frame. */
-  private[graft] def contrastiveHard(e: DataFrame, pairs: DataFrame): DataFrame = {
-    val pos = positivesOf(pairs)
+  private[graft] def contrastiveHard(e: DataFrame, pairs: DataFrame): DataFrame =
+    contrastiveHardFromPos(e, positivesOf(pairs))
+
+  private[graft] def contrastiveHardFromPos(e: DataFrame, pos: DataFrame): DataFrame = {
     val anchors = pos.join(
       e.select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_emb")),
       "anchor_id")

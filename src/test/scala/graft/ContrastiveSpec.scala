@@ -100,6 +100,67 @@ class ContrastiveSpec extends SparkSpec {
     }
   }
 
+  test("positivesQuotiented == positivesOf(expanded pairs) on a dup-rich corpus") {
+    import spark.implicits._
+    // exact-dup classes {0,3,7} and {1,5} (near-dups of each other),
+    // a singleton {2} near class B, a zero-vector class {4,6} (no cosine
+    // → never an anchor), and an isolated singleton {8}. Exercises every
+    // quotient branch: intra m1/m2 election, inter min-rep election,
+    // least() across both, null self-cos, and anchorless classes.
+    val a = Seq(1.0f, 0.0f, 0.0f); val b = Seq(0.9f, 0.1f, 0.0f)
+    val c = Seq(0.8f, 0.2f, 0.05f); val z = Seq(0.0f, 0.0f, 0.0f)
+    val iso = Seq(0.0f, 0.0f, 1.0f)
+    val e = Seq(
+      (0L, a, 0), (3L, a, 0), (7L, a, 0),
+      (1L, b, 0), (5L, b, 0),
+      (2L, c, 0),
+      (4L, z, 0), (6L, z, 0),
+      (8L, iso, 1)).toDF("vec_id", "embedding", "label")
+    val (clusters, _) = operators.Dedup.embeddingRepCandidatesOf(e)
+    // brute-force EXACT rep pairs (isolates the quotient algebra from LSH
+    // recall) and their member expansion — the pair-set ground truth
+    val reps = clusters.select(col("rep"), col("embedding"), col("members"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getSeq[Long](2)))
+    def cos(x: Array[Double], y: Array[Double]): Option[Double] = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      if (nx == 0.0 || ny == 0.0) None
+      else Some(BigDecimal(d / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val repPairRows = for {
+      (ra, va, _) <- reps; (rb, vb, _) <- reps if ra < rb
+      cv <- cos(va, vb) if cv >= 0.45
+    } yield (ra, rb, cv)
+    val repPairs = repPairRows.toSeq.toDF("vec_a", "vec_b", "cos")
+    val memberOf = reps.map(r => r._1 -> r._3).toMap
+    val expanded = (repPairRows.flatMap { case (ra, rb, cv) =>
+      for (ma <- memberOf(ra); mb <- memberOf(rb))
+        yield (math.min(ma, mb), math.max(ma, mb), cv)
+    } ++ reps.flatMap { case (r, v, ms) =>
+      for {
+        cv <- cos(v, v).toSeq if cv >= 0.45
+        ma <- ms; mb <- ms if ma < mb
+      } yield (ma, mb, cv)
+    }).toSeq.toDF("vec_a", "vec_b", "cos")
+    val viaPairs = operators.Similarity.positivesOf(expanded)
+      .orderBy(col("anchor_id")).collect().toSeq
+    val viaQuotient = operators.Similarity.positivesQuotiented(clusters, repPairs)
+      .orderBy(col("anchor_id")).collect().toSeq
+    assert(viaQuotient == viaPairs)
+    // sanity on the construction itself: dup-class members ARE anchors,
+    // zero vectors and the isolated singleton are NOT
+    val anchors = viaQuotient.map(_.getLong(0)).toSet
+    assert(Set(0L, 3L, 7L, 1L, 5L, 2L).subsetOf(anchors))
+    assert(!anchors.contains(4L) && !anchors.contains(6L) && !anchors.contains(8L))
+    // election branches: anchor 0's min partner is INTER-class rep 1
+    // (1 < its intra m2=3 — the least() across candidates); anchors 3,7
+    // elect their INTRA m1=0 (0 < any other class's rep)
+    val posOf = viaQuotient.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(posOf(0L) == 1L && posOf(3L) == 0L && posOf(7L) == 0L)
+  }
+
   test("non-contiguous vec_ids fail LOUDLY, not by silent anchor drop") {
     import spark.implicits._
     // two identical vectors (cos 1.0 → a guaranteed anchor pair) plus a
