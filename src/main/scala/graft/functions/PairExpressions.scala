@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -10,40 +11,41 @@ import org.apache.spark.sql.GraftBridge.{toCol, toExpr}
 /** In-bucket LSH pair expansion as tight primitive loops.
   *
   * The SQL formulation (`flatten(transform(xs, (x,i) -> transform(slice(
-  * xs,...), y -> struct(...))))`) allocates one Catalyst struct per
-  * candidate pair — 12M+ heap rows for a corpus of a few thousand docs —
-  * and that allocation, not the arithmetic, dominated the LSH queries'
-  * wall time (measured ~7 s of an 8 s query at sf0.1). These expressions
-  * emit each pair as ONE packed long `(a << 32) | b` from a primitive
-  * loop: the downstream `distinct` dedups 8-byte longs instead of structs
-  * and the ids unpack after.
+  * xs,...), y -> struct(...))))`) walks the higher-order-function
+  * machinery once per candidate pair — 12M+ evaluator frames for a corpus
+  * of a few thousand docs — and that overhead, not the arithmetic,
+  * dominated the LSH queries' wall time (measured ~7 s of an 8 s query at
+  * sf0.1). These expressions emit each pair as one (a, b) struct row from
+  * a plain nested loop; the downstream `distinct` dedups fixed-width
+  * 16-byte UnsafeRows.
   *
-  * Packing requires ids in [0, 2^32) — violated ids throw (loudly, not
-  * silently corrupting pairs). A deployment with a wider id space swaps
-  * the pack for the struct-emitting SQL shape at ~4× the constant cost.
+  * History: until round 9 the pairs were packed into single longs
+  * (`(a << 32) | b`), which dedups 8-byte values but REQUIRES ids in
+  * [0, 2^32) — the 1000× probe corpus (doc_ids to ~10^10, exactly the id
+  * regime of a 100 TB deployment) hit the guard. The struct emission has
+  * no id-width ceiling; the measured cost delta vs packed longs at the
+  * same scale is within noise (the loop and the explode dominate either
+  * way, see BENCH_SCALING round 9).
   *
   * Both expressions carry `doGenCode`: the loop itself is plain JVM code
   * either way, but a CodegenFallback expression splits the enclosing
   * WholeStageCodegen span, dropping the whole bucket→pairs→explode
-  * projection to the interpreted path. Generated and interpreted paths
-  * share `PairPack.pack` (a static forwarder callable from Janino) so the
-  * id-range contract throws identically in both.
+  * projection to the interpreted path.
   */
-object PairPack {
-  val idLimit: Long = 1L << 32
-  @inline def pack(a: Long, b: Long): Long = {
-    if (a < 0 || a >= idLimit || b < 0 || b >= idLimit)
-      throw new IllegalArgumentException(
-        s"packed pair ids must be in [0, 2^32): got ($a, $b)")
-    (a << 32) | b
-  }
+object PairExpressions {
+  private[functions] val pairType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
 }
 
-/** `packed_pairs(xs)` → all C(n,2) pairs of an ascending array<long> of
-  * ids, packed. Upstream must sort (and cap) the bucket. */
-case class PackedPairs(child: Expression)
+/** `id_pairs(xs)` → all C(n,2) pairs of an ascending array<long> of ids
+  * as (a, b) structs with a < b. Upstream must sort (and cap) the
+  * bucket. */
+case class IdPairs(child: Expression)
     extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = PairExpressions.pairType
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n")
@@ -54,12 +56,13 @@ case class PackedPairs(child: Expression)
       val a = ctx.freshName("a")
       s"""
         |final int $n = $v.numElements();
-        |final long[] $out = new long[$n * ($n - 1) / 2];
+        |final Object[] $out = new Object[$n * ($n - 1) / 2];
         |int $idx = 0;
         |for (int $i = 0; $i < $n; $i++) {
         |  final long $a = $v.getLong($i);
         |  for (int $j = $i + 1; $j < $n; $j++) {
-        |    $out[$idx++] = graft.functions.PairPack.pack($a, $v.getLong($j));
+        |    $out[$idx++] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        |      new Object[] { java.lang.Long.valueOf($a), java.lang.Long.valueOf($v.getLong($j)) });
         |  }
         |}
         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -68,27 +71,30 @@ case class PackedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    val out = new Array[Long](n * (n - 1) / 2)
+    val out = new Array[Any](n * (n - 1) / 2)
     var idx = 0
     var i = 0
     while (i < n) {
       val a = xs.getLong(i)
       var j = i + 1
-      while (j < n) { out(idx) = PairPack.pack(a, xs.getLong(j)); idx += 1; j += 1 }
+      while (j < n) {
+        out(idx) = new GenericInternalRow(Array[Any](a, xs.getLong(j)))
+        idx += 1; j += 1
+      }
       i += 1
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): PackedPairs = copy(child = c)
+  override protected def withNewChildInternal(c: Expression): IdPairs = copy(child = c)
 }
 
 /** `hamming_pairs(xs, maxDist)` → pairs of an array<struct<doc_id long,
   * sig long>> (ascending by doc_id) whose signatures lie within `maxDist`
-  * hamming, packed. The gate runs inside the loop — non-matching pairs
-  * never materialize anywhere. */
+  * hamming, as (a, b) structs. The gate runs inside the loop —
+  * non-matching pairs never materialize anywhere. */
 case class HammingPairs(child: Expression, maxDist: Int)
     extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = PairExpressions.pairType
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n")
@@ -108,13 +114,14 @@ case class HammingPairs(child: Expression, maxDist: Int)
         |  $ids[$i] = $row.getLong(0);
         |  $sigs[$i] = $row.getLong(1);
         |}
-        |long[] $buf = new long[8];
+        |Object[] $buf = new Object[8];
         |int $cnt = 0;
         |for (int $i = 0; $i < $n; $i++) {
         |  for (int $j = $i + 1; $j < $n; $j++) {
         |    if (java.lang.Long.bitCount($sigs[$i] ^ $sigs[$j]) <= $maxDist) {
         |      if ($cnt == $buf.length) $buf = java.util.Arrays.copyOf($buf, $buf.length * 2);
-        |      $buf[$cnt++] = graft.functions.PairPack.pack($ids[$i], $ids[$j]);
+        |      $buf[$cnt++] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        |        new Object[] { java.lang.Long.valueOf($ids[$i]), java.lang.Long.valueOf($ids[$j]) });
         |    }
         |  }
         |}
@@ -134,13 +141,13 @@ case class HammingPairs(child: Expression, maxDist: Int)
       sigs(i) = row.getLong(1)
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    val out = scala.collection.mutable.ArrayBuilder.make[Any]
     i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
         if (java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= maxDist)
-          out += PairPack.pack(ids(i), ids(j))
+          out += new GenericInternalRow(Array[Any](ids(i), ids(j)))
         j += 1
       }
       i += 1
@@ -151,7 +158,7 @@ case class HammingPairs(child: Expression, maxDist: Int)
 }
 
 object Pairs {
-  def packedPairs(c: Column): Column = toCol(PackedPairs(toExpr(c)))
+  def idPairs(c: Column): Column = toCol(IdPairs(toExpr(c)))
   def hammingPairs(c: Column, maxDist: Int): Column =
     toCol(HammingPairs(toExpr(c), maxDist))
 }

@@ -49,8 +49,8 @@ object SqlFunctions {
         intLit(args(2), "window size"))),
     "graft_jaccard_shingles" -> ((args: Seq[Expression]) =>
       JaccardShingles(args(0), args(1), intLit(args(2), "shingle size n"))),
-    "graft_packed_pairs" -> ((args: Seq[Expression]) =>
-      PackedPairs(args.head)),
+    "graft_id_pairs" -> ((args: Seq[Expression]) =>
+      IdPairs(args.head)),
     "graft_hamming_pairs" -> ((args: Seq[Expression]) =>
       HammingPairs(args(0), intLit(args(1), "max hamming distance"))),
     "graft_cdc_chunks" -> ((args: Seq[Expression]) =>

@@ -371,9 +371,8 @@ object Multimodal {
         .select(col("pr.doc_a"), col("pr.doc_b"), col("hamming"), col("pix_dist"))
       val within = clusters.filter(size(col("members")) >= 2)
         .repartition(np, col("rep"))
-        .select(explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
-        .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
-          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
+        .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"),
           lit(0L).as("hamming"), lit(0L).as("pix_dist"))
       expanded.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
     }),

@@ -134,9 +134,8 @@ object SimilarityJoins {
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col(score))
     val intra = clusters.filter(size(col("members")) >= 2)
-      .select(explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
-      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+      .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
+      .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"),
         selfScore.as(score))
     cross.unionByName(intra)
   }
@@ -186,8 +185,10 @@ object SimilarityJoins {
       .select(col("doc_id"), col("x.i").as("i"), col("x.role").as("role"),
         col("x.sub").as("sub"))
     // one exchange on the index key; in-bucket index×probe product as
-    // packed longs (smaller id high, so distinct collapses (a,b) found via
-    // several segments AND both directions of the asymmetric index)
+    // (a, b) structs with the smaller id first, so distinct collapses
+    // (a,b) found via several segments AND both directions of the
+    // asymmetric index (packed-long `a * 2^32 + b` would overflow —
+    // loudly, under ANSI — once ids reach 2^32)
     val cand = keys
       .groupBy(col("i"), col("sub"))
       .agg(collect_list(when(col("role") === 0, col("doc_id"))).as("ixs"),
@@ -195,13 +196,12 @@ object SimilarityJoins {
       .filter(size(col("ixs")) >= 1 && size(col("pxs")) >= 1)
       .select(explode(expr(
         """flatten(transform(ixs, a -> filter(
-          |  transform(pxs, b -> case when a < b then a * 4294967296 + b
-          |                           when b < a then b * 4294967296 + a
+          |  transform(pxs, b -> case when a < b then named_struct('a', a, 'b', b)
+          |                           when b < a then named_struct('a', b, 'b', a)
           |                           end),
           |  p -> p is not null)))""".stripMargin)).as("pk"))
+      .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"))
       .distinct()
-      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
     val repPairs = cand
       .join(s.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
       .join(s.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
@@ -373,11 +373,10 @@ object SimilarityJoins {
         greatest(col("a"), col("b")).as("doc_b"), col("cosine"))
     val intra = clusters.filter(size(col("members")) >= 2)
       .select(col("members")(0).as("rep"),
-        explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
+        explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
       .join(selfCos, "rep")
       .filter(col("self_cos") >= t)
-      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+      .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"),
         col("self_cos").as("cosine"))
     cross.unionByName(intra)
   }

@@ -34,35 +34,40 @@ class CodegenParitySpec extends SparkSpec {
     }
   }
 
-  test("PackedPairs/HammingPairs codegen matches interpreted incl. edge cases") {
+  test("IdPairs/HammingPairs codegen matches interpreted incl. edge cases") {
     import spark.implicits._
     import graft.functions.Pairs
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[Seq[(Long, Long)]] =
+      df.collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))).toSeq
     // empty bucket, singleton, and a real bucket — C(n,2) expansion
     val packed = Seq(Seq.empty[Long], Seq(7L), Seq(1L, 2L, 3L, 4L)).toDF("xs")
-      .select(Pairs.packedPairs($"xs").as("ps"))
-    val pGen = packed.collect().map(_.getSeq[Long](0)).toSeq
-    val pInt = interpreted(packed.collect().map(_.getSeq[Long](0)).toSeq)
-    assert(pGen == pInt, "PackedPairs diverges between codegen and interpreted")
+      .select(Pairs.idPairs($"xs").as("ps"))
+    val pGen = pairs(packed)
+    val pInt = interpreted(pairs(packed))
+    assert(pGen == pInt, "IdPairs diverges between codegen and interpreted")
     assert(pGen(2).size == 6 && pGen(0).isEmpty && pGen(1).isEmpty)
 
     val ham = Seq(Seq((1L, 0L), (2L, 1L), (3L, 0xFFL)), Seq.empty[(Long, Long)])
       .toDF("xs")
       .select(Pairs.hammingPairs($"xs".cast(
         "array<struct<doc_id:bigint,sig:bigint>>"), 3).as("ps"))
-    val hGen = ham.collect().map(_.getSeq[Long](0)).toSeq
-    val hInt = interpreted(ham.collect().map(_.getSeq[Long](0)).toSeq)
+    val hGen = pairs(ham)
+    val hInt = interpreted(pairs(ham))
     assert(hGen == hInt, "HammingPairs diverges between codegen and interpreted")
     // (1,2) within hamming 3; pairs with sig 0xFF are filtered in-loop
-    assert(hGen.head == Seq((1L << 32) | 2L) && hGen(1).isEmpty)
+    assert(hGen.head == Seq((1L, 2L)) && hGen(1).isEmpty)
 
-    // the id-range contract must throw identically in both paths
-    val over = Seq(Seq(1L << 32, 5L)).toDF("xs")
-      .select(Pairs.packedPairs($"xs").as("ps"))
-    val eGen = intercept[Exception](over.collect())
-    val eInt = interpreted(intercept[Exception](over.collect()))
-    for (e <- Seq(eGen, eInt))
-      assert(e.getMessage.contains("packed pair ids must be in [0, 2^32)"),
-        s"unexpected error: ${e.getMessage}")
+    // the packed-long form's 2^32 id ceiling is GONE: ids past 32 bits
+    // (the ~10^10 regime of the 1000× probe corpus and any 100 TB
+    // deployment) pair correctly in both paths
+    val wide = Seq(Seq(5L, 1L << 33, (1L << 33) + 1)).toDF("xs")
+      .select(Pairs.idPairs($"xs").as("ps"))
+    val wGen = pairs(wide)
+    val wInt = interpreted(pairs(wide))
+    assert(wGen == wInt, "wide-id IdPairs diverges")
+    assert(wGen.head == Seq((5L, 1L << 33), (5L, (1L << 33) + 1),
+      (1L << 33, (1L << 33) + 1)))
   }
 
   test("BitInterleave compiles under CODEGEN_ONLY (no silent fallback)") {

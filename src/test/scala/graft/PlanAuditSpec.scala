@@ -320,10 +320,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("perceptual image dedup: banded buckets, never an all-pairs join") {
     val p = planOf("q_multimodal_perceptual")
-    // candidates come from the band bucket aggregate (packed-pair
-    // expansion), not a self-join of the fingerprint frame
+    // candidates come from the band bucket aggregate (primitive-loop
+    // pair expansion), not a self-join of the fingerprint frame
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(p.contains("packedpairs"), p.take(3000))
+    assert(p.contains("idpairs"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
 
