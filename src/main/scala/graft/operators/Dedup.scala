@@ -52,13 +52,15 @@ object Dedup {
         sum(greatest(size(col("xs0")) - cap, lit(0))).as("docs_dropped"),
         sum(when(size(col("xs0")) > cap, 1).otherwise(0)).as("buckets_capped"))
       .select(slice(sort_array(col("xs0")), 1, cap).as("xs"))
-      // pairs expand as packed longs from a primitive loop (see
-      // [[graft.functions.PackedPairs]]) — distinct dedups 8-byte longs,
-      // ids unpack after
-      .select(explode(graft.functions.Pairs.packedPairs(col("xs"))).as("pk"))
+      // pairs expand as (a, b) structs from a primitive loop (see
+      // [[graft.functions.IdPairs]]) — no id-width ceiling (packed-long
+      // pairs required ids < 2^32, which a 100 TB corpus exceeds). The
+      // struct unpacks to two flat long columns BEFORE the distinct, so
+      // the dedup keys are a fixed 16-byte flat UnsafeRow, never a
+      // nested struct
+      .select(explode(graft.functions.Pairs.idPairs(col("xs"))).as("pk"))
+      .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"))
       .distinct()
-      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
 
   /** MinHash-LSH candidate generation + exact-jaccard verification →
     * (doc_a, doc_b, jaccard) near-dup pairs. Shared by the pair query, the
@@ -70,21 +72,72 @@ object Dedup {
 
   /** Same pipeline over an arbitrary (doc_id, text) frame — lets callers
     * (e.g. the quotient-graph triangle census) run candidate generation
-    * over a collapsed representative set instead of the raw corpus. */
-  private[graft] def minhashNearDupPairsOf(d: DataFrame): DataFrame = {
-    val banded = d
+    * over a collapsed representative set instead of the raw corpus.
+    *
+    * Exact-dup quotient FIRST (the [[embeddingLshPairs]] discipline,
+    * applied here after the 1000× probe): banding and jaccard
+    * verification run once per DISTINCT text; member pairs expand as the
+    * FINAL step, directly into the true output. The per-copy form's
+    * in-bucket C(n,2) expansion is quadratic in replication — on the
+    * 1000× probe corpus (exact-dup classes to ~1000 members) it emitted
+    * tens of billions of candidate rows pre-distinct and exhausted 70+ GB
+    * of shuffle disk. Intermediate volume here is linear in distinct
+    * texts; the pair OUTPUT stays quadratic in replication by pair
+    * semantics (the clusters form is the decision-scale path).
+    * Side effect: the bucket cap now counts distinct texts, not copies —
+    * strictly better recall under the same cap. */
+  /** LSH candidate generation + exact-jaccard verification over a frame of
+    * DISTINCT-text representatives — the quotient core shared by
+    * [[minhashNearDupPairsOf]] and the quotient-graph operators
+    * (docPageRank / triangle census / k-core), which consume the verified
+    * rep pairs directly and never need the member expansion. */
+  private[graft] def minhashRepPairs(reps: DataFrame): DataFrame = {
+    val banded = reps
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
           .as(Seq("band_idx", "band_hash")))
-    val cand = bucketPairs(banded, Seq("band_idx", "band_hash"))
-    cand
-      .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-      .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+    bucketPairs(banded, Seq("band_idx", "band_hash"))
+      .join(reps.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(reps.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .withColumn("jaccard", Sketches.jaccardShingles(col("text_a"), col("text_b"), 3))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private[graft] def minhashNearDupPairsOf(d: DataFrame): DataFrame = {
+    val np = d.sparkSession.sparkContext.defaultParallelism
+    val clusters = d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    val reps = clusters.select(col("rep").as("doc_id"), col("text"))
+    val repPairs = minhashRepPairs(reps)
+    // round-robin repartitions before both fan-outs: the rep-pair / class
+    // frames are tiny, so AQE would coalesce them to one partition and run
+    // the member expansion single-core (the standing Generate lesson)
+    val cross = repPairs
+      .join(clusters.select(col("rep").as("doc_a"), col("members").as("ms_a")), "doc_a")
+      .join(clusters.select(col("rep").as("doc_b"), col("members").as("ms_b")), "doc_b")
+      .repartition(np)
+      .select(col("jaccard"), explode(col("ms_a")).as("a"), col("ms_b"))
+      .select(col("jaccard"), col("a"), explode(col("ms_b")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    // within-class pairs: identical texts share every band, so the
+    // per-copy form paired them whenever they band at all (≥3 words);
+    // jaccard comes from the same expression on the identical texts
+    val within = clusters
+      .filter(size(col("members")) >= 2 &&
+        size(split(col("text"), " ")) >= 3)
+      .withColumn("jaccard",
+        Sketches.jaccardShingles(col("text"), col("text"), 3))
+      .filter(col("jaccard") >= 0.8)
+      .repartition(np)
+      .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"),
+        col("jaccard"))
+      .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"), col("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Connected components over a pair set via iterative min-label
@@ -207,7 +260,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
       .localCheckpoint() // feeds rep pair-gen, the label join, membership
     val reps = groups.select(col("gid").as("doc_id"), col("text"))
-    val repLabels = connectedComponentsLss(minhashNearDupPairsOf(reps))
+    val repLabels = connectedComponentsLss(minhashRepPairs(reps))
     val g = groups
       .join(repLabels.withColumnRenamed("id", "gid"), Seq("gid"), "left")
       .filter(col("m") >= 2 || col("label").isNotNull)
@@ -473,9 +526,17 @@ object Dedup {
     // shingle-jaccard ≥ 0.8 verification: precision is exact, so the
     // output equals the exact near-dup pair set (the registered oracle).
     "q_dedup_simhash" -> ((s, dir) => {
-      // explode the band INDEX first (Generate is a projection-collapse
-      // barrier → simhash evaluates once per doc), then derive band values
-      val banded = docs(s, dir)
+      // exact-dup quotient first (the minhashNearDupPairsOf discipline —
+      // identical texts have identical simhashes, so per-copy banding is
+      // quadratic in replication); then explode the band INDEX (Generate
+      // is a projection-collapse barrier → simhash evaluates once per
+      // distinct text) and derive band values
+      val np = s.sparkContext.defaultParallelism
+      val clusters = docs(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+      val reps = clusters.select(col("rep").as("doc_id"), col("text"))
+      val banded = reps
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), Sketches.shingleSimhash64(col("w"), 3).as("sig"))
@@ -496,16 +557,29 @@ object Dedup {
         // materialize — the SQL struct formulation allocated 12M+ Catalyst
         // rows here just to filter them away (measured ~7 s at sf0.1)
         .select(explode(graft.functions.Pairs.hammingPairs(col("xs"), 15)).as("pk"))
+        .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"))
         .distinct()
-        .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
-          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
-      val d = docs(s, dir)
-      cand
-        .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-        .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      val repPairs = cand
+        .join(reps.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(reps.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
         .filter(Sketches.jaccardShingles(col("text_a"), col("text_b"), 3) >= 0.8)
         .select(col("doc_a"), col("doc_b"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      val cross = repPairs
+        .join(clusters.select(col("rep").as("doc_a"), col("members").as("ms_a")), "doc_a")
+        .join(clusters.select(col("rep").as("doc_b"), col("members").as("ms_b")), "doc_b")
+        .repartition(np)
+        .select(explode(col("ms_a")).as("a"), col("ms_b"))
+        .select(col("a"), explode(col("ms_b")).as("b"))
+        .select(least(col("a"), col("b")).as("doc_a"),
+          greatest(col("a"), col("b")).as("doc_b"))
+      val within = clusters
+        .filter(size(col("members")) >= 2 &&
+          size(split(col("text"), " ")) >= 3 &&
+          Sketches.jaccardShingles(col("text"), col("text"), 3) >= 0.8)
+        .repartition(np)
+        .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
+        .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"))
+      cross.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // character-5-gram Jaccard, all-pairs — the O(n²) correctness baseline
@@ -748,9 +822,8 @@ object Dedup {
       .withColumn("cos",
         round(graft.functions.Sketches.cosineSim(col("embedding"), col("embedding")), 6))
       .filter(col("cos") >= 0.45) // zero vectors: cos is null → dropped
-      .select(col("cos"), explode(graft.functions.Pairs.packedPairs(col("members"))).as("pk"))
-      .select(shiftrightunsigned(col("pk"), 32).as("vec_a"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("vec_b"), col("cos"))
+      .select(col("cos"), explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
+      .select(col("pk.a").as("vec_a"), col("pk.b").as("vec_b"), col("cos"))
     expanded.unionByName(within)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -62,6 +62,80 @@ object Graph {
       col("pr").as("pagerank"))
   }
 
+  /** PageRank over the near-dup graph of a (doc_id, text) corpus, computed
+    * on the TEXT-IDENTITY QUOTIENT (the docTriangleCounts/docKCore
+    * discipline). Members of an exact-dup class have identical
+    * neighborhoods in the expanded pair graph, hence identical degree and
+    * rank — so every iteration runs on the class-level graph with
+    * multiplicity weights and only the final output expands to members.
+    * The expanded form's per-iteration join shuffles |E| rows where |E| is
+    * quadratic in replication (914M directed edges on the 1000× probe
+    * corpus — the per-doc [[pageRank]] exhausted shuffle disk there);
+    * here every exchange is linear in distinct texts.
+    *
+    * Bit-exactness with [[pageRank]] over the expanded pair set (law in
+    * GraphSpec): a member of class C receives (m_C − 1) copies of C's
+    * per-edge contribution c_C plus m_D copies of c_D per neighbor class
+    * D. The per-doc form sums those copies as DECIMAL(28,12); here the
+    * copy-sum is the exact decimal product c × m (DECIMAL(13,12) ×
+    * DECIMAL(12,0) — sized so no precision loss, the q_embed_pca lesson),
+    * and exact decimal sums are multiset-invariant, so both engines and
+    * both forms walk identical doubles through every round(·, 12). */
+  private[graft] def docPageRank(d: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Sketches
+    val np = d.sparkSession.sparkContext.defaultParallelism
+    val clusters = d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint()
+    val reps = clusters.select(col("gid").as("doc_id"), col("text"))
+    val repPairs = Dedup.minhashRepPairs(reps)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val eDir = repPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(repPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // a class is an intra-clique iff its copies would pair in the expanded
+    // graph — the exact within-class condition of minhashNearDupPairsOf
+    val intra = clusters
+      .withColumn("clique",
+        col("m") >= 2 && size(split(col("text"), " ")) >= 3 &&
+          Sketches.jaccardShingles(col("text"), col("text"), 3) >= 0.8)
+      .select(col("gid"), col("m"), col("members"), col("clique"))
+    val nbm = eDir
+      .join(clusters.select(col("gid").as("src"), col("m").as("msrc")), "src")
+      .groupBy(col("dst").as("gid")).agg(sum(col("msrc")).as("nbm"))
+    val nodes = intra.join(nbm, Seq("gid"), "left")
+      .withColumn("deg",
+        when(col("clique"), col("m") - 1).otherwise(lit(0L)) +
+          coalesce(col("nbm"), lit(0L)))
+      .filter(col("deg") > 0)
+    val n = nodes.agg(sum(col("m")).as("n"))
+    var pr = nodes.crossJoin(broadcast(n))
+      .select(col("gid"), col("m"), col("members"), col("clique"), col("deg"),
+        col("n"), round(lit(1.0) / col("n"), 12).as("pr"))
+    for (_ <- 1 to k) {
+      val c = pr.withColumn("c",
+        round(col("pr") / col("deg"), 12).cast(DecimalType(13, 12)))
+      val inter = c
+        .select(col("gid").as("src"),
+          (col("c") * col("m").cast(DecimalType(12, 0))).as("w"))
+        .join(eDir, "src")
+        .groupBy(col("dst")).agg(sum(col("w")).as("si"))
+      pr = c.join(inter, col("gid") === col("dst"), "left")
+        .select(col("gid"), col("m"), col("members"), col("clique"),
+          col("deg"), col("n"),
+          round(lit(1 - damping) / col("n") + lit(damping) *
+            (when(col("clique"),
+              col("c") * (col("m") - 1).cast(DecimalType(12, 0)))
+              .otherwise(lit(BigDecimal(0)).cast(DecimalType(26, 12))) +
+              coalesce(col("si"), lit(BigDecimal(0)).cast(DecimalType(36, 12))))
+              .cast("double"), 12)
+            .as("pr"))
+    }
+    pr.repartition(np)
+      .select(explode(col("members")).as("doc_id"),
+        col("deg").cast("long").as("degree"), col("pr").as("pagerank"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal: a doc in many triangles sits in a dense near-dup
     * clique (template/boilerplate family), one in none is a chain artifact.
@@ -137,7 +211,7 @@ object Graph {
     val membership = base.join(groups, "text").select(col("doc_id"), col("gid"))
     val reps = groups.select(col("gid").as("doc_id"), col("text"))
     val und = canonPairs(
-      Dedup.minhashNearDupPairsOf(reps).select(col("doc_a"), col("doc_b")))
+      Dedup.minhashRepPairs(reps).select(col("doc_a"), col("doc_b")))
       .localCheckpoint()
     val w = groups.select(col("gid"), col("m"))
     val nb = und.select(col("a").as("i"), col("b").as("j"))
@@ -235,7 +309,7 @@ object Graph {
     val membership = base.join(groups, "text").select(col("doc_id"), col("gid"))
     val reps = groups.select(col("gid").as("doc_id"), col("text"))
     var edges = canonPairs(
-      Dedup.minhashNearDupPairsOf(reps).select(col("doc_a"), col("doc_b")))
+      Dedup.minhashRepPairs(reps).select(col("doc_a"), col("doc_b")))
       .localCheckpoint()
     var nodes = groups.select(col("gid"), col("m"))
     var n = nodes.count()
@@ -275,11 +349,13 @@ object Graph {
   }
 
   val queries: Map[String, Q] = Map(
-    // PageRank over the exact near-dup graph — minhashNearDupPairs emits
-    // exactly the ≥0.8 jaccard pair set (verified against the same
-    // all-pairs oracle as q_dedup_minhash_lsh / q_dedup_prefix)
+    // PageRank over the exact near-dup graph (≥0.8 jaccard pair set, the
+    // q_dedup_minhash_lsh semantics), computed on the text-identity
+    // quotient graph with multiplicity-weighted iterations — bit-identical
+    // to pageRank over the expanded pair set (law in GraphSpec), linear in
+    // distinct texts where the expanded form is quadratic in replication
     "q_pagerank" -> ((s, dir) =>
-      pageRank(Dedup.minhashNearDupPairs(s, dir).select("doc_a", "doc_b"), 3)
+      docPageRank(graft.Tables.load(s, dir, "documents"), 3)
         .orderBy(col("doc_id"))),
 
     // triangle census of the same exact near-dup graph, computed on the

@@ -79,6 +79,34 @@ class GraphSpec extends SparkSpec {
     assert(qGrouped == qPlain)
   }
 
+  test("quotient pagerank equals plain pagerank bit-for-bit under dup texts") {
+    import graft.operators.Dedup
+    // same dup-rich corpus shape as the triangle law: K6 of near-dup
+    // classes with multiplicities 3/2/1 plus an isolated singleton —
+    // exercises intra-clique, inter-class, and excluded-node branches
+    val baseWords = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> baseWords, 2L -> baseWords, 3L -> baseWords,
+      4L -> (baseWords + " extra"), 5L -> (baseWords + " extra"),
+      6L -> (baseWords + " extra more"),
+      7L -> (1 to 20).map(i => s"z$i").mkString(" ")).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val quot = Graph.docPageRank(docs, 3).collect().map(key).sortBy(_._1).toSeq
+    val plain = Graph.pageRank(
+      Dedup.minhashNearDupPairsOf(docs).select("doc_a", "doc_b"), 3)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(quot == plain, s"quot=$quot\nplain=$plain")
+    assert(quot.map(_._1) == (1L to 6L) && !quot.exists(_._1 == 7L))
+    // corpus-level bit-equality too (the real query's input)
+    val qQuot = Queries.all("q_pagerank")(spark, sfDir)
+      .collect().map(key).sortBy(_._1).toSeq
+    val qPlain = Graph.pageRank(
+      Dedup.minhashNearDupPairs(spark, sfDir).select("doc_a", "doc_b"), 3)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(qQuot == qPlain)
+  }
+
   test("kcore peels pendant cascades to the clique core (k=2, k=3)") {
     // K4 on 1..4 + pendant chain 4-30-31-32 (peels in a 3-round cascade:
     // 32 first, which drops 31 below k, which drops 30) + triangle
