@@ -382,6 +382,28 @@ object Dedup {
         .orderBy(col("content_hash"))
     }),
 
+    // dedup census: the per-source duplication telemetry a curation run
+    // reports before any dedup decision — how much of each source is
+    // copies, how large the worst clique is, how much survives a
+    // keep-one-per-class pass. Two stacked hash aggregations, both
+    // map-side combined ((source, text) then source — the second sees
+    // |classes| rows), no joins; the dup_ratio division happens once per
+    // source row in widened doubles on both engines.
+    "q_dedup_census" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), col("text"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("source"))
+        .agg(sum(col("m")).as("n_docs"),
+          count(lit(1)).as("n_classes"),
+          (sum(col("m")) - count(lit(1))).as("n_dup_docs"),
+          round(lit(1.0) -
+            count(lit(1)).cast("double") / sum(col("m")).cast("double"), 6)
+            .as("dup_ratio"),
+          max(col("m")).as("max_class"),
+          sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .orderBy(col("source"))),
+
     // sub-document (chunk-level) dedup — the CCNet/RefinedWeb line-dedup
     // shape on a corpus without newlines: the doc splits into consecutive
     // 10-word chunks, the first occurrence of each distinct chunk (min
@@ -865,6 +887,19 @@ object Dedup {
       """SELECT md5(lower(text)) AS content_hash, COUNT(*) AS n_docs,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_census" ->
+      """WITH c AS (SELECT source, text, COUNT(*) AS m
+        |           FROM documents GROUP BY source, text)
+        |SELECT source,
+        |  CAST(SUM(m) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(m) - COUNT(*) AS BIGINT) AS n_dup_docs,
+        |  round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(m) AS DOUBLE), 6)
+        |    AS dup_ratio,
+        |  CAST(MAX(m) AS BIGINT) AS max_class,
+        |  CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ch AS (

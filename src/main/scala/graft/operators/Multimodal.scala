@@ -179,6 +179,47 @@ object Multimodal {
     }
   }
 
+  /** Structural fingerprint of a DECODED audio payload: frame count plus
+    * the silent-frame bitmask (frame f's bit set iff every decoded sample
+    * in frame f is zero). Two clips with the same mask have identical
+    * silence STRUCTURE — the first perceptual gate of audio dedup
+    * (trim/padding-normalized duplicate detection), sitting between exact
+    * byte dedup and content fingerprinting exactly where the image
+    * family's aHash sits. */
+  case class AudioClass(doc_id: Long, n_frames: Int, n_silent: Int,
+                        silent_mask: Long)
+
+  /** Decode WAV → per-frame silence detection → structural fingerprint.
+    * Mask bits come from the DECODED PCM, not the generator formula (WAV
+    * is lossless — MultimodalSpec pins sample-exactness), and frame count
+    * here is ≤ 10 (1024–2560 samples / 256), so the mask always fits a
+    * long; a production variant would band a fixed-width mask the same
+    * way the image path bands its 64-bit aHash. */
+  def audioStructure(rows: Iterator[MediaRow]): Iterator[AudioClass] = {
+    rows.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getChannels == 1, s"unexpected WAV format for doc ${r.doc_id}")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val nf = n / 256
+      require(nf <= 64, s"frame count $nf overflows the 64-bit mask")
+      var mask = 0L; var silent = 0
+      var f = 0
+      while (f < nf) {
+        val lo = 2 * f * 256; val hi = lo + 512
+        var allZero = true
+        var i = lo
+        while (i < hi) { if (raw(i) != 0) allZero = false; i += 1 }
+        if (allZero) { mask |= 1L << f; silent += 1 }
+        f += 1
+      }
+      AudioClass(r.doc_id, nf, silent, mask)
+    }
+  }
+
   /** Batched decode + feature-extract: per-partition iterator, one real
     * `ImageIO.read` per row, stats and a genuine 2×2 box-average downscale
     * computed from the DECODED raster (not from the generator's formula —
@@ -445,9 +486,143 @@ object Multimodal {
           col("rms_active"))
         .orderBy(col("doc_id"))
     }),
+
+    // structural (silence-pattern) audio dedup — the audio analog of the
+    // image family's perceptual class collapse: decode the REAL WAV,
+    // detect silent frames from the PCM, and group clips by
+    // (n_frames, silent-frame bitmask). Clips in a class share duration
+    // geometry and silence structure — the trim/padding-normalized
+    // duplicate gate an audio curation pipeline runs before content
+    // fingerprinting. 100 TB shape: one codec scan, a 20-byte fingerprint
+    // crosses the exchange (never the waveform), hash-groupBy with
+    // map-side partial aggregation. The oracle regenerates the silence
+    // pattern from the closed form ((doc_id + f) % 5 == 0 on
+    // 4 + doc_id % 7 frames), so hash-equality proves the decoded-PCM
+    // detection reproduces the generator's classes exactly.
+    "q_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
+        }
+        .toDF()
+        .groupBy(col("n_frames"), col("silent_mask"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"),
+          first(col("n_silent")).as("n_silent")) // mask-determined: constant per group
+        .select(col("keeper_doc_id"), col("n_copies"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_silent").cast("long").as("n_silent"),
+          col("silent_mask"))
+        .orderBy(col("keeper_doc_id"))
+    }),
+
+    // JOINT multimodal dedup: a document duplicates another if its TEXT
+    // matches (exact, or near-dup jaccard ≥ 0.8) OR its IMAGE matches
+    // (byte-identical payload) — the any-modality recall-first gate of a
+    // multimodal crawl, where mirrored pages keep the text but re-encode
+    // the image and scraped duplicates keep the image but truncate the
+    // text. Output: one row per doc with its cluster representative and
+    // size, components over the union graph of both modalities.
+    //
+    // The 100 TB discipline is what this query exists to demonstrate:
+    // modality-equality cliques are NEVER materialized (an image shared by
+    // m docs is a C(m,2) clique — quadratic in replication). Each
+    // equality class instead contributes a STAR to its minimum member,
+    // and components run on the BIPARTITE CLASS GRAPH — nodes are text-
+    // class reps and image-class reps (both min-doc_ids), edges are the
+    // distinct (text-rep, image-rep) combos plus the text near-dup rep
+    // pairs — so LSS touches |distinct texts| + |distinct images| nodes,
+    // not the corpus. Per-doc labels come back through one equi-join on
+    // the doc's text rep (sound: doc ~ its text rep by construction, and
+    // the component min over rep nodes IS the min member doc_id, since
+    // the min doc of any component is the rep of its own text class).
+    // Image classes group by md5 OF THE REAL ENCODED BYTES; the oracle
+    // uses the generator's (doc_id mod 6/4/32) classes — the equivalence
+    // q_multimodal_dedup pins — and the near-dup edge set shares
+    // q_dedup_minhash_lsh's exact-recall-on-this-corpus guarantee.
+    "q_dedup_joint" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val img = d.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+          it.map(id => MediaRow(id, "image", encodePng(id)))
+        }
+        .toDF()
+        .select(col("doc_id"), md5(col("payload")).as("img_fp"))
+      val withImg = img
+        .join(img.groupBy(col("img_fp")).agg(min(col("doc_id")).as("img_rep")),
+          "img_fp")
+        .select(col("doc_id"), col("img_rep"))
+      val tg = d.groupBy(col("text")).agg(min(col("doc_id")).as("gid"))
+      val withGid = d.join(tg, "text").select(col("doc_id"), col("gid"))
+      val combos = withGid.join(withImg, "doc_id")
+        .select(col("gid"), col("img_rep")).distinct()
+      val ndPairs = Dedup
+        .minhashRepPairs(tg.select(col("gid").as("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b"))
+      val edges = combos.filter(col("gid") =!= col("img_rep"))
+        .select(col("gid").as("doc_a"), col("img_rep").as("doc_b"))
+        .unionByName(ndPairs)
+      val labels = Dedup.connectedComponentsLss(edges)
+      // a gid absent from every edge (sole member of both its classes and
+      // its own image rep) is its own singleton component
+      val lab = withGid
+        .join(labels.withColumnRenamed("id", "gid"), Seq("gid"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("gid")).as("cluster_rep"))
+      lab.join(lab.groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("cluster_size")), "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // the generator's silence-structure classes in closed form: frame f of
+    // doc_id is silent iff (doc_id + f) % 5 == 0, over 4 + doc_id % 7
+    // frames — the engine must reproduce them from the decoded PCM
+    "q_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, 4 + (doc_id % 7) AS nf FROM documents),
+        |fz AS (SELECT doc_id, nf, r.f,
+        |         CASE WHEN (doc_id + r.f) % 5 = 0 THEN 1 ELSE 0 END AS s
+        |       FROM d, unnest(range(0, nf)) AS r(f)),
+        |m AS (SELECT doc_id, nf,
+        |        CAST(SUM(s * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS mask,
+        |        CAST(SUM(s) AS BIGINT) AS n_silent
+        |      FROM fz GROUP BY doc_id, nf)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |       CAST(nf AS BIGINT) AS n_frames, n_silent,
+        |       mask AS silent_mask
+        |FROM m GROUP BY nf, mask, n_silent
+        |ORDER BY keeper_doc_id""".stripMargin,
+    // ground-truth components over PER-DOC edges (the oracle may build the
+    // corpus-sized graph; the engine must not): text-identity stars,
+    // image-class stars via the generator's doc_id mod 6/4/32 classes
+    // (== md5-of-real-bytes classes, pinned by q_multimodal_dedup), and
+    // the exact all-pairs near-dup set
+    "q_dedup_joint" ->
+      s"""WITH RECURSIVE
+         |tg AS (SELECT doc_id,
+         |         MIN(doc_id) OVER (PARTITION BY text) AS tmin,
+         |         MIN(doc_id) OVER (PARTITION BY doc_id % 6, doc_id % 4,
+         |                           doc_id % 32) AS imin
+         |       FROM documents),
+         |nd AS (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
+         |       WHERE jaccard >= 0.8),
+         |e0 AS (SELECT doc_id AS a, tmin AS b FROM tg WHERE doc_id <> tmin
+         |       UNION SELECT doc_id, imin FROM tg WHERE doc_id <> imin
+         |       UNION SELECT doc_a, doc_b FROM nd),
+         |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS x FROM documents
+         |  UNION
+         |  SELECT r.id, e.b AS x FROM reach r JOIN e ON r.x = e.a
+         |)
+         |SELECT id AS doc_id, CAST(MIN(x) AS BIGINT) AS cluster_rep,
+         |  CAST(COUNT(DISTINCT x) AS BIGINT) AS cluster_size
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // regenerates the PCM closed-form per doc — valid because WAV PCM
     // round-trips losslessly (MultimodalSpec pins sample-exactness)
     "q_audio_features" ->

@@ -174,4 +174,83 @@ class MultimodalSpec extends SparkSpec {
       assert(cl(a)._1 == cl(b)._1, s"paired docs ($a,$b) split across clusters")
     }
   }
+
+  test("audio structure: decoded-PCM mask matches the planting; classes = doc_id mod 35") {
+    // direct: the mask detected from real decoded PCM equals the closed form
+    for (docId <- Seq(0L, 3L, 7L, 34L, 35L, 1234L)) {
+      val c = Multimodal.audioStructure(
+        Iterator(MediaRow(docId, "audio", Multimodal.encodeWav(docId)))).next()
+      val nf = (1024 + (docId % 7) * 256).toInt / 256
+      val expectMask = (0 until nf).filter(f => (docId + f) % 5 == 0)
+        .foldLeft(0L)((m, f) => m | (1L << f))
+      assert(c.n_frames == nf && c.silent_mask == expectMask,
+        s"doc $docId structural fingerprint")
+      assert(c.n_silent == java.lang.Long.bitCount(c.silent_mask))
+    }
+    // class law: (n_frames, mask) coincide exactly when doc_id ≡ (mod 35)
+    // — n_frames is doc_id%7, and the mask's bit phase is doc_id%5 (there
+    // is always a silent frame among the first 5, so phase is observable)
+    val fps = (0L until 140L).map { id =>
+      val c = Multimodal.audioStructure(
+        Iterator(MediaRow(id, "audio", Multimodal.encodeWav(id)))).next()
+      id -> (c.n_frames, c.silent_mask)
+    }.toMap
+    for (a <- 0L until 140L; b <- 0L until 140L)
+      assert((fps(a) == fps(b)) == (a % 35 == b % 35),
+        s"class law broken for ($a,$b)")
+  }
+
+  test("joint dedup: quotiented components == ground-truth doc-level components") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    // ground truth: per-DOC edges (the quadratic form the query must avoid
+    // but the law may afford at 500 docs): text star + image-class star
+    // (generator classes — pinned equal to md5-of-bytes by the multimodal
+    // dedup oracle) + doc-level near-dup pairs
+    val textStar = d
+      .withColumn("tmin", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .filter(col("doc_id") =!= col("tmin"))
+      .select(col("doc_id").as("doc_a"), col("tmin").as("doc_b"))
+    val imgStar = d
+      .withColumn("imin", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          col("doc_id") % 6, col("doc_id") % 4, col("doc_id") % 32)))
+      .filter(col("doc_id") =!= col("imin"))
+      .select(col("doc_id").as("doc_a"), col("imin").as("doc_b"))
+    val nd = operators.Dedup.minhashNearDupPairsOf(d)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = operators.Dedup
+      .connectedComponents(textStar.unionByName(imgStar).unionByName(nd))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Queries.all("q_dedup_joint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = d.count()
+    assert(got.length == n, "one row per doc")
+    val byRep = got.groupBy(_._2)
+    got.foreach { case (id, rep, size) =>
+      assert(labels.getOrElse(id, id) == rep,
+        s"doc $id: quotient rep $rep != ground-truth ${labels.getOrElse(id, id)}")
+      assert(byRep(rep).length.toLong == size, s"doc $id size drift")
+      assert(rep <= id, s"doc $id rep $rep above it")
+    }
+  }
+
+  test("dedup census: per-source identities and cross-check vs direct counts") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.all("q_dedup_census")(spark, sfDir).collect()
+    val d = Tables.load(spark, sfDir, "documents")
+    val total = d.count()
+    assert(rows.map(_.getLong(1)).sum == total, "sources partition the corpus")
+    rows.foreach { r =>
+      val (src, nDocs, nClasses, nDup, maxC, nSingle) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(5), r.getLong(6))
+      assert(nDocs == nClasses + nDup, s"$src: docs != classes + dups")
+      assert(maxC >= 1 && nSingle <= nClasses, s"$src: bounds")
+      val direct = d.filter(col("source") === src)
+        .select(col("text")).distinct().count()
+      assert(direct == nClasses, s"$src: class count drift")
+    }
+  }
 }
