@@ -115,6 +115,36 @@ object Multimodal {
     out
   }
 
+  /** WAV codec SPI handles, resolved ONCE per JVM. JDK 17's
+    * `AudioSystem.write`/`getAudioInputStream` route EVERY call through
+    * `JSSecurityManager.getProviders`, which synchronizes on a class-level
+    * monitor — 32 concurrent codec tasks serialize on that lock (jstack at
+    * the 1000× probe: every executor thread BLOCKED on the
+    * JSSecurityManager class monitor, the whole 5M-doc audio pass running
+    * at ~1 core). The `ImageIO.setUseCache(false)` lesson, audio edition:
+    * resolve the SPI providers directly via ServiceLoader and call them —
+    * the provider objects are stateless and thread-safe; only
+    * AudioSystem's registry lookup is the bottleneck. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter SPI"))
+  }
+
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val sample = encodeWav(0L)
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala
+      .find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(sample)); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader SPI"))
+  }
+
   /** Encode the doc's test signal as a REAL RIFF/WAV container via the
     * JDK-builtin `javax.sound.sampled` codec (16-bit signed LE mono). */
   def encodeWav(docId: Long): Array[Byte] = {
@@ -130,18 +160,18 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
   /** Batched WAV decode + feature-extract: per-partition iterator, one
-    * real `AudioSystem.getAudioInputStream` per row, features computed
+    * real WAV-SPI decode per row (direct provider call — see [[wavReader]]
+    * for why not AudioSystem), features computed
     * from the DECODED PCM (not the generator's formula — WAV PCM is
     * lossless, which `MultimodalSpec` pins sample-exactly). */
   def decodeAudio(rows: Iterator[MediaRow]): Iterator[AudioFeatures] = {
     rows.map { r =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val ais = wavReader.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.payload))
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
@@ -197,7 +227,7 @@ object Multimodal {
     * way the image path bands its 64-bit aHash. */
   def audioStructure(rows: Iterator[MediaRow]): Iterator[AudioClass] = {
     rows.map { r =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val ais = wavReader.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.payload))
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
@@ -282,7 +312,7 @@ object Multimodal {
     * (bit_count hamming ≤ 3 AND Σ|Δpixel| ≤ 512). */
   private def perceptualParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val fp = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    val fp = docIds(s, dir)
       .mapPartitions { it =>
         perceptualHash(it.map(id => MediaRow(id, "image", encodePng(id))))
       }
@@ -310,6 +340,22 @@ object Multimodal {
       .filter(col("pix_dist") <= 512)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("pix_dist"))
     (clusters, repPairs)
+  }
+
+  /** The ids-only input of every codec query, round-robin spread to full
+    * shuffle width BEFORE the codec mapPartitions. Parquet split planning
+    * uses TOTAL file bytes (not the projected column), so a compactly
+    * written corpus yields a handful of splits and a codec-bound scan runs
+    * on that handful of cores — the 1000× probe measured the 5M-doc WAV
+    * pass on ≤5 of 32 cores (542 MB file → 5 splits, ~25 min). The
+    * exchange moves 8-byte ids; the codec work — the actual cost — spreads
+    * to every core. At real cluster scale files outnumber cores and the
+    * exchange is redundant but stays O(ids), never payloads. */
+  private def docIds(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
   }
 
   private def media(s: SparkSession, dir: String): DataFrame =
@@ -354,7 +400,7 @@ object Multimodal {
     // across partitions.
     "q_multimodal_dedup" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false) // see decodeImages
           it.map(id => MediaRow(id, "image", encodePng(id)))
@@ -452,7 +498,7 @@ object Multimodal {
     // hash-green against the closed-form DuckDB oracle below
     "q_multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false) // see decodeImages
           it.map(id => MediaRow(id, "image", encodePng(id)))
@@ -472,7 +518,7 @@ object Multimodal {
     // exchange (the presentation sort), never the waveform.
     "q_audio_features" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions { it =>
           decodeAudio(it.map(id => MediaRow(id, "audio", encodeWav(id))))
         }
@@ -501,7 +547,7 @@ object Multimodal {
     // detection reproduces the generator's classes exactly.
     "q_audio_dedup" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions { it =>
           audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
         }
@@ -544,7 +590,7 @@ object Multimodal {
     "q_dedup_joint" -> ((s, dir) => {
       import s.implicits._
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val img = d.select(col("doc_id")).as[Long]
+      val img = docIds(s, dir)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false) // see decodeImages
           it.map(id => MediaRow(id, "image", encodePng(id)))
