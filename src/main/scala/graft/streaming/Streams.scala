@@ -855,13 +855,46 @@ object Streams {
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions) // see audioDedupStream
+      .as[Long]
     val fp = ids.mapPartitions { it =>
       graft.operators.Multimodal.perceptualHash(it.map(id =>
         graft.operators.Multimodal.MediaRow(id, "image",
           graft.operators.Multimodal.encodePng(id))))
     }.toDF()
     val perClass = fp.groupBy(col("p"), col("ahash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keeper_doc_id"), col("n_copies"))
+    runToTable(perClass, spark, OutputMode.Complete())
+      .orderBy(col("keeper_doc_id"))
+  }
+
+  /** Ingest-time structural audio dedup: the [[multimodalDedupStream]]
+    * discipline on the audio modality — decode each arriving WAV payload
+    * (real SPI codec, per-partition parallel), key state on the
+    * (n_frames, silent-frame bitmask) structural class, keep the min
+    * doc_id per class. State is one 20-byte row per DISTINCT silence
+    * structure — classes, not clips, bound the store. */
+  def audioDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // full-width spread of the 8-byte ids BEFORE the codec fan-out — the
+    // batch docIds lesson applies per micro-batch too (split planning
+    // sizes the scan by total file bytes, not the projected column)
+    val ids = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[Long]
+    val fp = ids.mapPartitions { it =>
+      graft.operators.Multimodal.audioStructure(it.map(id =>
+        graft.operators.Multimodal.MediaRow(id, "audio",
+          graft.operators.Multimodal.encodeWav(id))))
+    }.toDF()
+    val perClass = fp.groupBy(col("n_frames"), col("silent_mask"))
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
       .select(col("keeper_doc_id"), col("n_copies"))
@@ -928,6 +961,7 @@ object Streams {
     "q_stream_join_outer" -> ((s, dir) => purchaseAttributionOuter(s, dir)),
     "q_stream_dedup_pairs" -> ((s, dir) => streamingNearDupPairs(s, dir)),
     "q_stream_multimodal_dedup" -> ((s, dir) => multimodalDedupStream(s, dir)),
+    "q_stream_audio_dedup" -> ((s, dir) => audioDedupStream(s, dir)),
   )
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
@@ -1017,6 +1051,16 @@ object Streams {
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents
         |GROUP BY doc_id % 6, doc_id % 4, doc_id % 32
+        |ORDER BY keeper_doc_id""".stripMargin,
+    // the silence-structure classes coincide exactly with doc_id mod 35
+    // (n_frames = 4 + doc_id%7; the mask's bit phase is doc_id%5, always
+    // observable within the first 5 frames — the class law pinned in
+    // MultimodalSpec), so the generator's closed form applies directly
+    "q_stream_audio_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY doc_id % 35
         |ORDER BY keeper_doc_id""".stripMargin,
     // exact while every duplicate group spans < the 1-day lateness window
     // (see dedupWindowedCount's contract scaladoc)

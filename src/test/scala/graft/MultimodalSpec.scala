@@ -200,6 +200,16 @@ class MultimodalSpec extends SparkSpec {
         s"class law broken for ($a,$b)")
   }
 
+  test("streaming audio dedup == batch structural classes") {
+    import org.apache.spark.sql.functions._
+    val stream = Queries.all("q_stream_audio_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Queries.all("q_audio_dedup")(spark, sfDir)
+      .select(col("keeper_doc_id"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch)
+  }
+
   test("joint dedup: quotiented components == ground-truth doc-level components") {
     import org.apache.spark.sql.functions._
     val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
