@@ -622,6 +622,58 @@ object Multimodal {
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
         .orderBy(col("doc_id"))
     }),
+    // STRICT-form joint dedup: a duplicate must match on BOTH modalities —
+    // near-dup text (exact, or jaccard ≥ 0.8) AND byte-identical image —
+    // the "same article with the same picture" semantics of syndication
+    // tracking, next to q_dedup_joint's any-modality recall gate.
+    //
+    // The scale lesson is the inverse of the disjunction's: a CONJUNCTION
+    // constraint makes LSH banding CHEAPER, not costlier — the image
+    // fingerprint joins the band key (img_fp, band_idx, band_hash), so
+    // candidates only ever form inside an image class and the hottest
+    // text band splits across image classes. Quotient unit = the joint
+    // (text, image) class; one row per distinct combination is banded and
+    // verified, components run on the joint-class graph, and per-doc
+    // labels come back through the class equi-join. Conjunction semantics
+    // fall out structurally: same text under different images lands in
+    // different joint classes and can never band together.
+    "q_dedup_joint_both" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Sketches
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val img = docIds(s, dir)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+          it.map(id => MediaRow(id, "image", encodePng(id)))
+        }
+        .toDF()
+        .select(col("doc_id"), md5(col("payload")).as("img_fp"))
+      val cls = d.join(img, "doc_id")
+        .groupBy(col("text"), col("img_fp"))
+        .agg(min(col("doc_id")).as("jid"))
+      val reps = cls.select(col("jid").as("doc_id"), col("text"), col("img_fp"))
+      val banded = reps
+        .select(col("doc_id"), col("img_fp"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("img_fp"),
+          posexplode(Sketches.bandhashes(
+            Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+            .as(Seq("band_idx", "band_hash")))
+      val pairs = Dedup
+        .bucketPairs(banded, Seq("img_fp", "band_idx", "band_hash"))
+        .join(reps.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(reps.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .filter(Sketches.jaccardShingles(col("text_a"), col("text_b"), 3) >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = Dedup.connectedComponentsLss(pairs)
+      val lab = d.join(img, "doc_id").join(cls, Seq("text", "img_fp"))
+        .join(labels.withColumnRenamed("id", "jid"), Seq("jid"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("jid")).as("cluster_rep"))
+      lab.join(lab.groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("cluster_size")), "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -659,6 +711,27 @@ object Multimodal {
          |       WHERE jaccard >= 0.8),
          |e0 AS (SELECT doc_id AS a, tmin AS b FROM tg WHERE doc_id <> tmin
          |       UNION SELECT doc_id, imin FROM tg WHERE doc_id <> imin
+         |       UNION SELECT doc_a, doc_b FROM nd),
+         |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS x FROM documents
+         |  UNION
+         |  SELECT r.id, e.b AS x FROM reach r JOIN e ON r.x = e.a
+         |)
+         |SELECT id AS doc_id, CAST(MIN(x) AS BIGINT) AS cluster_rep,
+         |  CAST(COUNT(DISTINCT x) AS BIGINT) AS cluster_size
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // strict-form ground truth: joint-class stars (text AND image class,
+    // image class = doc_id mod 96 ⟺ the mod-6/4/32 triple, lcm = 96) plus
+    // the near-dup pair set RESTRICTED to equal image classes
+    "q_dedup_joint_both" ->
+      s"""WITH RECURSIVE
+         |cls AS (SELECT doc_id,
+         |          MIN(doc_id) OVER (PARTITION BY text, doc_id % 96) AS jmin
+         |        FROM documents),
+         |nd AS (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
+         |       WHERE jaccard >= 0.8 AND doc_a % 96 = doc_b % 96),
+         |e0 AS (SELECT doc_id AS a, jmin AS b FROM cls WHERE doc_id <> jmin
          |       UNION SELECT doc_a, doc_b FROM nd),
          |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
          |reach AS (

@@ -246,6 +246,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("strict joint dedup: conjunction components == ground truth; text-only near-dups split") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val jointStar = d
+      .withColumn("jmin", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          col("text"), col("doc_id") % 96)))
+      .filter(col("doc_id") =!= col("jmin"))
+      .select(col("doc_id").as("doc_a"), col("jmin").as("doc_b"))
+    val nd = operators.Dedup.minhashNearDupPairsOf(d)
+      .filter(col("doc_a") % 96 === col("doc_b") % 96)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = operators.Dedup
+      .connectedComponents(jointStar.unionByName(nd))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Queries.all("q_dedup_joint_both")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == d.count(), "one row per doc")
+    val byRep = got.groupBy(_._2)
+    val repOf = got.map(r => r._1 -> r._2).toMap
+    got.foreach { case (id, rep, size) =>
+      assert(labels.getOrElse(id, id) == rep,
+        s"doc $id: conjunction rep $rep != ground-truth ${labels.getOrElse(id, id)}")
+      assert(byRep(rep).length.toLong == size, s"doc $id size drift")
+    }
+    // conjunction negative: any text-level near-dup pair whose image
+    // classes DIFFER must not be merged by that pair alone — verify at
+    // least one such pair exists on the gate corpus and stays split
+    // (unless connected through some other path, which ground truth
+    // already accounts for; here we assert the direct check on pairs
+    // whose ground-truth components differ)
+    val split = operators.Dedup.minhashNearDupPairsOf(d)
+      .filter(col("doc_a") % 96 =!= col("doc_b") % 96)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(split.nonEmpty, "corpus has no cross-image near-dup pair to test")
+    val actuallySplit = split.filter { case (a, b) =>
+      labels.getOrElse(a, a) != labels.getOrElse(b, b) }
+    assert(actuallySplit.nonEmpty, "no pair separated by the image constraint")
+    actuallySplit.foreach { case (a, b) =>
+      assert(repOf(a) != repOf(b), s"text-only pair ($a,$b) wrongly merged") }
+  }
+
   test("dedup census: per-source identities and cross-check vs direct counts") {
     import org.apache.spark.sql.functions._
     val rows = Queries.all("q_dedup_census")(spark, sfDir).collect()
