@@ -95,6 +95,53 @@ object DataQuality {
         .select(col("event_day"), coalesce(col("n"), lit(0L)).as("n_events"))
         .orderBy(col("event_day"))
     }),
+
+    // corpus datasheet: the one-shot curation report a training-data
+    // pipeline publishes with every release — size, duplication, source
+    // and language mix, length and token statistics — as (metric, value)
+    // long-format rows. Scale shape: ONE corpus pass computes every
+    // per-doc-derived aggregate map-side combined (distinct texts via a
+    // 16-byte md5 fingerprint, the dedup discipline — the text itself
+    // never crosses an exchange); the language mode comes from a second
+    // |langs|-row aggregate; the two one-row frames cross-join (bounded)
+    // and unpivot via stack(). p50 length shares q_percentile's
+    // percentile/quantile_cont cross-engine parity; ratios divide exact
+    // integers in widened doubles on both engines.
+    "q_corpus_card" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val base = d.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).cast("double")
+          .as("n_distinct_texts"),
+        countDistinct(col("source")).cast("double").as("n_sources"),
+        countDistinct(col("lang")).cast("double").as("n_langs"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        sum(size(split(col("text"), " "))).cast("double").as("total_tokens"))
+      val topLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).cast("double").as("top_lang_n"))
+      base.crossJoin(topLang)
+        .withColumn("dup_ratio",
+          round(lit(1.0) - col("n_distinct_texts") / col("n_docs"), 6))
+        .withColumn("mean_tokens",
+          round(col("total_tokens") / col("n_docs"), 6))
+        .withColumn("top_lang_share",
+          round(col("top_lang_n") / col("n_docs"), 6))
+        .selectExpr("""stack(10,
+          'dup_ratio', dup_ratio,
+          'mean_chars', mean_chars,
+          'mean_tokens', mean_tokens,
+          'n_distinct_texts', n_distinct_texts,
+          'n_docs', n_docs,
+          'n_langs', n_langs,
+          'n_sources', n_sources,
+          'p50_chars', p50_chars,
+          'top_lang_share', top_lang_share,
+          'total_tokens', total_tokens) AS (metric, value)""")
+        .orderBy(col("metric"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -121,5 +168,30 @@ object DataQuality {
         |d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) event_day, COUNT(*) n FROM events GROUP BY 1)
         |SELECT cal.event_day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
         |FROM cal LEFT JOIN d USING (event_day) ORDER BY event_day""".stripMargin,
+    "q_corpus_card" ->
+      """WITH b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) AS n_distinct_texts,
+        |  CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+        |  CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+        |  round(AVG(n_chars), 6) AS mean_chars,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS total_tokens
+        |  FROM documents),
+        |tl AS (SELECT CAST(MAX(n) AS DOUBLE) AS top_lang_n FROM (
+        |         SELECT COUNT(*) AS n FROM documents GROUP BY lang))
+        |SELECT metric, value FROM (
+        |  SELECT 'dup_ratio' AS metric,
+        |    round(1.0 - n_distinct_texts / n_docs, 6) AS value FROM b
+        |  UNION ALL SELECT 'mean_chars', mean_chars FROM b
+        |  UNION ALL SELECT 'mean_tokens', round(total_tokens / n_docs, 6) FROM b
+        |  UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM b
+        |  UNION ALL SELECT 'n_docs', n_docs FROM b
+        |  UNION ALL SELECT 'n_langs', n_langs FROM b
+        |  UNION ALL SELECT 'n_sources', n_sources FROM b
+        |  UNION ALL SELECT 'p50_chars', p50_chars FROM b
+        |  UNION ALL SELECT 'top_lang_share',
+        |    round((SELECT top_lang_n FROM tl) / n_docs, 6) FROM b
+        |  UNION ALL SELECT 'total_tokens', total_tokens FROM b
+        |) ORDER BY metric""".stripMargin,
   )
 }

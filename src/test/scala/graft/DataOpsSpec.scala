@@ -25,6 +25,26 @@ class DataOpsSpec extends SparkSpec {
     assert(clean.count() + bad.count() == df.count())
   }
 
+  test("q_corpus_card: metrics agree with directly computed corpus facts") {
+    import org.apache.spark.sql.functions._
+    val card = Queries.all("q_corpus_card")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val d = Tables.load(spark, sfDir, "documents")
+    val n = d.count().toDouble
+    assert(card("n_docs") == n)
+    assert(card("n_distinct_texts") ==
+      d.select(col("text")).distinct().count().toDouble,
+      "md5 fingerprint distinct must equal true distinct texts")
+    assert(card("n_sources") ==
+      d.select(col("source")).distinct().count().toDouble)
+    assert(card("dup_ratio") >= 0.0 && card("dup_ratio") < 1.0)
+    assert(math.abs(card("dup_ratio") -
+      (1.0 - card("n_distinct_texts") / card("n_docs"))) < 1e-6)
+    assert(card("mean_tokens") > 0 && card("total_tokens") >= n)
+    assert(card("top_lang_share") > 0 && card("top_lang_share") <= 1.0)
+    assert(card.size == 10)
+  }
+
   test("q_snapshot_diff: statuses match the version construction exactly") {
     val out = Queries.all("q_snapshot_diff")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
