@@ -43,12 +43,18 @@ object Dedup {
     * extra pass. The capped doc list itself is linear in bucket size
     * (8 bytes/doc) — the quadratic expansion, not the list, is the killer. */
   private[graft] val bucketCap = 1024
+  /** Observed-metric names must be unique WITHIN a plan (Spark rejects
+    * [DUPLICATED_METRICS_NAME]); a joint query that unions two banded
+    * candidate branches — e.g. text minhash pairs with image perceptual
+    * pairs — would otherwise fail analysis. Each observe gets a unique
+    * suffix; consumers match on the `graft.bucket_cap` prefix. */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
   private[graft] def bucketPairs(banded: DataFrame, keyCols: Seq[String],
       cap: Int = bucketCap): DataFrame =
     banded.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("doc_id")).as("xs0"))
       .filter(size(col("xs0")) >= 2)
-      .observe("graft.bucket_cap",
+      .observe(s"graft.bucket_cap.${obsId.incrementAndGet()}",
         sum(greatest(size(col("xs0")) - cap, lit(0))).as("docs_dropped"),
         sum(when(size(col("xs0")) > cap, 1).otherwise(0)).as("buckets_capped"))
       .select(slice(sort_array(col("xs0")), 1, cap).as("xs"))
@@ -570,7 +576,7 @@ object Dedup {
         .groupBy(col("band_idx"), col("band_val"))
         .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs0"))
         .filter(size(col("xs0")) >= 2)
-        .observe("graft.bucket_cap",
+        .observe(s"graft.bucket_cap.${obsId.incrementAndGet()}",
           sum(greatest(size(col("xs0")) - bucketCap, lit(0))).as("docs_dropped"),
           sum(when(size(col("xs0")) > bucketCap, 1).otherwise(0)).as("buckets_capped"))
         .select(slice(sort_array(col("xs0")), 1, bucketCap).as("xs"))

@@ -637,6 +637,42 @@ object Multimodal {
     // labels come back through the class equi-join. Conjunction semantics
     // fall out structurally: same text under different images lands in
     // different joint classes and can never band together.
+    // any-modality joint dedup with PERCEPTUAL image matching — the
+    // full-recall multimodal gate: mirrored pages re-encode images
+    // (different bytes, same pixels), so the byte-md5 edge of
+    // q_dedup_joint misses them while the raster-class + Hamming-banded
+    // perceptual path still pairs them. Same bipartite class-graph
+    // quotient as q_dedup_joint — nodes are text reps and RASTER-class
+    // reps, plus the verified perceptual rep pairs as cross-class edges
+    // (pigeonhole-complete at hamming ≤ 3, so recall is deterministic).
+    // The oracle closes over the all-pairs perceptual predicate, which
+    // subsumes the class cliques at distance 0.
+    "q_dedup_joint_perceptual" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val (pcls, pPairs) = perceptualParts(s, dir)
+      val withImg = pcls.select(col("rep").as("img_rep"),
+        explode(col("members")).as("doc_id"))
+      val tg = d.groupBy(col("text")).agg(min(col("doc_id")).as("gid"))
+      val withGid = d.join(tg, "text").select(col("doc_id"), col("gid"))
+      val combos = withGid.join(withImg, "doc_id")
+        .select(col("gid"), col("img_rep")).distinct()
+      val ndText = Dedup
+        .minhashRepPairs(tg.select(col("gid").as("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b"))
+      val edges = combos.filter(col("gid") =!= col("img_rep"))
+        .select(col("gid").as("doc_a"), col("img_rep").as("doc_b"))
+        .unionByName(ndText)
+        .unionByName(pPairs.select(col("doc_a"), col("doc_b")))
+      val labels = Dedup.connectedComponentsLss(edges)
+      val lab = withGid
+        .join(labels.withColumnRenamed("id", "gid"), Seq("gid"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("gid")).as("cluster_rep"))
+      lab.join(lab.groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("cluster_size")), "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_joint_both" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.Sketches
@@ -676,6 +712,35 @@ object Multimodal {
     }),
   )
 
+  /** The perceptual near-dup pair predicate over closed-form pixels
+    * (hamming ≤ 3 on the 8×8-resample average-hash AND Σ|Δpixel| ≤ 512),
+    * evaluated all-pairs — ground truth only the ORACLE may afford.
+    * Emits (doc_a, doc_b, hamming, pix_dist); same-raster pairs pass at
+    * distance 0, so this pair set subsumes the raster-class cliques.
+    * Shared by q_multimodal_perceptual and the joint-perceptual closure. */
+  private val perceptualPairsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |             2*((doc_id % 6) + 2) AS w,
+      |             2*((doc_id % 4) + 2) AS h,
+      |             doc_id % 32 AS base
+      |           FROM documents),
+      |r AS (SELECT doc_id,
+      |        list_transform(range(0, 64), i ->
+      |          base + 7 * (((i % 8) * w) // 8)
+      |               + 13 * (((i // 8) * h) // 8)) AS p
+      |      FROM d),
+      |s AS (SELECT doc_id, p, list_sum(p) AS sp FROM r),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         list_sum(list_transform(range(0, 64), i ->
+      |           CASE WHEN (64*a.p[i+1] > a.sp) <> (64*b.p[i+1] > b.sp)
+      |                THEN 1 ELSE 0 END)) AS hamming,
+      |         list_sum(list_transform(range(0, 64), i ->
+      |           abs(a.p[i+1] - b.p[i+1]))) AS pix_dist
+      |       FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming,
+      |       CAST(pix_dist AS BIGINT) AS pix_dist
+      |FROM pr WHERE hamming <= 3 AND pix_dist <= 512""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the generator's silence-structure classes in closed form: frame f of
     // doc_id is silent iff (doc_id + f) % 5 == 0, over 4 + doc_id % 7
@@ -712,6 +777,28 @@ object Multimodal {
          |e0 AS (SELECT doc_id AS a, tmin AS b FROM tg WHERE doc_id <> tmin
          |       UNION SELECT doc_id, imin FROM tg WHERE doc_id <> imin
          |       UNION SELECT doc_a, doc_b FROM nd),
+         |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS x FROM documents
+         |  UNION
+         |  SELECT r.id, e.b AS x FROM reach r JOIN e ON r.x = e.a
+         |)
+         |SELECT id AS doc_id, CAST(MIN(x) AS BIGINT) AS cluster_rep,
+         |  CAST(COUNT(DISTINCT x) AS BIGINT) AS cluster_size
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // any-modality-with-perceptual ground truth: text stars + text
+    // near-dup pairs + the all-pairs perceptual predicate (subsumes
+    // raster-class cliques at distance 0)
+    "q_dedup_joint_perceptual" ->
+      s"""WITH RECURSIVE
+         |tg AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS tmin
+         |       FROM documents),
+         |ndt AS (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
+         |        WHERE jaccard >= 0.8),
+         |ndi AS (SELECT doc_a, doc_b FROM ($perceptualPairsSql)),
+         |e0 AS (SELECT doc_id AS a, tmin AS b FROM tg WHERE doc_id <> tmin
+         |       UNION SELECT doc_a, doc_b FROM ndt
+         |       UNION SELECT doc_a, doc_b FROM ndi),
          |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
          |reach AS (
          |  SELECT doc_id AS id, doc_id AS x FROM documents
@@ -786,28 +873,8 @@ object Multimodal {
     // 64·p[i] > Σp; pairs qualify at hamming ≤ 3 AND Σ|Δp| ≤ 512. The
     // oracle may go all-pairs (ground truth); the engine must not.
     "q_multimodal_perceptual" ->
-      """WITH d AS (SELECT doc_id,
-        |             2*((doc_id % 6) + 2) AS w,
-        |             2*((doc_id % 4) + 2) AS h,
-        |             doc_id % 32 AS base
-        |           FROM documents),
-        |r AS (SELECT doc_id,
-        |        list_transform(range(0, 64), i ->
-        |          base + 7 * (((i % 8) * w) // 8)
-        |               + 13 * (((i // 8) * h) // 8)) AS p
-        |      FROM d),
-        |s AS (SELECT doc_id, p, list_sum(p) AS sp FROM r),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         list_sum(list_transform(range(0, 64), i ->
-        |           CASE WHEN (64*a.p[i+1] > a.sp) <> (64*b.p[i+1] > b.sp)
-        |                THEN 1 ELSE 0 END)) AS hamming,
-        |         list_sum(list_transform(range(0, 64), i ->
-        |           abs(a.p[i+1] - b.p[i+1]))) AS pix_dist
-        |       FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming,
-        |       CAST(pix_dist AS BIGINT) AS pix_dist
-        |FROM pr WHERE hamming <= 3 AND pix_dist <= 512
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""SELECT doc_a, doc_b, hamming, pix_dist FROM ($perceptualPairsSql)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // the dedup decision: recursive closure of the perceptual pair graph,
     // keeper = min doc_id per component, one row per doc
     "q_multimodal_perceptual_clusters" ->

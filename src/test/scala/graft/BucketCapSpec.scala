@@ -19,7 +19,8 @@ class BucketCapSpec extends SparkSpec {
     assert(rows.length == cap * (cap - 1) / 2, s"got ${rows.length} pairs")
     // deterministic keep-set: the cap smallest doc_ids
     assert(rows.map(_.getLong(0)).max < cap && rows.map(_.getLong(1)).max < cap)
-    val m = pairs.queryExecution.observedMetrics("graft.bucket_cap")
+    val m = pairs.queryExecution.observedMetrics.collectFirst {
+      case (k, v) if k.startsWith("graft.bucket_cap") => v }.get
     assert(m.getAs[Long]("docs_dropped") == 10000 - cap)
     assert(m.getAs[Long]("buckets_capped") == 1L)
   }
@@ -29,7 +30,8 @@ class BucketCapSpec extends SparkSpec {
       col("id").as("doc_id"), (col("id") % 4).as("band_idx"), lit(0L).as("band_val"))
     val pairs = Dedup.bucketPairs(banded, Seq("band_idx", "band_val"))
     assert(pairs.collect().length == 4 * (25 * 24 / 2))
-    val m = pairs.queryExecution.observedMetrics("graft.bucket_cap")
+    val m = pairs.queryExecution.observedMetrics.collectFirst {
+      case (k, v) if k.startsWith("graft.bucket_cap") => v }.get
     assert(m.getAs[Long]("docs_dropped") == 0L)
     assert(m.getAs[Long]("buckets_capped") == 0L)
   }

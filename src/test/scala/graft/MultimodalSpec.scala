@@ -246,6 +246,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptual joint dedup: components == ground truth over doc-level edges") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val textStar = d
+      .withColumn("tmin", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .filter(col("doc_id") =!= col("tmin"))
+      .select(col("doc_id").as("doc_a"), col("tmin").as("doc_b"))
+    val ndText = operators.Dedup.minhashNearDupPairsOf(d)
+      .select(col("doc_a"), col("doc_b"))
+    // doc-level perceptual edges from the PAIR QUERY's own output —
+    // cross-query consistency: the closure of q_multimodal_perceptual's
+    // pairs plus the text edges must equal the joint-perceptual clusters
+    val ndImg = Queries.all("q_multimodal_perceptual")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = operators.Dedup
+      .connectedComponents(textStar.unionByName(ndText).unionByName(ndImg))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Queries.all("q_dedup_joint_perceptual")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == d.count(), "one row per doc")
+    val byRep = got.groupBy(_._2)
+    got.foreach { case (id, rep, size) =>
+      assert(labels.getOrElse(id, id) == rep,
+        s"doc $id: quotient rep $rep != ground-truth ${labels.getOrElse(id, id)}")
+      assert(byRep(rep).length.toLong == size, s"doc $id size drift")
+    }
+  }
+
   test("strict joint dedup: conjunction components == ground truth; text-only near-dups split") {
     import org.apache.spark.sql.functions._
     val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
