@@ -72,9 +72,10 @@ object Multimodal {
   @inline private def geom(docId: Long): (Int, Int, Int) =
     (2 * ((docId % 6) + 2).toInt, 2 * ((docId % 4) + 2).toInt, (docId % 32).toInt)
 
-  /** Encode the doc's test pattern as a real PNG via javax.imageio. */
-  def encodePng(docId: Long): Array[Byte] = {
-    val (w, h, base) = geom(docId)
+  /** Encode ONE gray test-pattern frame gray(x,y) = base + 7x + 13y as a
+    * real PNG via javax.imageio (shared by the still-image and video
+    * paths; callers guarantee base + 7(w−1) + 13(h−1) < 256). */
+  private def encodePngPattern(w: Int, h: Int, base: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -87,6 +88,12 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Encode the doc's test pattern as a real PNG via javax.imageio. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val (w, h, base) = geom(docId)
+    encodePngPattern(w, h, base)
   }
 
   /** Features from a DECODED audio payload: geometry, planted-silence
@@ -136,12 +143,25 @@ object Multimodal {
   private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
     import scala.jdk.CollectionConverters._
     val sample = encodeWav(0L)
-    java.util.ServiceLoader
+    // probe each provider with a real WAV: catch ONLY the SPI's declared
+    // "not my format" signal (a broken WAV-capable provider should fail
+    // loudly, not be silently skipped), and close the probe stream. To
+    // make selection independent of ServiceLoader iteration order, prefer
+    // the JDK's own WaveFileReader when present; otherwise first-parse
+    // wins (any provider that parsed the probe can decode our payloads).
+    val capable = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala
-      .find { r =>
-        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(sample)); true }
-        catch { case _: Exception => false }
+      .filter { r =>
+        try {
+          r.getAudioInputStream(new java.io.ByteArrayInputStream(sample)).close()
+          true
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => false
+        }
       }
+      .toList
+    capable.find(_.getClass.getName.endsWith("WaveFileReader"))
+      .orElse(capable.headOption)
       .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader SPI"))
   }
 
@@ -236,6 +256,10 @@ object Multimodal {
       val n = raw.length / 2
       val nf = n / 256
       require(nf <= 64, s"frame count $nf overflows the 64-bit mask")
+      // the mask covers WHOLE frames only: a trailing partial frame would
+      // be silently ignored, letting clips differing only in that tail
+      // share a fingerprint — reject rather than assume
+      require(n % 256 == 0, s"sample count $n is not frame-aligned for doc ${r.doc_id}")
       var mask = 0L; var silent = 0
       var f = 0
       while (f < nf) {
@@ -247,6 +271,152 @@ object Multimodal {
         f += 1
       }
       AudioClass(r.doc_id, nf, silent, mask)
+    }
+  }
+
+  // ------------------------------------------------------------------ video
+
+  /** Video is the third real-codec modality (r9 verdict #1): a Motion-
+    * JPEG-style container — magic `GVID`, a frame count, then length-
+    * prefixed REAL PNG frames — so every frame round-trips through the
+    * same `javax.imageio` codec as the image family. No external
+    * libraries; the container framing is ours (length-prefixed
+    * concatenation, the MJPEG idea), the per-frame codec is real.
+    *
+    * Deterministic content with closed forms (the encodePng discipline):
+    * frame dims are the doc's (w, h) = (2(d%6+2), 2(d%4+2)); the clip has
+    * n_frames = 3 + d%6 frames; frame f ≥ 1 STARTS A NEW SCENE iff
+    * (d + f) % 3 == 0; frame f's pattern is gray(x,y) = base_f + 7x + 13y
+    * with base_f = d%29 + 12·(scene(f)%2) + 2·(f%2) ≤ 28+12+2+208 = 250.
+    * Within a scene, consecutive frames differ by the ±2 jitter term
+    * (sub-threshold camera noise); across a cut the 12-step scene term
+    * dominates (|Δbase| ∈ {10, 14}) — so a mean-abs-pixel-diff ≥ 8
+    * detector recovers the generator's cut pattern EXACTLY from decoded
+    * pixels, and every video feature below has a closed form in doc_id
+    * for the DuckDB oracle. */
+  val VideoMagic: Int = 0x47564944 // "GVID"
+
+  /** Scene-aware per-frame pattern offset (closed form above). */
+  def videoFrameBase(d: Long, f: Int): Int = {
+    var s = 0; var i = 1
+    while (i <= f) { if ((d + i) % 3 == 0) s += 1; i += 1 }
+    ((d % 29) + 12 * (s % 2) + 2 * (f % 2)).toInt
+  }
+
+  /** Encode the doc's clip: GVID container of real PNG frames. */
+  def encodeVideo(d: Long): Array[Byte] = {
+    val nf = (3 + d % 6).toInt
+    val w = 2 * ((d % 6) + 2).toInt
+    val h = 2 * ((d % 4) + 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(VideoMagic)
+    out.writeInt(nf)
+    var f = 0
+    while (f < nf) {
+      val png = encodePngPattern(w, h, videoFrameBase(d, f))
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse the container and decode every frame through javax.imageio;
+    * returns (w, h, per-frame rasters). Fails loudly on a bad container
+    * or drifting frame geometry (a real clip has constant dims). */
+  private def decodeVideoRasters(payload: Array[Byte], docId: Long)
+      : (Int, Int, Array[Array[Int]]) = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    require(in.readInt() == VideoMagic, s"bad video magic for doc $docId")
+    val nf = in.readInt()
+    require(nf > 0 && nf <= 4096, s"implausible frame count $nf for doc $docId")
+    var w = -1; var h = -1
+    val frames = new Array[Array[Int]](nf)
+    var f = 0
+    while (f < nf) {
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable frame $f for doc $docId")
+      if (f == 0) { w = img.getWidth; h = img.getHeight }
+      else require(img.getWidth == w && img.getHeight == h,
+        s"frame geometry drift at frame $f for doc $docId")
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      frames(f) = px
+      f += 1
+    }
+    (w, h, frames)
+  }
+
+  /** Features a video-curation pipeline gates on: geometry, duration, and
+    * the scene-cut census — all computed from DECODED frames (the cut
+    * detector compares real pixels: Σ|Δpixel| ≥ 8·w·h, integer-exact). */
+  case class VideoFeatures(doc_id: Long, n_frames: Int, width: Int,
+                           height: Int, n_cuts: Int, n_scenes: Int,
+                           duration_ms: Long, mean_gray_first: Double,
+                           mean_gray_last: Double)
+
+  def decodeVideoFeatures(rows: Iterator[MediaRow]): Iterator[VideoFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+    rows.map { r =>
+      val (w, h, frames) = decodeVideoRasters(r.payload, r.doc_id)
+      val n = w * h
+      var cuts = 0
+      var f = 1
+      while (f < frames.length) {
+        var sumAbs = 0L
+        var i = 0
+        while (i < n) { sumAbs += math.abs(frames(f)(i) - frames(f - 1)(i)); i += 1 }
+        if (sumAbs >= 8L * n) cuts += 1 // mean |Δpixel| ≥ 8 ⇒ scene cut
+        f += 1
+      }
+      def mean(px: Array[Int]): Double = {
+        var s = 0L; var i = 0
+        while (i < n) { s += px(i); i += 1 }
+        s.toDouble / n // exact: the pattern mean is dyadic (x.0 or x.5)
+      }
+      VideoFeatures(r.doc_id, frames.length, w, h, cuts, cuts + 1,
+        frames.length * 40L, mean(frames.head), mean(frames.last))
+    }
+  }
+
+  /** Perceptual video fingerprint: the SEQUENCE of per-frame 8×8
+    * NN-resampled rasters (the image family's perceptual unit applied
+    * per frame), hashed to 16 bytes. Re-encoding-robust by construction —
+    * the fingerprint reads decoded pixels, never container or PNG bytes
+    * (pinned by the BMP re-encode law in MultimodalSpec) — and injective
+    * in the generator's parameters (frame 0's raster recovers (w, h,
+    * d%29), the frame count recovers d%6, h recovers d%4), so the
+    * fingerprint classes are EXACTLY doc_id mod 348 = lcm(6, 4, 29, 3):
+    * the oracle's closed form. */
+  case class VideoClass(doc_id: Long, n_frames: Int, video_fp: String)
+
+  def videoFingerprint(rows: Iterator[MediaRow]): Iterator[VideoClass] = {
+    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+    rows.map { r =>
+      val (w, h, frames) = decodeVideoRasters(r.payload, r.doc_id)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(4 + frames.length * 64 * 4)
+      buf.putInt(frames.length)
+      frames.foreach { px =>
+        var i = 0
+        while (i < 64) {
+          buf.putInt(px(((i / 8) * h / 8) * w + (i % 8) * w / 8))
+          i += 1
+        }
+      }
+      val hex = md.digest(buf.array()).map("%02x".format(_)).mkString
+      VideoClass(r.doc_id, frames.length, hex)
     }
   }
 
@@ -563,6 +733,57 @@ object Multimodal {
         .orderBy(col("keeper_doc_id"))
     }),
 
+    // REAL video codec round-trip — the third modality leg (r9 verdict
+    // #1): synthesize a GVID container of real PNG frames per doc, decode
+    // every frame back through javax.imageio, and extract the features a
+    // video-curation pipeline gates on — geometry, duration, and the
+    // scene-cut census computed by a pixel-diff detector over DECODED
+    // frames (Σ|Δpixel| ≥ 8·w·h between consecutive frames; the
+    // generator's within-scene jitter is 2, its cut step 10–14, so the
+    // detector recovers the planted cut pattern exactly — hash-green vs
+    // the closed-form DuckDB oracle). Same 100 TB shape as image/audio:
+    // ids round-robin to full width before the codec fan-out, one codec
+    // scan, only the fixed-width feature row crosses the exchange.
+    "q_video_features" -> ((s, dir) => {
+      import s.implicits._
+      docIds(s, dir)
+        .mapPartitions { it =>
+          decodeVideoFeatures(it.map(id => MediaRow(id, "video", encodeVideo(id))))
+        }
+        .toDF()
+        .select(col("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width"), col("height"),
+          col("n_cuts").cast("long").as("n_cuts"),
+          col("n_scenes").cast("long").as("n_scenes"),
+          col("duration_ms"), col("mean_gray_first"), col("mean_gray_last"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // perceptual video dedup: decode → per-frame 8×8 NN-resample → the
+    // frame-raster SEQUENCE is the video fingerprint (16-byte hash) →
+    // class dedup. Robust to re-encoding by construction (pixels, not
+    // bytes — the BMP re-encode law in MultimodalSpec) and injective in
+    // the generator parameters, so classes are exactly doc_id mod 348:
+    // the oracle's closed form. 100 TB shape: one codec scan, a 16-byte
+    // fingerprint + frame count cross the exchange (never frames or
+    // payloads), hash-groupBy with map-side partial aggregation.
+    "q_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      docIds(s, dir)
+        .mapPartitions { it =>
+          videoFingerprint(it.map(id => MediaRow(id, "video", encodeVideo(id))))
+        }
+        .toDF()
+        .groupBy(col("video_fp"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"),
+          first(col("n_frames")).as("nf")) // fp-determined: constant per group
+        .select(col("keeper_doc_id"), col("n_copies"),
+          col("nf").cast("long").as("n_frames"))
+        .orderBy(col("keeper_doc_id"))
+    }),
+
     // JOINT multimodal dedup: a document duplicates another if its TEXT
     // matches (exact, or near-dup jaccard ≥ 0.8) OR its IMAGE matches
     // (byte-identical payload) — the any-modality recall-first gate of a
@@ -622,21 +843,6 @@ object Multimodal {
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
         .orderBy(col("doc_id"))
     }),
-    // STRICT-form joint dedup: a duplicate must match on BOTH modalities —
-    // near-dup text (exact, or jaccard ≥ 0.8) AND byte-identical image —
-    // the "same article with the same picture" semantics of syndication
-    // tracking, next to q_dedup_joint's any-modality recall gate.
-    //
-    // The scale lesson is the inverse of the disjunction's: a CONJUNCTION
-    // constraint makes LSH banding CHEAPER, not costlier — the image
-    // fingerprint joins the band key (img_fp, band_idx, band_hash), so
-    // candidates only ever form inside an image class and the hottest
-    // text band splits across image classes. Quotient unit = the joint
-    // (text, image) class; one row per distinct combination is banded and
-    // verified, components run on the joint-class graph, and per-doc
-    // labels come back through the class equi-join. Conjunction semantics
-    // fall out structurally: same text under different images lands in
-    // different joint classes and can never band together.
     // any-modality joint dedup with PERCEPTUAL image matching — the
     // full-recall multimodal gate: mirrored pages re-encode images
     // (different bytes, same pixels), so the byte-md5 edge of
@@ -673,6 +879,21 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // STRICT-form joint dedup: a duplicate must match on BOTH modalities —
+    // near-dup text (exact, or jaccard ≥ 0.8) AND byte-identical image —
+    // the "same article with the same picture" semantics of syndication
+    // tracking, next to q_dedup_joint's any-modality recall gate.
+    //
+    // The scale lesson is the inverse of the disjunction's: a CONJUNCTION
+    // constraint makes LSH banding CHEAPER, not costlier — the image
+    // fingerprint joins the band key (img_fp, band_idx, band_hash), so
+    // candidates only ever form inside an image class and the hottest
+    // text band splits across image classes. Quotient unit = the joint
+    // (text, image) class; one row per distinct combination is banded and
+    // verified, components run on the joint-class graph, and per-doc
+    // labels come back through the class equi-join. Conjunction semantics
+    // fall out structurally: same text under different images lands in
+    // different joint classes and can never band together.
     "q_dedup_joint_both" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.Sketches
@@ -858,6 +1079,39 @@ object Multimodal {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, n_frames, n_silent,
         |  first_active, last_active, rms_active
         |FROM a ORDER BY doc_id""".stripMargin,
+    // closed forms of the decoded video features: nf = 3 + d%6; frame f
+    // (f ≥ 1) is a cut iff (d+f)%3 = 0; base_f = d%29 + 12·(cuts≤f % 2) +
+    // 2·(f%2); frame mean = base_f + 7(w−1)/2 + 13(h−1)/2 (dyadic, so
+    // double-exact in both engines). The engine must recover n_cuts from
+    // DECODED pixels; the oracle regenerates the plant.
+    "q_video_features" ->
+      """WITH d AS (SELECT doc_id, 3 + (doc_id % 6) AS nf,
+        |             2*((doc_id % 6) + 2) AS w, 2*((doc_id % 4) + 2) AS h,
+        |             doc_id % 29 AS b0
+        |           FROM documents),
+        |c AS (SELECT doc_id, nf, w, h, b0,
+        |        CAST(len(list_filter(range(1, nf),
+        |               f -> (doc_id + f) % 3 = 0)) AS BIGINT) AS n_cuts
+        |      FROM d)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  n_cuts, n_cuts + 1 AS n_scenes,
+        |  CAST(nf * 40 AS BIGINT) AS duration_ms,
+        |  CAST(b0 + 7*(w-1)/2.0 + 13*(h-1)/2.0 AS DOUBLE) AS mean_gray_first,
+        |  CAST(b0 + 12*(n_cuts % 2) + 2*((nf-1) % 2)
+        |       + 7*(w-1)/2.0 + 13*(h-1)/2.0 AS DOUBLE) AS mean_gray_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // the generator's video-equivalence classes: the clip is a pure
+    // function of (d%6, d%4, d%29, d%3) and the fingerprint recovers each
+    // factor (injectivity argued at videoFingerprint, pinned in
+    // MultimodalSpec), so classes ⟺ doc_id mod lcm(6,4,29,3) = 348
+    "q_video_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(3 + min(doc_id % 6) AS BIGINT) AS n_frames
+        |FROM documents
+        |GROUP BY doc_id % 348
+        |ORDER BY keeper_doc_id""".stripMargin,
     // the generator's content-equivalence classes: the PNG payload is a
     // pure function of (doc_id%6, doc_id%4, doc_id%32); Spark's md5-of-
     // real-bytes grouping must reproduce them exactly

@@ -1053,9 +1053,12 @@ object Streams {
         |GROUP BY doc_id % 6, doc_id % 4, doc_id % 32
         |ORDER BY keeper_doc_id""".stripMargin,
     // the silence-structure classes coincide exactly with doc_id mod 35
-    // (n_frames = 4 + doc_id%7; the mask's bit phase is doc_id%5, always
-    // observable within the first 5 frames — the class law pinned in
-    // MultimodalSpec), so the generator's closed form applies directly
+    // (n_frames = 4 + doc_id%7; the bit phase doc_id%5 is recoverable from
+    // the first set mask bit or, when n_frames=4 and no bit is set,
+    // uniquely implied by the EMPTY mask — phase 4 is the only phase whose
+    // first silent frame falls outside a 4-frame clip — so (n_frames, mask)
+    // bijects with doc_id mod 35; exhaustively pinned in MultimodalSpec),
+    // hence the generator's closed form applies directly
     "q_stream_audio_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

@@ -19,10 +19,13 @@ class BucketCapSpec extends SparkSpec {
     assert(rows.length == cap * (cap - 1) / 2, s"got ${rows.length} pairs")
     // deterministic keep-set: the cap smallest doc_ids
     assert(rows.map(_.getLong(0)).max < cap && rows.map(_.getLong(1)).max < cap)
-    val m = pairs.queryExecution.observedMetrics.collectFirst {
-      case (k, v) if k.startsWith("graft.bucket_cap") => v }.get
-    assert(m.getAs[Long]("docs_dropped") == 10000 - cap)
-    assert(m.getAs[Long]("buckets_capped") == 1L)
+    // sum across ALL graft.bucket_cap.* keys: a multi-branch plan carries
+    // one observe per bucketPairs call (the obsId suffix), and collectFirst
+    // would silently assert against an arbitrary branch
+    val ms = pairs.queryExecution.observedMetrics.collect {
+      case (k, v) if k.startsWith("graft.bucket_cap") => v }
+    assert(ms.map(_.getAs[Long]("docs_dropped")).sum == 10000 - cap)
+    assert(ms.map(_.getAs[Long]("buckets_capped")).sum == 1L)
   }
 
   test("buckets under the cap are untouched and report zero drops") {
@@ -30,9 +33,10 @@ class BucketCapSpec extends SparkSpec {
       col("id").as("doc_id"), (col("id") % 4).as("band_idx"), lit(0L).as("band_val"))
     val pairs = Dedup.bucketPairs(banded, Seq("band_idx", "band_val"))
     assert(pairs.collect().length == 4 * (25 * 24 / 2))
-    val m = pairs.queryExecution.observedMetrics.collectFirst {
-      case (k, v) if k.startsWith("graft.bucket_cap") => v }.get
-    assert(m.getAs[Long]("docs_dropped") == 0L)
-    assert(m.getAs[Long]("buckets_capped") == 0L)
+    val ms = pairs.queryExecution.observedMetrics.collect {
+      case (k, v) if k.startsWith("graft.bucket_cap") => v }
+    assert(ms.nonEmpty)
+    assert(ms.map(_.getAs[Long]("docs_dropped")).sum == 0L)
+    assert(ms.map(_.getAs[Long]("buckets_capped")).sum == 0L)
   }
 }

@@ -317,6 +317,91 @@ class MultimodalSpec extends SparkSpec {
       assert(repOf(a) != repOf(b), s"text-only pair ($a,$b) wrongly merged") }
   }
 
+  test("video container: every PNG frame round-trips sample-exactly") {
+    for (docId <- Seq(0L, 1L, 7L, 29L, 347L, 1234L)) {
+      val bytes = Multimodal.encodeVideo(docId)
+      // a real GVID container of real PNGs: magic + first frame's magic
+      assert(java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt == Multimodal.VideoMagic)
+      assert((bytes(12) & 0xff) == 0x89 && bytes(13) == 'P'.toByte)
+      val feats = Multimodal.decodeVideoFeatures(
+        Iterator(MediaRow(docId, "video", bytes))).next()
+      val nf = (3 + docId % 6).toInt
+      val (w, h) = (2 * ((docId % 6) + 2).toInt, 2 * ((docId % 4) + 2).toInt)
+      assert(feats.n_frames == nf && feats.width == w && feats.height == h)
+      // pin pixel-exactness of a middle frame via the fingerprint path's
+      // inputs: re-decode by hand and compare to the closed form
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      in.readInt(); in.readInt()
+      for (f <- 0 until nf) {
+        val len = in.readInt(); val fb = new Array[Byte](len); in.readFully(fb)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+        val base = Multimodal.videoFrameBase(docId, f)
+        for (y <- 0 until h; x <- 0 until w)
+          assert(img.getRaster.getSample(x, y, 0) == base + 7 * x + 13 * y,
+            s"frame $f pixel ($x,$y) of doc $docId corrupted")
+      }
+    }
+  }
+
+  test("video features: cut census from decoded pixels matches the plant") {
+    for (docId <- 0L until 48L) {
+      val feats = Multimodal.decodeVideoFeatures(Iterator(
+        MediaRow(docId, "video", Multimodal.encodeVideo(docId)))).next()
+      val nf = (3 + docId % 6).toInt
+      val cuts = (1 until nf).count(f => (docId + f) % 3 == 0)
+      assert(feats.n_cuts == cuts, s"doc $docId cut census")
+      assert(feats.n_scenes == cuts + 1 && feats.duration_ms == nf * 40L)
+      // frame-0 mean: base_0 + 7(w-1)/2 + 13(h-1)/2, dyadic-exact
+      val (w, h) = (2 * ((docId % 6) + 2).toInt, 2 * ((docId % 4) + 2).toInt)
+      assert(feats.mean_gray_first ==
+        (docId % 29) + 7.0 * (w - 1) / 2 + 13.0 * (h - 1) / 2)
+    }
+  }
+
+  test("video fingerprint classes are exactly doc_id mod 348") {
+    // two full parameter cycles: equal fingerprints ⟺ equal mod 348 —
+    // the injectivity the q_video_dedup oracle's closed form relies on
+    val fps = (0L until 696L).map { d =>
+      d -> Multimodal.videoFingerprint(Iterator(
+        MediaRow(d, "video", Multimodal.encodeVideo(d)))).next().video_fp
+    }.toMap
+    for (d <- 0L until 348L) {
+      assert(fps(d) == fps(d + 348), s"doc $d: same class, different fp")
+    }
+    assert(fps.values.toSet.size == 348, "distinct classes collided")
+  }
+
+  test("video fingerprint is re-encoding-robust (BMP frames, same pixels)") {
+    val docId = 17L
+    val nf = (3 + docId % 6).toInt
+    val (w, h) = (2 * ((docId % 6) + 2).toInt, 2 * ((docId % 4) + 2).toInt)
+    // rebuild the container with frames re-encoded as BMP — different
+    // bytes, identical decoded pixels (the mirrored-clip scenario)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Multimodal.VideoMagic)
+    out.writeInt(nf)
+    for (f <- 0 until nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val base = Multimodal.videoFrameBase(docId, f)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, base + 7 * x + 13 * y)
+      val fb = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", fb), "no BMP writer")
+      out.writeInt(fb.size()); out.write(fb.toByteArray)
+    }
+    out.flush()
+    val reencoded = bos.toByteArray
+    val original = Multimodal.encodeVideo(docId)
+    assert(!java.util.Arrays.equals(reencoded, original), "bytes must differ")
+    val fpA = Multimodal.videoFingerprint(
+      Iterator(MediaRow(docId, "video", original))).next().video_fp
+    val fpB = Multimodal.videoFingerprint(
+      Iterator(MediaRow(docId, "video", reencoded))).next().video_fp
+    assert(fpA == fpB, "perceptual fingerprint must survive re-encoding")
+  }
+
   test("dedup census: per-source identities and cross-check vs direct counts") {
     import org.apache.spark.sql.functions._
     val rows = Queries.all("q_dedup_census")(spark, sfDir).collect()
