@@ -274,6 +274,25 @@ object Multimodal {
     }
   }
 
+  /** Exact + perceptual fingerprints of a DECODED image in ONE codec
+    * pass: the byte-level md5 (the exact gate) plus the 8×8 resample and
+    * its aHash (the perceptual gate) — the unit of cross-modal benchmark
+    * decontamination, where an eval-suite image must be caught even after
+    * re-encoding changes every byte (same pixels ⇒ same (p, ahash),
+    * different md5 — pinned by the BMP law in MultimodalSpec). */
+  case class ImageFp(doc_id: Long, fp_md5: String, p: Array[Int], ahash: Long)
+
+  def imageFingerprints(rows: Iterator[MediaRow]): Iterator[ImageFp] = {
+    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.map { r =>
+      md.reset()
+      val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+      val pr = perceptualHash(Iterator(r)).next()
+      ImageFp(r.doc_id, hex, pr.p, pr.ahash)
+    }
+  }
+
   // ------------------------------------------------------------------ video
 
   /** Video is the third real-codec modality (r9 verdict #1): a Motion-
@@ -524,6 +543,17 @@ object Multimodal {
   private def docIds(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Long] = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .as[Long]
+  }
+
+  /** [[docIds]] restricted by a pushdown-friendly predicate — the filter
+    * sits BELOW the round-robin repartition and the codec fan-out, so a
+    * bench-slice scan decodes only its slice. */
+  private def docIdsWhere(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).filter(pred)
       .repartition(s.sessionState.conf.numShufflePartitions)
       .as[Long]
   }
@@ -782,6 +812,99 @@ object Multimodal {
         .select(col("keeper_doc_id"), col("n_copies"),
           col("nf").cast("long").as("n_frames"))
         .orderBy(col("keeper_doc_id"))
+    }),
+
+    // cross-modal benchmark decontamination, IMAGE edition (r9 verdict
+    // #2): five text gates exist, but an eval-suite IMAGE in the training
+    // corpus passed every one of them. Bench slice = doc_id < 50 (the
+    // q_stream_decontaminate split); a training doc is contaminated when
+    // its image matches a bench image EXACTLY (byte md5) or PERCEPTUALLY
+    // (aHash hamming ≤ 3 AND Σ|Δpixel| ≤ 512 over the 8×8 resample — the
+    // perceptual-family predicate, so a bench image re-encoded to
+    // different bytes is still caught; BMP law in MultimodalSpec).
+    // 100 TB shape: the bench side is an eval suite (small by nature) —
+    // its fingerprints BROADCAST to the banded training side; training
+    // collapses to raster classes first (the standing quotient: candidate
+    // volume scales with distinct content, not copies), 4×16-bit Hamming
+    // bands bucket candidates with pigeonhole-complete recall, and only
+    // the 72-byte fingerprints cross any exchange. Output: one row per
+    // contaminated training doc with its exact / perceptual bench-match
+    // census and best hamming.
+    "q_decontaminate_image" -> ((s, dir) => {
+      import s.implicits._
+      def fps(ids: org.apache.spark.sql.Dataset[Long]) = ids
+        .mapPartitions { it =>
+          imageFingerprints(it.map(id => MediaRow(id, "image", encodePng(id))))
+        }
+        .toDF()
+      val training = fps(docIdsWhere(s, dir, col("doc_id") >= 50))
+      val bench = fps(docIdsWhere(s, dir, col("doc_id") < 50))
+      // quotient: one row per distinct training raster class (md5 is
+      // class-determined — deterministic PNG encode + raster injectivity)
+      val tCls = training.groupBy(col("fp_md5"))
+        .agg(first(col("p")).as("p"), first(col("ahash")).as("ahash"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+      val bCls = bench.groupBy(col("fp_md5"))
+        .agg(first(col("p")).as("bp"), first(col("ahash")).as("bhash"),
+          count(lit(1)).as("n_bench"))
+        .select(col("fp_md5").as("bench_fp"), col("bp"), col("bhash"),
+          col("n_bench"))
+      val tBand = tCls
+        .select(col("fp_md5"), col("ahash"),
+          explode(sequence(lit(0), lit(3))).as("band_idx"))
+        .withColumn("band_val",
+          expr("shiftrightunsigned(ahash, band_idx * 16) & 65535"))
+      val bBand = bCls
+        .select(col("bench_fp"), col("bhash"),
+          explode(sequence(lit(0), lit(3))).as("band_idx"))
+        .withColumn("band_val",
+          expr("shiftrightunsigned(bhash, band_idx * 16) & 65535"))
+        .select(col("bench_fp"), col("band_idx"), col("band_val"))
+      val hits = tBand.join(broadcast(bBand), Seq("band_idx", "band_val"))
+        .select(col("fp_md5"), col("bench_fp")).distinct()
+        .join(tCls, "fp_md5")
+        .join(broadcast(bCls), "bench_fp")
+        .withColumn("hamming", expr("bit_count(ahash ^ bhash)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .withColumn("pix_dist",
+          aggregate(zip_with(col("p"), col("bp"), (a, b) => abs(a - b)),
+            lit(0L), (acc, d) => acc + d.cast("long")))
+        .filter(col("pix_dist") <= 512)
+        .groupBy(col("fp_md5"), col("members"))
+        .agg(sum(when(col("fp_md5") === col("bench_fp"), col("n_bench"))
+            .otherwise(lit(0L))).as("n_exact"),
+          sum(col("n_bench")).as("n_perceptual"),
+          min(col("hamming")).as("min_hamming"))
+      hits.select(explode(col("members")).as("doc_id"),
+          col("n_exact"), col("n_perceptual"), col("min_hamming"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-modal benchmark decontamination, AUDIO edition: a training
+    // clip is contaminated when its silence-structure fingerprint
+    // (n_frames, silent-frame bitmask — the trim/padding-normalized
+    // duplicate class of q_audio_dedup) matches a bench clip's. Same
+    // broadcast shape: bench structural fingerprints (20 bytes each)
+    // broadcast against the training class quotient; one codec scan per
+    // side, the filter below the codec fan-out.
+    "q_decontaminate_audio" -> ((s, dir) => {
+      import s.implicits._
+      def structs(ids: org.apache.spark.sql.Dataset[Long]) = ids
+        .mapPartitions { it =>
+          audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
+        }
+        .toDF()
+      val training = structs(docIdsWhere(s, dir, col("doc_id") >= 50))
+      val bench = structs(docIdsWhere(s, dir, col("doc_id") < 50))
+        .groupBy(col("n_frames"), col("silent_mask"))
+        .agg(count(lit(1)).as("n_bench"))
+      val tCls = training.groupBy(col("n_frames"), col("silent_mask"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      tCls.join(broadcast(bench), Seq("n_frames", "silent_mask"))
+        .select(explode(col("members")).as("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_bench"))
+        .orderBy(col("doc_id"))
     }),
 
     // JOINT multimodal dedup: a document duplicates another if its TEXT
@@ -1079,6 +1202,49 @@ object Multimodal {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, n_frames, n_silent,
         |  first_active, last_active, rms_active
         |FROM a ORDER BY doc_id""".stripMargin,
+    // cross-modal image decontamination ground truth: the perceptual
+    // predicate over closed-form pixels, evaluated all-pairs training ×
+    // bench (only the ORACLE may); exact ⟺ pix_dist = 0 ⟺ byte-identical
+    // (raster injectivity + deterministic PNG encode)
+    "q_decontaminate_image" ->
+      """WITH d AS (SELECT doc_id,
+        |             2*((doc_id % 6) + 2) AS w,
+        |             2*((doc_id % 4) + 2) AS h,
+        |             doc_id % 32 AS base
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |        list_transform(range(0, 64), i ->
+        |          base + 7 * (((i % 8) * w) // 8)
+        |               + 13 * (((i // 8) * h) // 8)) AS p
+        |      FROM d),
+        |s AS (SELECT doc_id, p, list_sum(p) AS sp FROM r),
+        |pr AS (SELECT t.doc_id AS doc_id,
+        |         list_sum(list_transform(range(0, 64), i ->
+        |           CASE WHEN (64*t.p[i+1] > t.sp) <> (64*b.p[i+1] > b.sp)
+        |                THEN 1 ELSE 0 END)) AS hamming,
+        |         list_sum(list_transform(range(0, 64), i ->
+        |           abs(t.p[i+1] - b.p[i+1]))) AS pix_dist
+        |       FROM (SELECT * FROM s WHERE doc_id >= 50) t,
+        |            (SELECT * FROM s WHERE doc_id < 50) b),
+        |q AS (SELECT doc_id,
+        |        SUM(CASE WHEN pix_dist = 0 THEN 1 ELSE 0 END) AS n_exact,
+        |        COUNT(*) AS n_perceptual,
+        |        MIN(hamming) AS min_hamming
+        |      FROM pr WHERE hamming <= 3 AND pix_dist <= 512
+        |      GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(n_perceptual AS BIGINT) AS n_perceptual,
+        |  CAST(min_hamming AS BIGINT) AS min_hamming
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // audio decontamination ground truth: silence-structure classes ⟺
+    // doc_id mod 35 (the q_stream_audio_dedup bijection)
+    "q_decontaminate_audio" ->
+      """WITH b AS (SELECT doc_id % 35 AS cls, COUNT(*) AS n_bench
+        |           FROM documents WHERE doc_id < 50 GROUP BY 1)
+        |SELECT d.doc_id, CAST(4 + (d.doc_id % 7) AS BIGINT) AS n_frames,
+        |       CAST(b.n_bench AS BIGINT) AS n_bench
+        |FROM documents d JOIN b ON d.doc_id % 35 = b.cls
+        |WHERE d.doc_id >= 50 ORDER BY d.doc_id""".stripMargin,
     // closed forms of the decoded video features: nf = 3 + d%6; frame f
     // (f ≥ 1) is a cut iff (d+f)%3 = 0; base_f = d%29 + 12·(cuts≤f % 2) +
     // 2·(f%2); frame mean = base_f + 7(w−1)/2 + 13(h−1)/2 (dyadic, so

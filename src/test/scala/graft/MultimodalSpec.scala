@@ -402,6 +402,26 @@ class MultimodalSpec extends SparkSpec {
     assert(fpA == fpB, "perceptual fingerprint must survive re-encoding")
   }
 
+  test("image decontamination: a re-encoded bench image is still caught") {
+    // the law behind q_decontaminate_image's perceptual gate: re-encoding
+    // changes every byte (md5 gate misses) but not the decoded pixels
+    // (raster/aHash gate catches at hamming 0)
+    val docId = 42L
+    val png = Multimodal.encodePng(docId)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val fb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", fb), "no BMP writer")
+    val bmp = fb.toByteArray
+    assert(!java.util.Arrays.equals(bmp, png))
+    val a = Multimodal.imageFingerprints(
+      Iterator(MediaRow(docId, "image", png))).next()
+    val b = Multimodal.imageFingerprints(
+      Iterator(MediaRow(docId, "image", bmp))).next()
+    assert(a.fp_md5 != b.fp_md5, "exact gate must miss the re-encode")
+    assert(a.ahash == b.ahash && a.p.sameElements(b.p),
+      "perceptual gate must catch the re-encode")
+  }
+
   test("dedup census: per-source identities and cross-check vs direct counts") {
     import org.apache.spark.sql.functions._
     val rows = Queries.all("q_dedup_census")(spark, sfDir).collect()
