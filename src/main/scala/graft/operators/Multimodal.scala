@@ -1002,6 +1002,80 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental JOINT multimodal admission (r9 verdict #3): a new batch
+    // (doc_id % 10 == 0, the standing incremental split) is admitted
+    // against the PERSISTED joint-class index of the store corpus — the
+    // production ingest gate, where a doc is rejected iff it has a direct
+    // joint edge to the store: exact text match, text near-dup
+    // (jaccard ≥ 0.8), or byte-identical image. Emits the full admission
+    // record (one row per batch doc, per-gate flags), the
+    // q_dedup_minhash_incremental contract lifted to the bipartite
+    // text+image index of q_dedup_joint.
+    //
+    // 100 TB shape: every probe runs against a CLASS index, never rows —
+    // exact text via left-semi against distinct store texts, near-dup via
+    // batch-quotient × store-quotient band equi-join (batch×store only,
+    // never store×store — the incremental contract), image via left-semi
+    // on the 16-byte md5 class index; one codec scan per side with the
+    // split filter below the codec fan-out.
+    "q_dedup_joint_incremental" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Sketches
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val store = d.filter(col("doc_id") % 10 =!= 0)
+      // gate 1: exact text hit against the store's distinct-text index
+      val exactHits = batch
+        .join(store.select(col("text")).distinct(), Seq("text"), "left_semi")
+        .select(col("doc_id"), lit(true).as("text_exact"))
+      // gate 2: near-dup text — quotient both sides by text identity,
+      // band the class reps, verify exact jaccard on candidates only
+      def bandedCls(df: DataFrame, idCol: String, txtCol: String) = df
+        .withColumn("w", split(col(txtCol), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col(idCol), col(txtCol), posexplode(Sketches.bandhashes(
+          Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+          .as(Seq("band_idx", "band_hash")))
+      val bCls = batch.groupBy(col("text")).agg(min(col("doc_id")).as("bid"))
+        .select(col("bid"), col("text").as("text_b"))
+      val sCls = store.select(col("text").as("text_s")).distinct()
+        .withColumn("sid", monotonically_increasing_id())
+      val ndTexts = bandedCls(bCls, "bid", "text_b")
+        .join(bandedCls(sCls, "sid", "text_s"), Seq("band_idx", "band_hash"))
+        .select(col("bid"), col("text_b"), col("text_s")).distinct()
+        .filter(Sketches.jaccardShingles(col("text_b"), col("text_s"), 3) >= 0.8)
+        .select(col("bid"), col("text_b")).distinct()
+      val ndHits = batch
+        .join(ndTexts.select(col("text_b").as("text")), Seq("text"), "left_semi")
+        .select(col("doc_id"), lit(true).as("text_neardup"))
+      // gate 3: image byte identity against the store's md5 class index
+      def imgFps(pred: org.apache.spark.sql.Column) =
+        docIdsWhere(s, dir, pred)
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+            it.map(id => MediaRow(id, "image", encodePng(id)))
+          }
+          .toDF()
+          .select(col("doc_id"), md5(col("payload")).as("img_fp"))
+      val imgHits = imgFps(col("doc_id") % 10 === 0)
+        .join(imgFps(col("doc_id") % 10 =!= 0).select(col("img_fp")).distinct(),
+          Seq("img_fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("image_exact"))
+      batch.select(col("doc_id"))
+        .join(exactHits, Seq("doc_id"), "left_outer")
+        .join(ndHits, Seq("doc_id"), "left_outer")
+        .join(imgHits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("text_exact"), lit(false)).as("text_exact"),
+          coalesce(col("text_neardup"), lit(false)).as("text_neardup"),
+          coalesce(col("image_exact"), lit(false)).as("image_exact"))
+        .withColumn("admitted",
+          !(col("text_exact") || col("text_neardup") || col("image_exact")))
+        .select(col("doc_id"), col("admitted"), col("text_exact"),
+          col("text_neardup"), col("image_exact"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STRICT-form joint dedup: a duplicate must match on BOTH modalities —
     // near-dup text (exact, or jaccard ≥ 0.8) AND byte-identical image —
     // the "same article with the same picture" semantics of syndication
@@ -1202,6 +1276,41 @@ object Multimodal {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, n_frames, n_silent,
         |  first_active, last_active, rms_active
         |FROM a ORDER BY doc_id""".stripMargin,
+    // incremental joint admission ground truth: per-gate direct-edge
+    // predicates batch × store (exact text, shingle-jaccard ≥ 0.8 text
+    // near-dup, image class = doc_id mod 96 — the byte-md5 bijection
+    // q_multimodal_dedup pins); admission = no gate fires
+    "q_dedup_joint_incremental" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
+        |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.text = c.text),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM t),
+        |sg AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w)-1)]) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |nd AS (SELECT DISTINCT bs.doc_id
+        |       FROM (SELECT * FROM sg WHERE doc_id % 10 = 0) bs,
+        |            (SELECT * FROM sg WHERE doc_id % 10 <> 0) cs
+        |       WHERE CAST(len(list_intersect(bs.sh, cs.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(bs.sh, cs.sh))) >= 0.8),
+        |im AS (SELECT DISTINCT b2.doc_id
+        |       FROM (SELECT doc_id, doc_id % 96 AS icls FROM documents
+        |             WHERE doc_id % 10 = 0) b2
+        |       JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
+        |             WHERE doc_id % 10 <> 0) c2 USING (icls))
+        |SELECT b.doc_id,
+        |  (ex.doc_id IS NULL AND nd.doc_id IS NULL AND im.doc_id IS NULL)
+        |    AS admitted,
+        |  ex.doc_id IS NOT NULL AS text_exact,
+        |  nd.doc_id IS NOT NULL AS text_neardup,
+        |  im.doc_id IS NOT NULL AS image_exact
+        |FROM b
+        |LEFT JOIN ex ON ex.doc_id = b.doc_id
+        |LEFT JOIN nd ON nd.doc_id = b.doc_id
+        |LEFT JOIN im ON im.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // cross-modal image decontamination ground truth: the perceptual
     // predicate over closed-form pixels, evaluated all-pairs training ×
     // bench (only the ORACLE may); exact ⟺ pix_dist = 0 ⟺ byte-identical

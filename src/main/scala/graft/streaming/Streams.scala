@@ -808,6 +808,82 @@ object Streams {
     runToTable(rejects, spark, OutputMode.Complete()).orderBy(col("doc_id"))
   }
 
+  /** Streaming JOINT multimodal admission (r9 verdict #5) — the streaming
+    * twin of `q_dedup_joint_incremental`: arriving docs (doc_id % 10 == 0)
+    * probe the PERSISTED store index on all three gates — exact text
+    * (left-semi vs the distinct-text index), near-dup text (band equi-join
+    * vs the quotiented signature index, exact jaccard verify on candidates
+    * only — the [[nearDupAdmissionStream]] shape), byte-identical image
+    * (real `javax.imageio` encode in the micro-batch, left-semi vs the
+    * 16-byte md5 class index). A Complete-mode aggregation maintains the
+    * REJECTION table with per-gate flags; admission is absence from it.
+    * State = one row per rejected doc (3 booleans), bounded by
+    * contaminated arrivals, never stream length; every static index is a
+    * CLASS index, so probe volume is linear in distinct store content. */
+  def jointAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Sketches
+    import graft.operators.Multimodal
+    val np = spark.sessionState.conf.numShufflePartitions
+    val store = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+    val storeTexts = store.select(col("text")).distinct()
+    def banded(df: DataFrame, carry: Seq[String], txt: String) = df
+      .withColumn("w", split(col(txt), " "))
+      .filter(size(col("w")) >= 3)
+      .select(carry.map(col) :+ col(txt) :+ posexplode(Sketches.bandhashes(
+        Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+        .as(Seq("band_idx", "band_hash")): _*)
+    val storeSig = banded(storeTexts.select(col("text").as("text_o")),
+      Seq.empty, "text_o")
+    val storeImg = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"))
+      .repartition(np) // codec fan-out at full width (docIds lesson)
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => Multimodal.MediaRow(id, "image", Multimodal.encodePng(id)))
+      }
+      .toDF()
+      .select(md5(col("payload")).as("img_fp")).distinct()
+    def arriving() = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 10 === 0)
+    val textStream = arriving().select(col("doc_id"), col("text"))
+    val ex = textStream
+      .join(storeTexts, Seq("text"), "left_semi")
+      .select(col("doc_id"), lit("text_exact").as("gate"))
+    val nd = banded(textStream, Seq("doc_id"), "text")
+      .join(storeSig, Seq("band_idx", "band_hash"))
+      .filter(Sketches.jaccardShingles(col("text"), col("text_o"), 3) >= 0.8)
+      .select(col("doc_id"), lit("text_neardup").as("gate"))
+    val im = arriving()
+      .select(col("doc_id"))
+      .repartition(np) // per micro-batch, see audioDedupStream
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => Multimodal.MediaRow(id, "image", Multimodal.encodePng(id)))
+      }
+      .toDF()
+      .select(col("doc_id"), md5(col("payload")).as("img_fp"))
+      .join(storeImg, Seq("img_fp"), "left_semi")
+      .select(col("doc_id"), lit("image_exact").as("gate"))
+    val rejects = ex.unionByName(nd).unionByName(im)
+      .groupBy(col("doc_id"))
+      .agg(
+        (max(when(col("gate") === "text_exact", 1).otherwise(0)) === 1)
+          .as("text_exact"),
+        (max(when(col("gate") === "text_neardup", 1).otherwise(0)) === 1)
+          .as("text_neardup"),
+        (max(when(col("gate") === "image_exact", 1).otherwise(0)) === 1)
+          .as("image_exact"))
+    runToTable(rejects, spark, OutputMode.Complete()).orderBy(col("doc_id"))
+  }
+
   def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
     val grams8 = expr(
       """array_distinct(transform(sequence(0, size(w)-8), i ->
@@ -950,6 +1026,7 @@ object Streams {
     "q_stream_doc_clean" -> ((s, dir) => docCleanStream(s, dir)),
     "q_stream_decontaminate" -> ((s, dir) => decontaminateStream(s, dir)),
     "q_stream_neardup_rejects" -> ((s, dir) => nearDupAdmissionStream(s, dir)),
+    "q_stream_joint_rejects" -> ((s, dir) => jointAdmissionStream(s, dir)),
     "q_stream_session" -> ((s, dir) => sessionCounts(s, dir)),
     "q_stream_daily_counts" -> ((s, dir) => dailyCounts(s, dir)),
     "q_stream_hop_counts" -> ((s, dir) => hopCounts(s, dir)),
@@ -1021,6 +1098,39 @@ object Streams {
         |  MAX(jaccard) AS max_jaccard
         |FROM j WHERE jaccard >= 0.8 GROUP BY new_id
         |ORDER BY doc_id""".stripMargin,
+    // the rejected slice of the q_dedup_joint_incremental oracle, with the
+    // same per-gate closed forms (image class = doc_id mod 96)
+    "q_stream_joint_rejects" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
+        |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.text = c.text),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM t),
+        |sg AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w)-1)]) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |nd AS (SELECT DISTINCT bs.doc_id
+        |       FROM (SELECT * FROM sg WHERE doc_id % 10 = 0) bs,
+        |            (SELECT * FROM sg WHERE doc_id % 10 <> 0) cs
+        |       WHERE CAST(len(list_intersect(bs.sh, cs.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(bs.sh, cs.sh))) >= 0.8),
+        |im AS (SELECT DISTINCT b2.doc_id
+        |       FROM (SELECT doc_id, doc_id % 96 AS icls FROM documents
+        |             WHERE doc_id % 10 = 0) b2
+        |       JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
+        |             WHERE doc_id % 10 <> 0) c2 USING (icls))
+        |SELECT b.doc_id,
+        |  ex.doc_id IS NOT NULL AS text_exact,
+        |  nd.doc_id IS NOT NULL AS text_neardup,
+        |  im.doc_id IS NOT NULL AS image_exact
+        |FROM b
+        |LEFT JOIN ex ON ex.doc_id = b.doc_id
+        |LEFT JOIN nd ON nd.doc_id = b.doc_id
+        |LEFT JOIN im ON im.doc_id = b.doc_id
+        |WHERE ex.doc_id IS NOT NULL OR nd.doc_id IS NOT NULL
+        |   OR im.doc_id IS NOT NULL
+        |ORDER BY b.doc_id""".stripMargin,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
         |       COUNT(*) AS n_events

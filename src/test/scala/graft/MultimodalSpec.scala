@@ -422,6 +422,34 @@ class MultimodalSpec extends SparkSpec {
       "perceptual gate must catch the re-encode")
   }
 
+  test("joint admission: stream twin == batch; rejection soundness vs full clustering") {
+    val inc = Queries.all("q_dedup_joint_incremental")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    // the admission record covers exactly the batch slice
+    val batchIds = Tables.load(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc.map(_._1).toSet == batchIds)
+    // stream == batch: the streaming rejection table is exactly the
+    // rejected slice of the batch admission record, flags included
+    val streamRejects = Queries.all("q_stream_joint_rejects")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSet
+    val batchRejects = inc.filter(!_._2).map(t => (t._1, t._3, t._4, t._5)).toSet
+    assert(streamRejects == batchRejects, "stream/batch admission drift")
+    // soundness: a rejected doc's full-corpus joint cluster contains at
+    // least one store doc (the direct edge it was rejected for)
+    val joint = Queries.all("q_dedup_joint")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusterOf = joint.toMap
+    val clustersWithStore = joint.filter(_._1 % 10 != 0).map(_._2).toSet
+    for ((d, admitted, _, _, _) <- inc if !admitted)
+      assert(clustersWithStore.contains(clusterOf(d)),
+        s"rejected $d has no store member in its joint cluster")
+  }
+
   test("dedup census: per-source identities and cross-check vs direct counts") {
     import org.apache.spark.sql.functions._
     val rows = Queries.all("q_dedup_census")(spark, sfDir).collect()
