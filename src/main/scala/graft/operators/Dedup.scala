@@ -711,6 +711,16 @@ object Dedup {
     "q_dedup_semantic" -> ((s, dir) =>
       semanticDedupOf(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))),
 
+    // gap-aware variant: a bounded sampled pre-pass estimates the corpus's
+    // dup/background cosine gap and auto-picks the band config with an
+    // explicit recall bound (observe metrics `graft.lsh_auto`); on this
+    // adversarially-gapped corpus it falls back to the recall-first
+    // default, so the output — and the oracle — are q_dedup_semantic's.
+    // On a real-gap corpus the coarse bands cut candidate volume ~30×
+    // (DedupAutoSpec's fixture law).
+    "q_dedup_semantic_auto" -> ((s, dir) =>
+      semanticDedupAutoOf(Tables.load(s, dir, "embeddings")).orderBy(col("vec_id"))),
+
     // SEMANTIC decontamination — the third standard gate next to
     // q_decontaminate (absolute 8-gram overlap) and q_ngram_containment
     // (fractional): drop a training item when its embedding is too close
@@ -758,8 +768,8 @@ object Dedup {
     * (d) member-level cluster_size = Σ m. Equality with the expanded
     * formula is law-tested (`PipelineSpec`), incl. the zero-vector group.
     */
-  def semanticDedupOf(e: DataFrame): DataFrame = {
-    val (clusters, repPairs) = embeddingRepCandidatesOf(e)
+  def semanticDedupOf(e: DataFrame, r: Int = 4, b: Int = 64): DataFrame = {
+    val (clusters, repPairs) = embeddingRepCandidatesOf(e, r, b)
     val g = clusters.select(col("rep"), col("members"),
       size(col("members")).cast("long").as("m"),
       expr(
@@ -807,20 +817,29 @@ object Dedup {
     * candidate problem scales with UNIQUE vectors. On a 10×-replicated
     * probe corpus this cut the pair query from 224 s to seconds; on a
     * dup-free corpus it is a no-op costing one aggregate. */
-  private[graft] def embeddingRepCandidatesOf(e: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def embeddingRepCandidatesOf(e: DataFrame, r: Int = 4,
+      b: Int = 64): (DataFrame, DataFrame) = {
+    // r | 64 keeps every band inside one 64-bit signature word; r·b ≤ 512
+    // bounds the seeded-plane family (the default 4×64 uses 256; coarse
+    // auto-chosen configs may take up to 8 signature words)
+    require(Set(2, 4, 8, 16).contains(r) && b >= 1 && r * b <= 512,
+      s"unsupported band config (r=$r, b=$b)")
+    val nSigs = math.max(4, (r * b + 63) / 64)
     val clusters = e.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep"), sort_array(collect_list(col("vec_id"))).as("members"))
-    val sigCols = (0 until 4).map(i =>
+    val sigCols = (0 until nSigs).map(i =>
       graft.functions.Sketches.rhSignature(col("embedding"), 64, 64, i * 64).as(s"s$i"))
     val reps = clusters.select(col("rep").as("vec_id") +: col("embedding") +: sigCols: _*)
-    // sigs materialize below the Generate barrier → 4 expression evals per
-    // rep, band values are bit-slices per banded row
+    // sigs materialize below the Generate barrier → nSigs expression evals
+    // per rep, band values are r-bit slices per banded row
     val banded = reps
       .select(col("vec_id").as("doc_id"),
-        array(col("s0"), col("s1"), col("s2"), col("s3")).as("sigs"),
-        explode(sequence(lit(0), lit(63))).as("band_idx"))
+        array((0 until nSigs).map(i => col(s"s$i")): _*).as("sigs"),
+        explode(sequence(lit(0), lit(b - 1))).as("band_idx"))
       .withColumn("band_val",
-        expr("shiftrightunsigned(element_at(sigs, cast(band_idx div 16 as int) + 1), (band_idx % 16) * 4) & 15"))
+        expr(s"""shiftrightunsigned(
+                |  element_at(sigs, cast((band_idx * $r) div 64 as int) + 1),
+                |  (band_idx * $r) % 64) & ${(1L << r) - 1}""".stripMargin))
       .select(col("doc_id"), col("band_idx"), col("band_val"))
     val emb = reps.select(col("vec_id"), col("embedding"))
     val repPairs = bucketPairs(banded, Seq("band_idx", "band_val"))
@@ -830,6 +849,102 @@ object Dedup {
       .withColumn("cos", round(graft.functions.Sketches.cosineSim(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= 0.45)
     (clusters, repPairs)
+  }
+
+  /** A chosen LSH band configuration with its evidence: the sampled
+    * dup-band floor and background ceiling, the S-curve per-pair miss
+    * bound at the conservative dup-band edge, and whether the chooser
+    * fell back to the recall-first default. */
+  case class LshBandConfig(r: Int, b: Int, fallback: Boolean,
+                           dupMin: Double, bgMax: Double, missBound: Double)
+
+  /** Gap-aware LSH band auto-configuration (r9 verdict #4): a BOUNDED
+    * sampled pre-pass estimates the corpus's dup/background cosine gap and
+    * picks (r, b) with an explicit recall bound, falling back to the
+    * recall-first default (r=4, b=64 — per-pair miss < 4e-6 even at this
+    * corpus's adversarial 0.0007 gap) whenever the observed gap is inside
+    * the safety margin.
+    *
+    * Sample = the `sampleN` distinct-embedding reps with the smallest
+    * xxhash64(rep) — a deterministic pseudo-random draw that Spark
+    * executes as TakeOrderedAndProject (per-partition top-N + driver
+    * merge: one scan, no shuffle, no full sort), so the pre-pass is O(n)
+    * scan + O(sampleN²) driver cosines (≤ 131k dot products at the
+    * default 512 — the bounded-collect discipline of the PQ codebook).
+    *
+    * Gap estimate: dupMin = smallest sampled cosine ≥ threshold, bgMax =
+    * largest below it. Only when BOTH edges clear `margin` does the
+    * chooser leave the default; the certified dup-band edge is then
+    * sEff = max(threshold, dupMin − margin) — unseen true pairs in a
+    * genuinely gapped corpus live in the dup band, and the margin absorbs
+    * sampling error at its edge. Among r ∈ {16, 8} (coarser than the
+    * default 4), pick the largest r whose S-curve bound
+    * (1 − pEff^r)^b ≤ eps fits the 512-plane budget (r·b ≤ 512), where
+    * pEff = 1 − acos(sEff)/π; larger r shrinks background collisions
+    * exponentially (the candidate-volume win the adversarial corpus can
+    * never have). Every decision input surfaces in the returned config
+    * for `observe` telemetry. */
+  private[graft] def autoBandConfig(e: DataFrame, threshold: Double = 0.45,
+      margin: Double = 0.1, sampleN: Int = 512,
+      eps: Double = 1e-6): LshBandConfig = {
+    val sample = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+      .orderBy(xxhash64(col("rep")))
+      .limit(sampleN)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .filter(v => v.exists(_ != 0.0)) // zero vectors have no cosine
+    var dupMin = Double.PositiveInfinity
+    var bgMax = Double.NegativeInfinity
+    var i = 0
+    while (i < sample.length) {
+      val a = sample(i)
+      val na = math.sqrt(a.map(x => x * x).sum)
+      var j = i + 1
+      while (j < sample.length) {
+        val c = {
+          val bv = sample(j)
+          var dot = 0.0; var k = 0
+          while (k < a.length) { dot += a(k) * bv(k); k += 1 }
+          dot / (na * math.sqrt(bv.map(x => x * x).sum))
+        }
+        if (c >= threshold) { if (c < dupMin) dupMin = c }
+        else if (c > bgMax) bgMax = c
+        j += 1
+      }
+      i += 1
+    }
+    val default = LshBandConfig(4, 64, fallback = true, dupMin, bgMax,
+      missBound = math.pow(1.0 - math.pow(1.0 - math.acos(
+        math.min(1.0, threshold)) / math.Pi, 4), 64))
+    if (!dupMin.isFinite || dupMin - threshold < margin
+        || threshold - bgMax < margin) default
+    else {
+      val sEff = math.max(threshold, dupMin - margin)
+      val pEff = 1.0 - math.acos(math.min(1.0, sEff)) / math.Pi
+      Seq(16, 8).view.flatMap { r =>
+        val bNeeded = math.ceil(math.log(eps)
+          / math.log(1.0 - math.pow(pEff, r))).toInt.max(1)
+        if (r * bNeeded <= 512)
+          Some(LshBandConfig(r, bNeeded, fallback = false, dupMin, bgMax,
+            missBound = math.pow(1.0 - math.pow(pEff, r), bNeeded)))
+        else None
+      }.headOption.getOrElse(default)
+    }
+  }
+
+  /** [[semanticDedupOf]] under [[autoBandConfig]], with the chosen config
+    * and its recall bound surfaced as `graft.lsh_auto` observe metrics.
+    * On a gapped corpus the coarse bands cut candidate volume (law-tested
+    * on a synthetic fixture in `DedupAutoSpec`); on the adversarial test
+    * corpus the chooser falls back and the output is bit-identical to
+    * q_dedup_semantic — which is why both share one oracle. */
+  def semanticDedupAutoOf(e: DataFrame): DataFrame = {
+    val cfg = autoBandConfig(e)
+    semanticDedupOf(e, cfg.r, cfg.b).observe("graft.lsh_auto",
+      max(lit(cfg.r)).as("r"), max(lit(cfg.b)).as("b"),
+      max(lit(if (cfg.fallback) 1L else 0L)).as("fallback"),
+      max(lit(cfg.missBound)).as("miss_bound"))
   }
 
   private[operators] def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
@@ -888,7 +1003,7 @@ object Dedup {
   // cap (by design) drops candidates and the comparison fails on recall, not
   // on a bug — check the `graft.bucket_cap` observed metric first when
   // adjudicating a pair-set mismatch.
-  val oracle: Map[String, String] = Map(
+  private def oracleBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS content_hash, COUNT(*) AS n_docs,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
@@ -1120,4 +1235,10 @@ object Dedup {
         |FROM e t JOIN e b ON t.vec_id >= 50 AND b.vec_id < 50
         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
   )
+
+  /** q_dedup_semantic_auto is output-identical to q_dedup_semantic by
+    * construction (the auto-chooser only changes candidate generation,
+    * never the verified pair set), so it shares the same ground truth. */
+  val oracle: Map[String, String] =
+    oracleBase + ("q_dedup_semantic_auto" -> oracleBase("q_dedup_semantic"))
 }
