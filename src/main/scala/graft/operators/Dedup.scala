@@ -73,6 +73,18 @@ object Dedup {
     * cleaning composites, and clustering. Fused shingle+minhash evaluates
     * once per doc; shingle work for verification happens only on candidate
     * rows. */
+  /** Telemetry fence for OUTPUT-QUADRATIC pair queries (r9 verdict #6):
+    * on a replicated corpus the member-expanded pair set is the TRUE
+    * output size — every copy of A pairs with every copy of B — so a
+    * consumer who picks a pair form at scale gets a silently enormous
+    * job. The `graft.pair_count.<query>` observe metric makes that loud:
+    * production telemetry can alert on it, and the clusters/decision form
+    * of each family (`q_dedup_clusters*`, `q_multimodal_perceptual_
+    * clusters`, `q_dedup_semantic`) is the linear-output alternative.
+    * Asserted in `PairTelemetrySpec`. */
+  private[operators] def observePairs(df: DataFrame, name: String): DataFrame =
+    df.observe(s"graft.pair_count.$name", count(lit(1)).as("pairs_emitted"))
+
   private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame =
     minhashNearDupPairsOf(docs(s, dir))
 
@@ -477,8 +489,9 @@ object Dedup {
     // with exact shingle-set Jaccard ≥ 0.8. At the corpus' similarity
     // separation (dup pairs ≥0.98, background ≤0.1) LSH recall is ~1-1e-18,
     // so the output equals the exact all-pairs oracle.
-    "q_dedup_minhash_lsh" -> ((s, dir) =>
-      minhashNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_minhash_lsh" -> ((s, dir) => observePairs(
+      minhashNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+      "q_dedup_minhash_lsh")),
 
     // Incremental NEAR-dup admission — the steady-state crawl shape the
     // exact-fingerprint q_dedup_incremental can't cover: a new batch
@@ -607,7 +620,8 @@ object Dedup {
         .repartition(np)
         .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
         .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"))
-      cross.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
+      observePairs(cross.unionByName(within)
+        .orderBy(col("doc_a"), col("doc_b")), "q_dedup_simhash")
     }),
 
     // character-5-gram Jaccard, all-pairs — the O(n²) correctness baseline
@@ -627,6 +641,7 @@ object Dedup {
         .filter(col("jaccard5") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard5"))
         .orderBy(col("doc_a"), col("doc_b"))
+        .transform(observePairs(_, "q_dedup_ngram"))
     }),
 
     // the composite training-data preparation pipeline: drop near-dups
@@ -699,9 +714,11 @@ object Dedup {
         .filter(col("cos") >= 0.45)
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
+        .transform(observePairs(_, "q_dedup_embedding"))
     }),
 
-    "q_dedup_embedding_lsh" -> ((s, dir) => embeddingLshPairs(s, dir)),
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      observePairs(embeddingLshPairs(s, dir), "q_dedup_embedding_lsh")),
 
     // semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
     // arXiv:2303.09540): connected components over the embedding near-dup

@@ -661,7 +661,8 @@ object Multimodal {
         .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
         .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"),
           lit(0L).as("hamming"), lit(0L).as("pix_dist"))
-      expanded.unionByName(within).orderBy(col("doc_a"), col("doc_b"))
+      Dedup.observePairs(expanded.unionByName(within)
+        .orderBy(col("doc_a"), col("doc_b")), "q_multimodal_perceptual")
     }),
 
     // perceptual dedup DECISION: one keeper per connected component of the

@@ -396,14 +396,14 @@ object SimilarityJoins {
     // background similarity is an output-bound enumeration, not a join;
     // 0.9 sits above the floor (22 pairs at sf0.01) and scales.
     "q_cosine_pairs" -> ((s, dir) =>
-      cosinePrefixPairs(docs(s, dir), 0.9)
-        .orderBy(col("doc_a"), col("doc_b"))),
+      Dedup.observePairs(cosinePrefixPairs(docs(s, dir), 0.9)
+        .orderBy(col("doc_a"), col("doc_b")), "q_cosine_pairs")),
     "q_editdist_pairs" -> ((s, dir) =>
-      editDistancePairs(docs(s, dir), 30, 2)
-        .orderBy(col("doc_a"), col("doc_b"))),
+      Dedup.observePairs(editDistancePairs(docs(s, dir), 30, 2)
+        .orderBy(col("doc_a"), col("doc_b")), "q_editdist_pairs")),
     "q_block_sorted" -> ((s, dir) =>
-      sortedNeighborhoodPairs(docs(s, dir), 3)
-        .orderBy(col("doc_a"), col("doc_b"))),
+      Dedup.observePairs(sortedNeighborhoodPairs(docs(s, dir), 3)
+        .orderBy(col("doc_a"), col("doc_b")), "q_block_sorted")),
   )
 
   val oracle: Map[String, String] = Map(
