@@ -409,6 +409,40 @@ object Multimodal {
     }
   }
 
+  /** One row per detected SCENE of a decoded clip: contiguous frame runs
+    * between pixel-diff cuts — the segmentation a video-curation pipeline
+    * samples training frames from (one keyframe per scene beats every-Nth
+    * frame on redundancy). Cut detection is [[decodeVideoFeatures]]'s:
+    * Σ|Δpixel| ≥ 8·w·h between consecutive DECODED frames. */
+  case class VideoScene(doc_id: Long, scene_idx: Int, start_frame: Int,
+                        end_frame: Int, n_frames: Int)
+
+  def videoScenes(rows: Iterator[MediaRow]): Iterator[VideoScene] = {
+    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+    rows.flatMap { r =>
+      val (w, h, frames) = decodeVideoRasters(r.payload, r.doc_id)
+      val n = w * h
+      val out = scala.collection.mutable.ArrayBuffer.empty[VideoScene]
+      var sceneIdx = 0
+      var start = 0
+      var f = 1
+      while (f < frames.length) {
+        var sumAbs = 0L
+        var i = 0
+        while (i < n) { sumAbs += math.abs(frames(f)(i) - frames(f - 1)(i)); i += 1 }
+        if (sumAbs >= 8L * n) {
+          out += VideoScene(r.doc_id, sceneIdx, start, f - 1, f - start)
+          sceneIdx += 1
+          start = f
+        }
+        f += 1
+      }
+      out += VideoScene(r.doc_id, sceneIdx, start, frames.length - 1,
+        frames.length - start)
+      out
+    }
+  }
+
   /** Perceptual video fingerprint: the SEQUENCE of per-frame 8×8
     * NN-resampled rasters (the image family's perceptual unit applied
     * per frame), hashed to 16 bytes. Re-encoding-robust by construction —
@@ -789,6 +823,25 @@ object Multimodal {
           col("n_scenes").cast("long").as("n_scenes"),
           col("duration_ms"), col("mean_gray_first"), col("mean_gray_last"))
         .orderBy(col("doc_id"))
+    }),
+
+    // scene segmentation: one row per detected scene (contiguous frames
+    // between decoded-pixel cuts) — the sampling unit of frame-level
+    // curation (one keyframe per scene). Same codec scan shape as
+    // q_video_features; output is Σ scenes rows, linear in corpus.
+    "q_video_scenes" -> ((s, dir) => {
+      import s.implicits._
+      docIds(s, dir)
+        .mapPartitions { it =>
+          videoScenes(it.map(id => MediaRow(id, "video", encodeVideo(id))))
+        }
+        .toDF()
+        .select(col("doc_id"),
+          col("scene_idx").cast("long").as("scene_idx"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("end_frame").cast("long").as("end_frame"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("doc_id"), col("scene_idx"))
     }),
 
     // perceptual video dedup: decode → per-frame 8×8 NN-resample → the
@@ -1377,6 +1430,20 @@ object Multimodal {
         |  CAST(b0 + 12*(n_cuts % 2) + 2*((nf-1) % 2)
         |       + 7*(w-1)/2.0 + 13*(h-1)/2.0 AS DOUBLE) AS mean_gray_last
         |FROM c ORDER BY doc_id""".stripMargin,
+    // scene segmentation closed form: frame f's scene index = number of
+    // planted cuts in 1..f; the engine must recover it from decoded pixels
+    "q_video_scenes" ->
+      """WITH d AS (SELECT doc_id, 3 + (doc_id % 6) AS nf FROM documents),
+        |fr AS (SELECT doc_id, nf, r.f,
+        |         CAST(len(list_filter(range(1, r.f + 1),
+        |                g -> (doc_id + g) % 3 = 0)) AS BIGINT) AS scene_idx
+        |       FROM d, unnest(range(0, nf)) AS r(f))
+        |SELECT doc_id, scene_idx,
+        |  CAST(MIN(f) AS BIGINT) AS start_frame,
+        |  CAST(MAX(f) AS BIGINT) AS end_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM fr GROUP BY doc_id, scene_idx
+        |ORDER BY doc_id, scene_idx""".stripMargin,
     // the generator's video-equivalence classes: the clip is a pure
     // function of (d%6, d%4, d%29, d%3) and the fingerprint recovers each
     // factor (injectivity argued at videoFingerprint, pinned in

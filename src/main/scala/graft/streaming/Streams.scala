@@ -947,6 +947,35 @@ object Streams {
       .orderBy(col("keeper_doc_id"))
   }
 
+  /** Ingest-time perceptual video dedup — the third streaming codec leg:
+    * each arriving clip decodes through the real per-frame `javax.imageio`
+    * path ([[graft.operators.Multimodal.videoFingerprint]]), and state
+    * keys on the 16-byte frame-sequence fingerprint — one ~40-byte row per
+    * DISTINCT video content, bounded by unique clips, never stream length
+    * or frame count. Oracle: fingerprint classes ⟺ doc_id mod 348 (the
+    * bijection pinned in MultimodalSpec). */
+  def videoDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions) // see audioDedupStream
+      .as[Long]
+    val fp = ids.mapPartitions { it =>
+      graft.operators.Multimodal.videoFingerprint(it.map(id =>
+        graft.operators.Multimodal.MediaRow(id, "video",
+          graft.operators.Multimodal.encodeVideo(id))))
+    }.toDF()
+    val perClass = fp.groupBy(col("video_fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keeper_doc_id"), col("n_copies"))
+    runToTable(perClass, spark, OutputMode.Complete())
+      .orderBy(col("keeper_doc_id"))
+  }
+
   /** Ingest-time structural audio dedup: the [[multimodalDedupStream]]
     * discipline on the audio modality — decode each arriving WAV payload
     * (real SPI codec, per-partition parallel), key state on the
@@ -1039,6 +1068,7 @@ object Streams {
     "q_stream_dedup_pairs" -> ((s, dir) => streamingNearDupPairs(s, dir)),
     "q_stream_multimodal_dedup" -> ((s, dir) => multimodalDedupStream(s, dir)),
     "q_stream_audio_dedup" -> ((s, dir) => audioDedupStream(s, dir)),
+    "q_stream_video_dedup" -> ((s, dir) => videoDedupStream(s, dir)),
   )
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
@@ -1169,6 +1199,14 @@ object Streams {
     // first silent frame falls outside a 4-frame clip — so (n_frames, mask)
     // bijects with doc_id mod 35; exhaustively pinned in MultimodalSpec),
     // hence the generator's closed form applies directly
+    // video fingerprint classes biject with doc_id mod 348 (pinned in
+    // MultimodalSpec), so the generator's closed form applies directly
+    "q_stream_video_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY doc_id % 348
+        |ORDER BY keeper_doc_id""".stripMargin,
     "q_stream_audio_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

@@ -371,6 +371,25 @@ class MultimodalSpec extends SparkSpec {
     assert(fps.values.toSet.size == 348, "distinct classes collided")
   }
 
+  test("video scenes partition the frames at exactly the planted cuts") {
+    for (docId <- 0L until 48L) {
+      val scenes = Multimodal.videoScenes(Iterator(
+        MediaRow(docId, "video", Multimodal.encodeVideo(docId)))).toSeq
+      val nf = (3 + docId % 6).toInt
+      val cuts = (1 until nf).filter(f => (docId + f) % 3 == 0)
+      assert(scenes.length == cuts.size + 1, s"doc $docId scene count")
+      // scenes tile [0, nf) contiguously, breaking exactly at the cuts
+      assert(scenes.head.start_frame == 0 && scenes.last.end_frame == nf - 1)
+      scenes.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.start_frame == a.end_frame + 1, s"doc $docId gap")
+          assert(cuts.contains(b.start_frame), s"doc $docId false cut")
+        case _ =>
+      }
+      assert(scenes.map(_.n_frames).sum == nf)
+    }
+  }
+
   test("video fingerprint is re-encoding-robust (BMP frames, same pixels)") {
     val docId = 17L
     val nf = (3 + docId % 6).toInt
