@@ -443,6 +443,32 @@ object Multimodal {
     }
   }
 
+  /** Per-FRAME perceptual fingerprints of a decoded clip: one 16-byte
+    * hash of each frame's 8×8 resampled raster. The unit of frame-level
+    * video decontamination — a training clip that EMBEDS benchmark
+    * footage shares frame fingerprints even when the clips as wholes
+    * differ (fingerprint collision ⟺ raster equality ⟺ same (w, h,
+    * base) by the pinned injectivity). */
+  case class FrameFp(doc_id: Long, frame_fp: String)
+
+  def videoFrameFingerprints(rows: Iterator[MediaRow]): Iterator[FrameFp] = {
+    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.flatMap { r =>
+      val (w, h, frames) = decodeVideoRasters(r.payload, r.doc_id)
+      frames.map { px =>
+        val buf = java.nio.ByteBuffer.allocate(64 * 4)
+        var i = 0
+        while (i < 64) {
+          buf.putInt(px(((i / 8) * h / 8) * w + (i % 8) * w / 8))
+          i += 1
+        }
+        md.reset()
+        FrameFp(r.doc_id, md.digest(buf.array()).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   /** Perceptual video fingerprint: the SEQUENCE of per-frame 8×8
     * NN-resampled rasters (the image family's perceptual unit applied
     * per frame), hashed to 16 bytes. Re-encoding-robust by construction —
@@ -961,6 +987,36 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-modal benchmark decontamination, VIDEO edition — the frame-
+    // level gate: a training clip is contaminated when ANY of its decoded
+    // frames perceptually matches a frame of a bench clip (the "embedded
+    // benchmark footage" semantics — whole-clip fingerprints miss a clip
+    // that splices eval frames into new material). Bench slice doc_id <
+    // 50 as in the image/audio gates. 100 TB shape: the bench frame-
+    // fingerprint set is eval-suite-sized and BROADCASTS; training emits
+    // one 16-byte fingerprint per frame from a single codec scan, a
+    // left-semi against the broadcast set filters before the per-doc
+    // distinct count. Output: contaminated docs with their shared-frame
+    // census.
+    "q_decontaminate_video" -> ((s, dir) => {
+      import s.implicits._
+      def frameFps(pred: org.apache.spark.sql.Column) =
+        docIdsWhere(s, dir, pred)
+          .mapPartitions { it =>
+            videoFrameFingerprints(it.map(id =>
+              MediaRow(id, "video", encodeVideo(id))))
+          }
+          .toDF()
+      val bench = frameFps(col("doc_id") < 50)
+        .select(col("frame_fp")).distinct()
+      frameFps(col("doc_id") >= 50)
+        .join(broadcast(bench), Seq("frame_fp"), "left_semi")
+        .select(col("doc_id"), col("frame_fp")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JOINT multimodal dedup: a document duplicates another if its TEXT
     // matches (exact, or near-dup jaccard ≥ 0.8) OR its IMAGE matches
     // (byte-identical payload) — the any-modality recall-first gate of a
@@ -1430,6 +1486,24 @@ object Multimodal {
         |  CAST(b0 + 12*(n_cuts % 2) + 2*((nf-1) % 2)
         |       + 7*(w-1)/2.0 + 13*(h-1)/2.0 AS DOUBLE) AS mean_gray_last
         |FROM c ORDER BY doc_id""".stripMargin,
+    // video decontamination ground truth: frame fingerprint ⟺ the
+    // (w, h, base_f) tuple (raster injectivity), so shared frames reduce
+    // to tuple joins over the closed-form frame parameters
+    "q_decontaminate_video" ->
+      """WITH d AS (SELECT doc_id, 3 + (doc_id % 6) AS nf,
+        |             2*((doc_id % 6) + 2) AS w, 2*((doc_id % 4) + 2) AS h
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h,
+        |         (doc_id % 29)
+        |         + 12 * (CAST(len(list_filter(range(1, r.f + 1),
+        |                  g -> (doc_id + g) % 3 = 0)) AS BIGINT) % 2)
+        |         + 2 * (r.f % 2) AS base
+        |       FROM d, unnest(range(0, nf)) AS r(f)),
+        |b AS (SELECT DISTINCT w, h, base FROM fr WHERE doc_id < 50),
+        |t AS (SELECT DISTINCT doc_id, w, h, base FROM fr WHERE doc_id >= 50)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+        |FROM t JOIN b USING (w, h, base)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // scene segmentation closed form: frame f's scene index = number of
     // planted cuts in 1..f; the engine must recover it from decoded pixels
     "q_video_scenes" ->

@@ -390,6 +390,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video decontamination: a spliced benchmark frame is caught frame-level") {
+    // the law behind q_decontaminate_video: a training clip that EMBEDS
+    // one benchmark frame inside otherwise-novel footage shares exactly
+    // that one frame fingerprint — whole-clip fingerprints would miss it
+    val benchId = 7L
+    val benchBytes = Multimodal.encodeVideo(benchId)
+    val benchFps = Multimodal.videoFrameFingerprints(
+      Iterator(MediaRow(benchId, "video", benchBytes))).map(_.frame_fp).toSet
+    // pull bench frame 1's PNG out of the container
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(benchBytes))
+    in.readInt(); in.readInt()
+    val f0len = in.readInt(); in.skipBytes(f0len)
+    val f1len = in.readInt()
+    val benchFrame = new Array[Byte](f1len); in.readFully(benchFrame)
+    // novel frames with the same geometry (w=6, h=10 for doc 7) but bases
+    // no bench frame uses (doc 7 bases live in {7..21})
+    val (w, h) = (6, 10)
+    def freshFrame(base: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, base + 7 * x + 13 * y)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Multimodal.VideoMagic); out.writeInt(3)
+    for (fb <- Seq(freshFrame(40), benchFrame, freshFrame(44))) {
+      out.writeInt(fb.length); out.write(fb)
+    }
+    out.flush()
+    val fps = Multimodal.videoFrameFingerprints(
+      Iterator(MediaRow(999L, "video", bos.toByteArray))).map(_.frame_fp).toSeq
+    assert(fps.count(benchFps) == 1, "exactly the spliced frame must match")
+  }
+
   test("video fingerprint is re-encoding-robust (BMP frames, same pixels)") {
     val docId = 17L
     val nf = (3 + docId % 6).toInt
