@@ -46,9 +46,8 @@ object Multimodal {
     * 64·p(i) > Σp — the integer form of p(i) > mean(p), immune to float
     * rounding on the threshold. */
   def perceptualHash(rows: Iterator[MediaRow]): Iterator[PerceptualRow] = {
-    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
     rows.map { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      val img = decodeImageBytes(r.payload)
       require(img != null, s"undecodable payload for doc ${r.doc_id}")
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
@@ -72,9 +71,66 @@ object Multimodal {
   @inline private def geom(docId: Long): (Int, Int, Int) =
     (2 * ((docId % 6) + 2).toInt, 2 * ((docId % 4) + 2).toInt, (docId % 32).toInt)
 
+  /** Image codec SPI handles, resolved ONCE per JVM — the [[wavWriter]]
+    * lesson, image edition (found by the round-10 jstack of a 32-thread
+    * video probe): `ImageIO.read`/`ImageIO.write` perform a SYNCHRONIZED
+    * SPI-registry lookup per call (`getImageWriters` →
+    * `ServiceRegistry.getServiceProviders` locks the category SubRegistry
+    * monitor), and the probe caught 5–14 of 32 executor threads BLOCKED
+    * on that monitor. Round 9's `setUseCache(false)` removed the disk-
+    * cache lock but not this one. The SPI objects are stateless
+    * factories; per-call reader/writer INSTANCES are cheap constructions
+    * that touch no registry. */
+  private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      .getOriginatingProvider // one registry hit per JVM
+
+  private lazy val imageReaderSpis: Array[javax.imageio.spi.ImageReaderSpi] = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      .asScala.toArray
+  }
+
+  /** Registry-free `ImageIO.write(img, "png", …)`. */
+  private def encodeToPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = pngWriterSpi.createWriterInstance()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { writer.setOutput(ios); writer.write(img); ios.flush() }
+    finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Registry-free `ImageIO.read` over arbitrary supported formats (the
+    * perceptual gates must accept re-encoded payloads — BMP in the spec
+    * laws): probe the once-resolved reader SPIs with `canDecodeInput`,
+    * mark/reset around each probe exactly as `ImageIO.read` does.
+    * Returns null on an undecodable payload (callers `require` non-null
+    * with the doc id, as before). */
+  private[operators] def decodeImageBytes(bytes: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val spi = imageReaderSpis.find { s =>
+      iis.mark()
+      val ok = try s.canDecodeInput(iis)
+      catch { case _: java.io.IOException => false }
+      iis.reset()
+      ok
+    }
+    spi match {
+      case None => iis.close(); null
+      case Some(p) =>
+        val reader = p.createReaderInstance()
+        try { reader.setInput(iis, true, true); reader.read(0) }
+        finally { reader.dispose(); iis.close() }
+    }
+  }
+
   /** Encode ONE gray test-pattern frame gray(x,y) = base + 7x + 13y as a
-    * real PNG via javax.imageio (shared by the still-image and video
-    * paths; callers guarantee base + 7(w−1) + 13(h−1) < 256). */
+    * real PNG via the resolved codec SPI (shared by the still-image and
+    * video paths; callers guarantee base + 7(w−1) + 13(h−1) < 256). */
   private def encodePngPattern(w: Int, h: Int, base: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -85,9 +141,7 @@ object Multimodal {
       while (x < w) { raster.setSample(x, y, 0, base + 7 * x + 13 * y); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodeToPng(img)
   }
 
   /** Encode the doc's test pattern as a real PNG via javax.imageio. */
@@ -283,7 +337,6 @@ object Multimodal {
   case class ImageFp(doc_id: Long, fp_md5: String, p: Array[Int], ahash: Long)
 
   def imageFingerprints(rows: Iterator[MediaRow]): Iterator[ImageFp] = {
-    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.map { r =>
       md.reset()
@@ -358,7 +411,7 @@ object Multimodal {
       val len = in.readInt()
       val bytes = new Array[Byte](len)
       in.readFully(bytes)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = decodeImageBytes(bytes)
       require(img != null, s"undecodable frame $f for doc $docId")
       if (f == 0) { w = img.getWidth; h = img.getHeight }
       else require(img.getWidth == w && img.getHeight == h,
@@ -386,7 +439,6 @@ object Multimodal {
                            mean_gray_last: Double)
 
   def decodeVideoFeatures(rows: Iterator[MediaRow]): Iterator[VideoFeatures] = {
-    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
     rows.map { r =>
       val (w, h, frames) = decodeVideoRasters(r.payload, r.doc_id)
       val n = w * h
@@ -418,7 +470,6 @@ object Multimodal {
                         end_frame: Int, n_frames: Int)
 
   def videoScenes(rows: Iterator[MediaRow]): Iterator[VideoScene] = {
-    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
     rows.flatMap { r =>
       val (w, h, frames) = decodeVideoRasters(r.payload, r.doc_id)
       val n = w * h
@@ -452,7 +503,6 @@ object Multimodal {
   case class FrameFp(doc_id: Long, frame_fp: String)
 
   def videoFrameFingerprints(rows: Iterator[MediaRow]): Iterator[FrameFp] = {
-    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.flatMap { r =>
       val (w, h, frames) = decodeVideoRasters(r.payload, r.doc_id)
@@ -481,10 +531,12 @@ object Multimodal {
   case class VideoClass(doc_id: Long, n_frames: Int, video_fp: String)
 
   def videoFingerprint(rows: Iterator[MediaRow]): Iterator[VideoClass] = {
-    javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+    // one digest per partition (getInstance is a provider lookup), reset
+    // per row — the imageFingerprints discipline
+    val md = java.security.MessageDigest.getInstance("MD5")
     rows.map { r =>
       val (w, h, frames) = decodeVideoRasters(r.payload, r.doc_id)
-      val md = java.security.MessageDigest.getInstance("MD5")
+      md.reset()
       val buf = java.nio.ByteBuffer.allocate(4 + frames.length * 64 * 4)
       buf.putInt(frames.length)
       frames.foreach { px =>
@@ -500,18 +552,19 @@ object Multimodal {
   }
 
   /** Batched decode + feature-extract: per-partition iterator, one real
-    * `ImageIO.read` per row, stats and a genuine 2×2 box-average downscale
+    * PNG decode per row (registry-free — see [[decodeImageBytes]]), stats
+    * and a genuine 2×2 box-average downscale
     * computed from the DECODED raster (not from the generator's formula —
     * the oracle's closed form is only valid because PNG round-trips
     * losslessly, which `MultimodalSpec` pins). */
   def decodeImages(rows: Iterator[MediaRow]): Iterator[ImageFeatures] = {
-    // per-partition codec setup: ImageIO defaults to a DISK-backed stream
-    // cache behind a static lock — at 32 concurrent tasks the decode
-    // serializes on it (measured 3× super-linear at the 100× probe).
-    // Payloads are in-memory byte arrays; cache off = pure-memory streams.
-    javax.imageio.ImageIO.setUseCache(false)
+    // codec history: round 9 found ImageIO's DISK-backed stream cache
+    // behind a static lock (3× super-linear at the 100× probe; fixed with
+    // setUseCache(false)); round 10's jstack then found the per-call SPI
+    // REGISTRY lookup monitor — decodeImageBytes resolves the SPIs once
+    // and uses explicit memory streams, removing both.
     rows.map { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      val img = decodeImageBytes(r.payload)
       require(img != null, s"undecodable payload for doc ${r.doc_id}")
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
@@ -662,7 +715,6 @@ object Multimodal {
       import s.implicits._
       docIds(s, dir)
         .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
           it.map(id => MediaRow(id, "image", encodePng(id)))
         }
         .toDF()
@@ -761,7 +813,6 @@ object Multimodal {
       import s.implicits._
       docIds(s, dir)
         .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
           it.map(id => MediaRow(id, "image", encodePng(id)))
         }
         .mapPartitions(decodeImages)
@@ -1046,7 +1097,6 @@ object Multimodal {
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       val img = docIds(s, dir)
         .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
           it.map(id => MediaRow(id, "image", encodePng(id)))
         }
         .toDF()
@@ -1162,7 +1212,6 @@ object Multimodal {
       def imgFps(pred: org.apache.spark.sql.Column) =
         docIdsWhere(s, dir, pred)
           .mapPartitions { it =>
-            javax.imageio.ImageIO.setUseCache(false) // see decodeImages
             it.map(id => MediaRow(id, "image", encodePng(id)))
           }
           .toDF()
@@ -1207,7 +1256,6 @@ object Multimodal {
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       val img = docIds(s, dir)
         .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false) // see decodeImages
           it.map(id => MediaRow(id, "image", encodePng(id)))
         }
         .toDF()

@@ -842,7 +842,6 @@ object Streams {
       .repartition(np) // codec fan-out at full width (docIds lesson)
       .as[Long]
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
         it.map(id => Multimodal.MediaRow(id, "image", Multimodal.encodePng(id)))
       }
       .toDF()
@@ -865,7 +864,6 @@ object Streams {
       .repartition(np) // per micro-batch, see audioDedupStream
       .as[Long]
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
         it.map(id => Multimodal.MediaRow(id, "image", Multimodal.encodePng(id)))
       }
       .toDF()
