@@ -1235,6 +1235,103 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental joint admission with a PERCEPTUAL image gate — the
+    // recall-complete form of q_dedup_joint_incremental: a mirrored-page
+    // arrival re-encodes its image (different bytes, same pixels), so the
+    // byte-md5 gate admits it; the raster-class + Hamming-banded
+    // perceptual gate still rejects. Adds the `image_perceptual` flag
+    // (⊇ image_exact, distance-0 included). 100 TB shape: both sides
+    // collapse to raster classes before the 4×16-bit Hamming band
+    // equi-join (batch classes × store classes only — never store ×
+    // store), exact (hamming, Σ|Δpixel|) verify on candidates; the other
+    // gates are q_dedup_joint_incremental's, unchanged.
+    "q_dedup_joint_incremental_perceptual" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Sketches
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val store = d.filter(col("doc_id") % 10 =!= 0)
+      val exactHits = batch
+        .join(store.select(col("text")).distinct(), Seq("text"), "left_semi")
+        .select(col("doc_id"), lit(true).as("text_exact"))
+      def bandedCls(df: DataFrame, idCol: String, txtCol: String) = df
+        .withColumn("w", split(col(txtCol), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col(idCol), col(txtCol), posexplode(Sketches.bandhashes(
+          Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+          .as(Seq("band_idx", "band_hash")))
+      val bCls = batch.groupBy(col("text")).agg(min(col("doc_id")).as("bid"))
+        .select(col("bid"), col("text").as("text_b"))
+      val sCls = store.select(col("text").as("text_s")).distinct()
+        .withColumn("sid", monotonically_increasing_id())
+      val ndTexts = bandedCls(bCls, "bid", "text_b")
+        .join(bandedCls(sCls, "sid", "text_s"), Seq("band_idx", "band_hash"))
+        .select(col("bid"), col("text_b"), col("text_s")).distinct()
+        .filter(Sketches.jaccardShingles(col("text_b"), col("text_s"), 3) >= 0.8)
+        .select(col("bid"), col("text_b")).distinct()
+      val ndHits = batch
+        .join(ndTexts.select(col("text_b").as("text")), Seq("text"), "left_semi")
+        .select(col("doc_id"), lit(true).as("text_neardup"))
+      // image gates share ONE codec scan per side: md5 (exact) and the
+      // 8×8 raster + aHash (perceptual) from imageFingerprints
+      def imgFps(pred: org.apache.spark.sql.Column) =
+        docIdsWhere(s, dir, pred)
+          .mapPartitions { it =>
+            imageFingerprints(it.map(id => MediaRow(id, "image", encodePng(id))))
+          }
+          .toDF()
+      val bImg = imgFps(col("doc_id") % 10 === 0)
+      val sImg = imgFps(col("doc_id") % 10 =!= 0)
+      val imgHits = bImg
+        .join(sImg.select(col("fp_md5")).distinct(), Seq("fp_md5"), "left_semi")
+        .select(col("doc_id"), lit(true).as("image_exact"))
+      // perceptual: batch raster classes × store raster classes via
+      // Hamming bands (pigeonhole-complete at hamming ≤ 3)
+      def rasterCls(df: DataFrame) = df
+        .groupBy(col("fp_md5")) // md5 ⟺ raster class (pinned injectivity)
+        .agg(first(col("p")).as("p"), first(col("ahash")).as("ahash"))
+      def bands(df: DataFrame, fpCol: String) = df
+        .select(col("fp_md5").as(fpCol), col("ahash"),
+          explode(sequence(lit(0), lit(3))).as("band_idx"))
+        .withColumn("band_val",
+          expr("shiftrightunsigned(ahash, band_idx * 16) & 65535"))
+        .select(col(fpCol), col("band_idx"), col("band_val"))
+      val bRc = rasterCls(bImg)
+      val sRc = rasterCls(sImg)
+      val percTrainClasses = bands(bRc, "b_fp")
+        .join(bands(sRc, "s_fp"), Seq("band_idx", "band_val"))
+        .select(col("b_fp"), col("s_fp")).distinct()
+        .join(bRc.select(col("fp_md5").as("b_fp"), col("p").as("bp"),
+          col("ahash").as("bh")), "b_fp")
+        .join(sRc.select(col("fp_md5").as("s_fp"), col("p").as("sp"),
+          col("ahash").as("sh")), "s_fp")
+        .filter(expr("bit_count(bh ^ sh)") <= 3)
+        .withColumn("pix_dist",
+          aggregate(zip_with(col("bp"), col("sp"), (a, b) => abs(a - b)),
+            lit(0L), (acc, x) => acc + x.cast("long")))
+        .filter(col("pix_dist") <= 512)
+        .select(col("b_fp").as("fp_md5")).distinct()
+      val percHits = bImg
+        .join(percTrainClasses, Seq("fp_md5"), "left_semi")
+        .select(col("doc_id"), lit(true).as("image_perceptual"))
+      batch.select(col("doc_id"))
+        .join(exactHits, Seq("doc_id"), "left_outer")
+        .join(ndHits, Seq("doc_id"), "left_outer")
+        .join(imgHits, Seq("doc_id"), "left_outer")
+        .join(percHits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("text_exact"), lit(false)).as("text_exact"),
+          coalesce(col("text_neardup"), lit(false)).as("text_neardup"),
+          coalesce(col("image_exact"), lit(false)).as("image_exact"),
+          coalesce(col("image_perceptual"), lit(false)).as("image_perceptual"))
+        .withColumn("admitted",
+          !(col("text_exact") || col("text_neardup") || col("image_exact")
+            || col("image_perceptual")))
+        .select(col("doc_id"), col("admitted"), col("text_exact"),
+          col("text_neardup"), col("image_exact"), col("image_perceptual"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STRICT-form joint dedup: a duplicate must match on BOTH modalities —
     // near-dup text (exact, or jaccard ≥ 0.8) AND byte-identical image —
     // the "same article with the same picture" semantics of syndication
@@ -1468,6 +1565,64 @@ object Multimodal {
         |LEFT JOIN ex ON ex.doc_id = b.doc_id
         |LEFT JOIN nd ON nd.doc_id = b.doc_id
         |LEFT JOIN im ON im.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // perceptual joint admission ground truth: the perceptual predicate
+    // evaluated on the 96 closed-form IMAGE CLASSES (doc_id mod 96 —
+    // raster injectivity makes class-level evaluation exact), then joined
+    // back to docs; the other gates are q_dedup_joint_incremental's
+    "q_dedup_joint_incremental_perceptual" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
+        |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.text = c.text),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM t),
+        |sg AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w)-1)]) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |nd AS (SELECT DISTINCT bs.doc_id
+        |       FROM (SELECT * FROM sg WHERE doc_id % 10 = 0) bs,
+        |            (SELECT * FROM sg WHERE doc_id % 10 <> 0) cs
+        |       WHERE CAST(len(list_intersect(bs.sh, cs.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(bs.sh, cs.sh))) >= 0.8),
+        |im AS (SELECT DISTINCT b2.doc_id
+        |       FROM (SELECT doc_id, doc_id % 96 AS icls FROM documents
+        |             WHERE doc_id % 10 = 0) b2
+        |       JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
+        |             WHERE doc_id % 10 <> 0) c2 USING (icls)),
+        |cl AS (SELECT c96.c AS icls,
+        |         2*((c96.c % 6) + 2) AS w, 2*((c96.c % 4) + 2) AS h,
+        |         c96.c % 32 AS base
+        |       FROM (SELECT unnest(range(0, 96)) AS c) c96),
+        |r AS (SELECT icls, list_transform(range(0, 64), i ->
+        |        base + 7 * (((i % 8) * w) // 8)
+        |             + 13 * (((i // 8) * h) // 8)) AS p
+        |      FROM cl),
+        |s AS (SELECT icls, p, list_sum(p) AS sp FROM r),
+        |pm AS (SELECT a.icls AS ca, bb.icls AS cb FROM s a, s bb
+        |       WHERE list_sum(list_transform(range(0, 64), i ->
+        |               CASE WHEN (64*a.p[i+1] > a.sp) <> (64*bb.p[i+1] > bb.sp)
+        |                    THEN 1 ELSE 0 END)) <= 3
+        |         AND list_sum(list_transform(range(0, 64), i ->
+        |               abs(a.p[i+1] - bb.p[i+1]))) <= 512),
+        |imp AS (SELECT DISTINCT b3.doc_id
+        |        FROM (SELECT doc_id, doc_id % 96 AS icls FROM documents
+        |              WHERE doc_id % 10 = 0) b3
+        |        JOIN pm ON pm.ca = b3.icls
+        |        JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
+        |              WHERE doc_id % 10 <> 0) c3 ON c3.icls = pm.cb)
+        |SELECT b.doc_id,
+        |  (ex.doc_id IS NULL AND nd.doc_id IS NULL AND im.doc_id IS NULL
+        |   AND imp.doc_id IS NULL) AS admitted,
+        |  ex.doc_id IS NOT NULL AS text_exact,
+        |  nd.doc_id IS NOT NULL AS text_neardup,
+        |  im.doc_id IS NOT NULL AS image_exact,
+        |  imp.doc_id IS NOT NULL AS image_perceptual
+        |FROM b
+        |LEFT JOIN ex ON ex.doc_id = b.doc_id
+        |LEFT JOIN nd ON nd.doc_id = b.doc_id
+        |LEFT JOIN im ON im.doc_id = b.doc_id
+        |LEFT JOIN imp ON imp.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     // cross-modal image decontamination ground truth: the perceptual
     // predicate over closed-form pixels, evaluated all-pairs training ×

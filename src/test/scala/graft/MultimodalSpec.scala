@@ -507,6 +507,19 @@ class MultimodalSpec extends SparkSpec {
         s"rejected $d has no store member in its joint cluster")
   }
 
+  test("perceptual joint admission: gate monotonicity laws") {
+    val p = Queries.all("q_dedup_joint_incremental_perceptual")(spark, sfDir)
+      .collect()
+    // byte-identical ⇒ perceptually identical (distance 0)
+    p.foreach(r => assert(!r.getBoolean(4) || r.getBoolean(5),
+      s"doc ${r.getLong(0)}: image_exact without image_perceptual"))
+    // the perceptual form only ever REJECTS MORE than the md5 form
+    val md5Admitted = Queries.all("q_dedup_joint_incremental")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    p.foreach(r => assert(!r.getBoolean(1) || md5Admitted(r.getLong(0)),
+      s"doc ${r.getLong(0)}: admitted here but rejected by the md5 form"))
+  }
+
   test("dedup census: per-source identities and cross-check vs direct counts") {
     import org.apache.spark.sql.functions._
     val rows = Queries.all("q_dedup_census")(spark, sfDir).collect()
