@@ -108,7 +108,7 @@ object Multimodal {
     * mark/reset around each probe exactly as `ImageIO.read` does.
     * Returns null on an undecodable payload (callers `require` non-null
     * with the doc id, as before). */
-  private[operators] def decodeImageBytes(bytes: Array[Byte])
+  private[graft] def decodeImageBytes(bytes: Array[Byte])
       : java.awt.image.BufferedImage = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
