@@ -83,6 +83,14 @@ object Dedup {
     * clusters`, `q_dedup_semantic`) is the linear-output alternative.
     * Asserted in `PairTelemetrySpec`. */
   private[operators] def observePairs(df: DataFrame, name: String): DataFrame =
+    // ABOVE any presentation sort, never below: a global orderBy's range-
+    // partitioner SAMPLES its child — a CollectMetrics below the sort is
+    // executed twice and double-counts (caught by PairTelemetrySpec).
+    // The flip side, measured: above the sort the node blocks
+    // EliminateSorts, so checksum/bench consumers pay the presentation
+    // sort (and its sampling re-execution of the child) that r9's
+    // unobserved plans had optimized away — see BENCH_SCALING round 10.
+    // Exact telemetry beats a faster-but-lying bench row.
     df.observe(s"graft.pair_count.$name", count(lit(1)).as("pairs_emitted"))
 
   private[graft] def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame =
@@ -489,9 +497,9 @@ object Dedup {
     // with exact shingle-set Jaccard ≥ 0.8. At the corpus' similarity
     // separation (dup pairs ≥0.98, background ≤0.1) LSH recall is ~1-1e-18,
     // so the output equals the exact all-pairs oracle.
-    "q_dedup_minhash_lsh" -> ((s, dir) => observePairs(
-      minhashNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
-      "q_dedup_minhash_lsh")),
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      observePairs(minhashNearDupPairs(s, dir)
+        .orderBy(col("doc_a"), col("doc_b")), "q_dedup_minhash_lsh")),
 
     // Incremental NEAR-dup admission — the steady-state crawl shape the
     // exact-fingerprint q_dedup_incremental can't cover: a new batch
@@ -718,7 +726,8 @@ object Dedup {
     }),
 
     "q_dedup_embedding_lsh" -> ((s, dir) =>
-      observePairs(embeddingLshPairs(s, dir), "q_dedup_embedding_lsh")),
+      observePairs(embeddingLshPairs(s, dir)
+        .orderBy(col("vec_a"), col("vec_b")), "q_dedup_embedding_lsh")),
 
     // semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
     // arXiv:2303.09540): connected components over the embedding near-dup
@@ -986,7 +995,6 @@ object Dedup {
       .select(col("pk.a").as("vec_a"), col("pk.b").as("vec_b"), col("cos"))
     expanded.unionByName(within)
       .select(col("vec_a"), col("vec_b"), col("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   private[operators] val exactPairsSql =
