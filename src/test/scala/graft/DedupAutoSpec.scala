@@ -91,6 +91,7 @@ class DedupAutoSpec extends SparkSpec {
     }
     val candDefault = candCount(4, 64)
     val candAuto = candCount(cfg.r, cfg.b)
+    info(s"candidates: default(4,64)=$candDefault auto(${cfg.r},${cfg.b})=$candAuto")
     assert(candAuto < candDefault / 2,
       s"auto config must at least halve candidates: $candAuto vs $candDefault")
     // recall intact: the verified dedup decision is identical
