@@ -773,8 +773,8 @@ object Multimodal {
         .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
         .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"),
           lit(0L).as("hamming"), lit(0L).as("pix_dist"))
-      Dedup.observePairs(expanded.unionByName(within)
-        .orderBy(col("doc_a"), col("doc_b")), "q_multimodal_perceptual")
+      Dedup.observePairs(expanded.unionByName(within),
+        "q_multimodal_perceptual", col("doc_a"), col("doc_b"))
     }),
 
     // perceptual dedup DECISION: one keeper per connected component of the

@@ -396,14 +396,14 @@ object SimilarityJoins {
     // background similarity is an output-bound enumeration, not a join;
     // 0.9 sits above the floor (22 pairs at sf0.01) and scales.
     "q_cosine_pairs" -> ((s, dir) =>
-      Dedup.observePairs(cosinePrefixPairs(docs(s, dir), 0.9)
-        .orderBy(col("doc_a"), col("doc_b")), "q_cosine_pairs")),
+      Dedup.observePairs(cosinePrefixPairs(docs(s, dir), 0.9),
+        "q_cosine_pairs", col("doc_a"), col("doc_b"))),
     "q_editdist_pairs" -> ((s, dir) =>
-      Dedup.observePairs(editDistancePairs(docs(s, dir), 30, 2)
-        .orderBy(col("doc_a"), col("doc_b")), "q_editdist_pairs")),
+      Dedup.observePairs(editDistancePairs(docs(s, dir), 30, 2),
+        "q_editdist_pairs", col("doc_a"), col("doc_b"))),
     "q_block_sorted" -> ((s, dir) =>
-      Dedup.observePairs(sortedNeighborhoodPairs(docs(s, dir), 3)
-        .orderBy(col("doc_a"), col("doc_b")), "q_block_sorted")),
+      Dedup.observePairs(sortedNeighborhoodPairs(docs(s, dir), 3),
+        "q_block_sorted", col("doc_a"), col("doc_b"))),
   )
 
   val oracle: Map[String, String] = Map(

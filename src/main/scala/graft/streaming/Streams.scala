@@ -827,7 +827,14 @@ object Streams {
     val np = spark.sessionState.conf.numShufflePartitions
     val store = graft.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 10 =!= 0)
-    val storeTexts = store.select(col("text")).distinct()
+    // PERSISTED for real (r10 advice): the static side of a stream-static
+    // join is re-evaluated on EVERY micro-batch, and storeImg is the most
+    // expensive index in the query (a full encodePng+md5 codec scan of
+    // ~90% of the corpus). Without an explicit persist each micro-batch
+    // re-runs all three index scans; with it they're computed once and
+    // served from block storage. Unpersisted after the bounded
+    // AvailableNow run completes.
+    val storeTexts = store.select(col("text")).distinct().persist()
     def banded(df: DataFrame, carry: Seq[String], txt: String) = df
       .withColumn("w", split(col(txt), " "))
       .filter(size(col("w")) >= 3)
@@ -835,7 +842,7 @@ object Streams {
         Sketches.shingleMinhashes(col("w"), 3, 64), 4))
         .as(Seq("band_idx", "band_hash")): _*)
     val storeSig = banded(storeTexts.select(col("text").as("text_o")),
-      Seq.empty, "text_o")
+      Seq.empty, "text_o").persist()
     val storeImg = graft.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"))
@@ -845,7 +852,7 @@ object Streams {
         it.map(id => Multimodal.MediaRow(id, "image", Multimodal.encodePng(id)))
       }
       .toDF()
-      .select(md5(col("payload")).as("img_fp")).distinct()
+      .select(md5(col("payload")).as("img_fp")).distinct().persist()
     def arriving() = spark.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -879,7 +886,10 @@ object Streams {
           .as("text_neardup"),
         (max(when(col("gate") === "image_exact", 1).otherwise(0)) === 1)
           .as("image_exact"))
-    runToTable(rejects, spark, OutputMode.Complete()).orderBy(col("doc_id"))
+    val out = runToTable(rejects, spark, OutputMode.Complete())
+    // the memory sink has materialized the result; the indexes can go
+    storeTexts.unpersist(); storeSig.unpersist(); storeImg.unpersist()
+    out.orderBy(col("doc_id"))
   }
 
   def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
@@ -1197,6 +1207,12 @@ object Streams {
     // first silent frame falls outside a 4-frame clip — so (n_frames, mask)
     // bijects with doc_id mod 35; exhaustively pinned in MultimodalSpec),
     // hence the generator's closed form applies directly
+    "q_stream_audio_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY doc_id % 35
+        |ORDER BY keeper_doc_id""".stripMargin,
     // video fingerprint classes biject with doc_id mod 348 (pinned in
     // MultimodalSpec), so the generator's closed form applies directly
     "q_stream_video_dedup" ->
@@ -1204,12 +1220,6 @@ object Streams {
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents
         |GROUP BY doc_id % 348
-        |ORDER BY keeper_doc_id""".stripMargin,
-    "q_stream_audio_dedup" ->
-      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
-        |       CAST(count(*) AS BIGINT) AS n_copies
-        |FROM documents
-        |GROUP BY doc_id % 35
         |ORDER BY keeper_doc_id""".stripMargin,
     // exact while every duplicate group spans < the 1-day lateness window
     // (see dedupWindowedCount's contract scaladoc)
