@@ -1068,30 +1068,35 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
-    // JOINT multimodal dedup: a document duplicates another if its TEXT
-    // matches (exact, or near-dup jaccard ≥ 0.8) OR its IMAGE matches
-    // (byte-identical payload) — the any-modality recall-first gate of a
-    // multimodal crawl, where mirrored pages keep the text but re-encode
-    // the image and scraped duplicates keep the image but truncate the
-    // text. Output: one row per doc with its cluster representative and
-    // size, components over the union graph of both modalities.
+    // JOINT multimodal dedup: a document duplicates another if ANY of its
+    // modalities matches — TEXT (exact, or near-dup jaccard ≥ 0.8), IMAGE
+    // (byte-identical payload), AUDIO (silence-structure class from the
+    // decoded PCM), or VIDEO (sequence fingerprint from the decoded
+    // frames; r10 verdict #2 completed the matrix) — the any-modality
+    // recall-first gate of a multimodal crawl, where mirrored pages keep
+    // the text but re-encode the image and scraped duplicates keep the
+    // media but truncate the text. Output: one row per doc with its
+    // cluster representative and size, components over the union graph of
+    // all four modalities.
     //
     // The 100 TB discipline is what this query exists to demonstrate:
-    // modality-equality cliques are NEVER materialized (an image shared by
-    // m docs is a C(m,2) clique — quadratic in replication). Each
+    // modality-equality cliques are NEVER materialized (a payload shared
+    // by m docs is a C(m,2) clique — quadratic in replication). Each
     // equality class instead contributes a STAR to its minimum member,
-    // and components run on the BIPARTITE CLASS GRAPH — nodes are text-
-    // class reps and image-class reps (both min-doc_ids), edges are the
-    // distinct (text-rep, image-rep) combos plus the text near-dup rep
-    // pairs — so LSS touches |distinct texts| + |distinct images| nodes,
-    // not the corpus. Per-doc labels come back through one equi-join on
-    // the doc's text rep (sound: doc ~ its text rep by construction, and
-    // the component min over rep nodes IS the min member doc_id, since
-    // the min doc of any component is the rep of its own text class).
-    // Image classes group by md5 OF THE REAL ENCODED BYTES; the oracle
-    // uses the generator's (doc_id mod 6/4/32) classes — the equivalence
-    // q_multimodal_dedup pins — and the near-dup edge set shares
-    // q_dedup_minhash_lsh's exact-recall-on-this-corpus guarantee.
+    // and components run on the MULTIPARTITE CLASS GRAPH — nodes are
+    // text-class reps and per-modality class reps (all min-doc_ids),
+    // edges are the distinct (text-rep, modality-rep) combos plus the
+    // text near-dup rep pairs — so LSS touches Σ |distinct classes|
+    // nodes, not the corpus. Per-doc labels come back through one
+    // equi-join on the doc's text rep (sound: doc ~ its text rep by
+    // construction, and the component min over rep nodes IS the min
+    // member doc_id, since the min doc of any component is the rep of its
+    // own text class). Every modality class groups by a fingerprint of
+    // the REAL DECODED payload; the oracle uses the generator's closed
+    // forms — image (doc_id mod 6/4/32), audio (mod 35), video (mod 348),
+    // the bijections q_multimodal_dedup / MultimodalSpec pin — and the
+    // near-dup edge set shares q_dedup_minhash_lsh's
+    // exact-recall-on-this-corpus guarantee.
     "q_dedup_joint" -> ((s, dir) => {
       import s.implicits._
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1105,15 +1110,40 @@ object Multimodal {
         .join(img.groupBy(col("img_fp")).agg(min(col("doc_id")).as("img_rep")),
           "img_fp")
         .select(col("doc_id"), col("img_rep"))
+      val aud = docIds(s, dir)
+        .mapPartitions { it =>
+          audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
+        }
+        .toDF()
+        .select(col("doc_id"),
+          struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
+      val withAud = aud
+        .join(aud.groupBy(col("aud_cls")).agg(min(col("doc_id")).as("aud_rep")),
+          "aud_cls")
+        .select(col("doc_id"), col("aud_rep"))
+      val vid = docIds(s, dir)
+        .mapPartitions { it =>
+          videoFingerprint(it.map(id => MediaRow(id, "video", encodeVideo(id))))
+        }
+        .toDF()
+        .select(col("doc_id"), col("video_fp"))
+      val withVid = vid
+        .join(vid.groupBy(col("video_fp")).agg(min(col("doc_id")).as("vid_rep")),
+          "video_fp")
+        .select(col("doc_id"), col("vid_rep"))
       val tg = d.groupBy(col("text")).agg(min(col("doc_id")).as("gid"))
       val withGid = d.join(tg, "text").select(col("doc_id"), col("gid"))
-      val combos = withGid.join(withImg, "doc_id")
-        .select(col("gid"), col("img_rep")).distinct()
+      val mods = withGid.join(withImg, "doc_id")
+        .join(withAud, "doc_id").join(withVid, "doc_id")
+      val combos = mods.select(col("gid"), col("img_rep").as("mrep"))
+        .unionByName(mods.select(col("gid"), col("aud_rep").as("mrep")))
+        .unionByName(mods.select(col("gid"), col("vid_rep").as("mrep")))
+        .distinct()
       val ndPairs = Dedup
         .minhashRepPairs(tg.select(col("gid").as("doc_id"), col("text")))
         .select(col("doc_a"), col("doc_b"))
-      val edges = combos.filter(col("gid") =!= col("img_rep"))
-        .select(col("gid").as("doc_a"), col("img_rep").as("doc_b"))
+      val edges = combos.filter(col("gid") =!= col("mrep"))
+        .select(col("gid").as("doc_a"), col("mrep").as("doc_b"))
         .unionByName(ndPairs)
       val labels = Dedup.connectedComponentsLss(edges)
       // a gid absent from every edge (sole member of both its classes and
@@ -1130,8 +1160,11 @@ object Multimodal {
     // full-recall multimodal gate: mirrored pages re-encode images
     // (different bytes, same pixels), so the byte-md5 edge of
     // q_dedup_joint misses them while the raster-class + Hamming-banded
-    // perceptual path still pairs them. Same bipartite class-graph
-    // quotient as q_dedup_joint — nodes are text reps and RASTER-class
+    // perceptual path still pairs them. Deliberately stays on the
+    // text+image axes — this query varies the IMAGE-matching semantics
+    // (perceptual vs byte-exact), so the audio/video stars q_dedup_joint
+    // carries would only blur the comparison. Same class-graph quotient
+    // as q_dedup_joint — nodes are text reps and RASTER-class
     // reps, plus the verified perceptual rep pairs as cross-class edges
     // (pigeonhole-complete at hamming ≤ 3, so recall is deterministic).
     // The oracle closes over the all-pairs perceptual predicate, which
@@ -1167,17 +1200,20 @@ object Multimodal {
     // against the PERSISTED joint-class index of the store corpus — the
     // production ingest gate, where a doc is rejected iff it has a direct
     // joint edge to the store: exact text match, text near-dup
-    // (jaccard ≥ 0.8), or byte-identical image. Emits the full admission
-    // record (one row per batch doc, per-gate flags), the
-    // q_dedup_minhash_incremental contract lifted to the bipartite
-    // text+image index of q_dedup_joint.
+    // (jaccard ≥ 0.8), byte-identical image, matching audio silence
+    // structure, or matching video sequence fingerprint (r10 verdict #2
+    // completed the modality matrix). Emits the full admission record
+    // (one row per batch doc, per-gate flags), the
+    // q_dedup_minhash_incremental contract lifted to the multipartite
+    // class index of q_dedup_joint.
     //
     // 100 TB shape: every probe runs against a CLASS index, never rows —
     // exact text via left-semi against distinct store texts, near-dup via
     // batch-quotient × store-quotient band equi-join (batch×store only,
-    // never store×store — the incremental contract), image via left-semi
-    // on the 16-byte md5 class index; one codec scan per side with the
-    // split filter below the codec fan-out.
+    // never store×store — the incremental contract), image/audio/video
+    // via left-semi on fixed-width fingerprint class indexes; one codec
+    // scan per modality per side with the split filter below the codec
+    // fan-out.
     "q_dedup_joint_incremental" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.Sketches
@@ -1220,18 +1256,51 @@ object Multimodal {
         .join(imgFps(col("doc_id") % 10 =!= 0).select(col("img_fp")).distinct(),
           Seq("img_fp"), "left_semi")
         .select(col("doc_id"), lit(true).as("image_exact"))
+      // gate 4: audio silence-structure class (decoded PCM) against the
+      // store's structural class index (r10 verdict #2)
+      def audCls(pred: org.apache.spark.sql.Column) =
+        docIdsWhere(s, dir, pred)
+          .mapPartitions { it =>
+            audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
+          }
+          .toDF()
+          .select(col("doc_id"),
+            struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
+      val audHits = audCls(col("doc_id") % 10 === 0)
+        .join(audCls(col("doc_id") % 10 =!= 0).select(col("aud_cls")).distinct(),
+          Seq("aud_cls"), "left_semi")
+        .select(col("doc_id"), lit(true).as("audio_struct"))
+      // gate 5: video sequence fingerprint (decoded frames) against the
+      // store's fingerprint class index
+      def vidCls(pred: org.apache.spark.sql.Column) =
+        docIdsWhere(s, dir, pred)
+          .mapPartitions { it =>
+            videoFingerprint(it.map(id => MediaRow(id, "video", encodeVideo(id))))
+          }
+          .toDF()
+          .select(col("doc_id"), col("video_fp"))
+      val vidHits = vidCls(col("doc_id") % 10 === 0)
+        .join(vidCls(col("doc_id") % 10 =!= 0).select(col("video_fp")).distinct(),
+          Seq("video_fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("video_seq"))
       batch.select(col("doc_id"))
         .join(exactHits, Seq("doc_id"), "left_outer")
         .join(ndHits, Seq("doc_id"), "left_outer")
         .join(imgHits, Seq("doc_id"), "left_outer")
+        .join(audHits, Seq("doc_id"), "left_outer")
+        .join(vidHits, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("text_exact"), lit(false)).as("text_exact"),
           coalesce(col("text_neardup"), lit(false)).as("text_neardup"),
-          coalesce(col("image_exact"), lit(false)).as("image_exact"))
+          coalesce(col("image_exact"), lit(false)).as("image_exact"),
+          coalesce(col("audio_struct"), lit(false)).as("audio_struct"),
+          coalesce(col("video_seq"), lit(false)).as("video_seq"))
         .withColumn("admitted",
-          !(col("text_exact") || col("text_neardup") || col("image_exact")))
+          !(col("text_exact") || col("text_neardup") || col("image_exact")
+            || col("audio_struct") || col("video_seq")))
         .select(col("doc_id"), col("admitted"), col("text_exact"),
-          col("text_neardup"), col("image_exact"))
+          col("text_neardup"), col("image_exact"), col("audio_struct"),
+          col("video_seq"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1314,21 +1383,53 @@ object Multimodal {
       val percHits = bImg
         .join(percTrainClasses, Seq("fp_md5"), "left_semi")
         .select(col("doc_id"), lit(true).as("image_perceptual"))
+      // audio/video gates as in q_dedup_joint_incremental (r10 verdict
+      // #2) — the perceptual form keeps the full gate superset so the
+      // "only ever rejects more" monotonicity law stays structural
+      def audCls(pred: org.apache.spark.sql.Column) =
+        docIdsWhere(s, dir, pred)
+          .mapPartitions { it =>
+            audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
+          }
+          .toDF()
+          .select(col("doc_id"),
+            struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
+      val audHits = audCls(col("doc_id") % 10 === 0)
+        .join(audCls(col("doc_id") % 10 =!= 0).select(col("aud_cls")).distinct(),
+          Seq("aud_cls"), "left_semi")
+        .select(col("doc_id"), lit(true).as("audio_struct"))
+      def vidCls(pred: org.apache.spark.sql.Column) =
+        docIdsWhere(s, dir, pred)
+          .mapPartitions { it =>
+            videoFingerprint(it.map(id => MediaRow(id, "video", encodeVideo(id))))
+          }
+          .toDF()
+          .select(col("doc_id"), col("video_fp"))
+      val vidHits = vidCls(col("doc_id") % 10 === 0)
+        .join(vidCls(col("doc_id") % 10 =!= 0).select(col("video_fp")).distinct(),
+          Seq("video_fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("video_seq"))
       batch.select(col("doc_id"))
         .join(exactHits, Seq("doc_id"), "left_outer")
         .join(ndHits, Seq("doc_id"), "left_outer")
         .join(imgHits, Seq("doc_id"), "left_outer")
         .join(percHits, Seq("doc_id"), "left_outer")
+        .join(audHits, Seq("doc_id"), "left_outer")
+        .join(vidHits, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("text_exact"), lit(false)).as("text_exact"),
           coalesce(col("text_neardup"), lit(false)).as("text_neardup"),
           coalesce(col("image_exact"), lit(false)).as("image_exact"),
-          coalesce(col("image_perceptual"), lit(false)).as("image_perceptual"))
+          coalesce(col("image_perceptual"), lit(false)).as("image_perceptual"),
+          coalesce(col("audio_struct"), lit(false)).as("audio_struct"),
+          coalesce(col("video_seq"), lit(false)).as("video_seq"))
         .withColumn("admitted",
           !(col("text_exact") || col("text_neardup") || col("image_exact")
-            || col("image_perceptual")))
+            || col("image_perceptual") || col("audio_struct")
+            || col("video_seq")))
         .select(col("doc_id"), col("admitted"), col("text_exact"),
-          col("text_neardup"), col("image_exact"), col("image_perceptual"))
+          col("text_neardup"), col("image_exact"), col("image_perceptual"),
+          col("audio_struct"), col("video_seq"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1443,12 +1544,16 @@ object Multimodal {
          |tg AS (SELECT doc_id,
          |         MIN(doc_id) OVER (PARTITION BY text) AS tmin,
          |         MIN(doc_id) OVER (PARTITION BY doc_id % 6, doc_id % 4,
-         |                           doc_id % 32) AS imin
+         |                           doc_id % 32) AS imin,
+         |         MIN(doc_id) OVER (PARTITION BY doc_id % 35) AS amin,
+         |         MIN(doc_id) OVER (PARTITION BY doc_id % 348) AS vmin
          |       FROM documents),
          |nd AS (SELECT doc_a, doc_b FROM (${Dedup.exactPairsSql})
          |       WHERE jaccard >= 0.8),
          |e0 AS (SELECT doc_id AS a, tmin AS b FROM tg WHERE doc_id <> tmin
          |       UNION SELECT doc_id, imin FROM tg WHERE doc_id <> imin
+         |       UNION SELECT doc_id, amin FROM tg WHERE doc_id <> amin
+         |       UNION SELECT doc_id, vmin FROM tg WHERE doc_id <> vmin
          |       UNION SELECT doc_a, doc_b FROM nd),
          |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
          |reach AS (
@@ -1533,8 +1638,9 @@ object Multimodal {
         |FROM a ORDER BY doc_id""".stripMargin,
     // incremental joint admission ground truth: per-gate direct-edge
     // predicates batch × store (exact text, shingle-jaccard ≥ 0.8 text
-    // near-dup, image class = doc_id mod 96 — the byte-md5 bijection
-    // q_multimodal_dedup pins); admission = no gate fires
+    // near-dup, image class = doc_id mod 96, audio class = mod 35, video
+    // class = mod 348 — the decoded-fingerprint bijections
+    // q_multimodal_dedup / MultimodalSpec pin); admission = no gate fires
     "q_dedup_joint_incremental" ->
       """WITH t AS (SELECT doc_id, text FROM documents),
         |b AS (SELECT * FROM t WHERE doc_id % 10 = 0),
@@ -1554,17 +1660,31 @@ object Multimodal {
         |       FROM (SELECT doc_id, doc_id % 96 AS icls FROM documents
         |             WHERE doc_id % 10 = 0) b2
         |       JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
-        |             WHERE doc_id % 10 <> 0) c2 USING (icls))
+        |             WHERE doc_id % 10 <> 0) c2 USING (icls)),
+        |au AS (SELECT DISTINCT b3.doc_id
+        |       FROM (SELECT doc_id, doc_id % 35 AS acls FROM documents
+        |             WHERE doc_id % 10 = 0) b3
+        |       JOIN (SELECT DISTINCT doc_id % 35 AS acls FROM documents
+        |             WHERE doc_id % 10 <> 0) c3 USING (acls)),
+        |vi AS (SELECT DISTINCT b4.doc_id
+        |       FROM (SELECT doc_id, doc_id % 348 AS vcls FROM documents
+        |             WHERE doc_id % 10 = 0) b4
+        |       JOIN (SELECT DISTINCT doc_id % 348 AS vcls FROM documents
+        |             WHERE doc_id % 10 <> 0) c4 USING (vcls))
         |SELECT b.doc_id,
-        |  (ex.doc_id IS NULL AND nd.doc_id IS NULL AND im.doc_id IS NULL)
-        |    AS admitted,
+        |  (ex.doc_id IS NULL AND nd.doc_id IS NULL AND im.doc_id IS NULL
+        |   AND au.doc_id IS NULL AND vi.doc_id IS NULL) AS admitted,
         |  ex.doc_id IS NOT NULL AS text_exact,
         |  nd.doc_id IS NOT NULL AS text_neardup,
-        |  im.doc_id IS NOT NULL AS image_exact
+        |  im.doc_id IS NOT NULL AS image_exact,
+        |  au.doc_id IS NOT NULL AS audio_struct,
+        |  vi.doc_id IS NOT NULL AS video_seq
         |FROM b
         |LEFT JOIN ex ON ex.doc_id = b.doc_id
         |LEFT JOIN nd ON nd.doc_id = b.doc_id
         |LEFT JOIN im ON im.doc_id = b.doc_id
+        |LEFT JOIN au ON au.doc_id = b.doc_id
+        |LEFT JOIN vi ON vi.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     // perceptual joint admission ground truth: the perceptual predicate
     // evaluated on the 96 closed-form IMAGE CLASSES (doc_id mod 96 —
@@ -1610,19 +1730,34 @@ object Multimodal {
         |              WHERE doc_id % 10 = 0) b3
         |        JOIN pm ON pm.ca = b3.icls
         |        JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
-        |              WHERE doc_id % 10 <> 0) c3 ON c3.icls = pm.cb)
+        |              WHERE doc_id % 10 <> 0) c3 ON c3.icls = pm.cb),
+        |au AS (SELECT DISTINCT b4.doc_id
+        |       FROM (SELECT doc_id, doc_id % 35 AS acls FROM documents
+        |             WHERE doc_id % 10 = 0) b4
+        |       JOIN (SELECT DISTINCT doc_id % 35 AS acls FROM documents
+        |             WHERE doc_id % 10 <> 0) c4 USING (acls)),
+        |vi AS (SELECT DISTINCT b5.doc_id
+        |       FROM (SELECT doc_id, doc_id % 348 AS vcls FROM documents
+        |             WHERE doc_id % 10 = 0) b5
+        |       JOIN (SELECT DISTINCT doc_id % 348 AS vcls FROM documents
+        |             WHERE doc_id % 10 <> 0) c5 USING (vcls))
         |SELECT b.doc_id,
         |  (ex.doc_id IS NULL AND nd.doc_id IS NULL AND im.doc_id IS NULL
-        |   AND imp.doc_id IS NULL) AS admitted,
+        |   AND imp.doc_id IS NULL AND au.doc_id IS NULL
+        |   AND vi.doc_id IS NULL) AS admitted,
         |  ex.doc_id IS NOT NULL AS text_exact,
         |  nd.doc_id IS NOT NULL AS text_neardup,
         |  im.doc_id IS NOT NULL AS image_exact,
-        |  imp.doc_id IS NOT NULL AS image_perceptual
+        |  imp.doc_id IS NOT NULL AS image_perceptual,
+        |  au.doc_id IS NOT NULL AS audio_struct,
+        |  vi.doc_id IS NOT NULL AS video_seq
         |FROM b
         |LEFT JOIN ex ON ex.doc_id = b.doc_id
         |LEFT JOIN nd ON nd.doc_id = b.doc_id
         |LEFT JOIN im ON im.doc_id = b.doc_id
         |LEFT JOIN imp ON imp.doc_id = b.doc_id
+        |LEFT JOIN au ON au.doc_id = b.doc_id
+        |LEFT JOIN vi ON vi.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     // cross-modal image decontamination ground truth: the perceptual
     // predicate over closed-form pixels, evaluated all-pairs training ×

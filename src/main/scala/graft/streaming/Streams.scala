@@ -808,16 +808,20 @@ object Streams {
     runToTable(rejects, spark, OutputMode.Complete()).orderBy(col("doc_id"))
   }
 
-  /** Streaming JOINT multimodal admission (r9 verdict #5) — the streaming
-    * twin of `q_dedup_joint_incremental`: arriving docs (doc_id % 10 == 0)
-    * probe the PERSISTED store index on all three gates — exact text
+  /** Streaming JOINT multimodal admission (r9 verdict #5; r10 verdict #2
+    * completed the modality matrix) — the streaming twin of
+    * `q_dedup_joint_incremental`: arriving docs (doc_id % 10 == 0)
+    * probe the PERSISTED store index on all five gates — exact text
     * (left-semi vs the distinct-text index), near-dup text (band equi-join
     * vs the quotiented signature index, exact jaccard verify on candidates
     * only — the [[nearDupAdmissionStream]] shape), byte-identical image
     * (real `javax.imageio` encode in the micro-batch, left-semi vs the
-    * 16-byte md5 class index). A Complete-mode aggregation maintains the
-    * REJECTION table with per-gate flags; admission is absence from it.
-    * State = one row per rejected doc (3 booleans), bounded by
+    * 16-byte md5 class index), audio silence structure (decoded PCM,
+    * left-semi vs the store's structural class index), and video sequence
+    * fingerprint (decoded frames, left-semi vs the store's fingerprint
+    * class index). A Complete-mode aggregation maintains the REJECTION
+    * table with per-gate flags; admission is absence from it.
+    * State = one row per rejected doc (5 booleans), bounded by
     * contaminated arrivals, never stream length; every static index is a
     * CLASS index, so probe volume is linear in distinct store content. */
   def jointAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
@@ -853,6 +857,29 @@ object Streams {
       }
       .toDF()
       .select(md5(col("payload")).as("img_fp")).distinct().persist()
+    val storeAud = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"))
+      .repartition(np)
+      .as[Long]
+      .mapPartitions { it =>
+        Multimodal.audioStructure(it.map(id =>
+          Multimodal.MediaRow(id, "audio", Multimodal.encodeWav(id))))
+      }
+      .toDF()
+      .select(struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
+      .distinct().persist()
+    val storeVid = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"))
+      .repartition(np)
+      .as[Long]
+      .mapPartitions { it =>
+        Multimodal.videoFingerprint(it.map(id =>
+          Multimodal.MediaRow(id, "video", Multimodal.encodeVideo(id))))
+      }
+      .toDF()
+      .select(col("video_fp")).distinct().persist()
     def arriving() = spark.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -877,7 +904,33 @@ object Streams {
       .select(col("doc_id"), md5(col("payload")).as("img_fp"))
       .join(storeImg, Seq("img_fp"), "left_semi")
       .select(col("doc_id"), lit("image_exact").as("gate"))
+    val au = arriving()
+      .select(col("doc_id"))
+      .repartition(np) // per micro-batch, see audioDedupStream
+      .as[Long]
+      .mapPartitions { it =>
+        Multimodal.audioStructure(it.map(id =>
+          Multimodal.MediaRow(id, "audio", Multimodal.encodeWav(id))))
+      }
+      .toDF()
+      .select(col("doc_id"),
+        struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
+      .join(storeAud, Seq("aud_cls"), "left_semi")
+      .select(col("doc_id"), lit("audio_struct").as("gate"))
+    val vi = arriving()
+      .select(col("doc_id"))
+      .repartition(np)
+      .as[Long]
+      .mapPartitions { it =>
+        Multimodal.videoFingerprint(it.map(id =>
+          Multimodal.MediaRow(id, "video", Multimodal.encodeVideo(id))))
+      }
+      .toDF()
+      .select(col("doc_id"), col("video_fp"))
+      .join(storeVid, Seq("video_fp"), "left_semi")
+      .select(col("doc_id"), lit("video_seq").as("gate"))
     val rejects = ex.unionByName(nd).unionByName(im)
+      .unionByName(au).unionByName(vi)
       .groupBy(col("doc_id"))
       .agg(
         (max(when(col("gate") === "text_exact", 1).otherwise(0)) === 1)
@@ -885,10 +938,15 @@ object Streams {
         (max(when(col("gate") === "text_neardup", 1).otherwise(0)) === 1)
           .as("text_neardup"),
         (max(when(col("gate") === "image_exact", 1).otherwise(0)) === 1)
-          .as("image_exact"))
+          .as("image_exact"),
+        (max(when(col("gate") === "audio_struct", 1).otherwise(0)) === 1)
+          .as("audio_struct"),
+        (max(when(col("gate") === "video_seq", 1).otherwise(0)) === 1)
+          .as("video_seq"))
     val out = runToTable(rejects, spark, OutputMode.Complete())
     // the memory sink has materialized the result; the indexes can go
     storeTexts.unpersist(); storeSig.unpersist(); storeImg.unpersist()
+    storeAud.unpersist(); storeVid.unpersist()
     out.orderBy(col("doc_id"))
   }
 
@@ -1157,17 +1215,32 @@ object Streams {
         |       FROM (SELECT doc_id, doc_id % 96 AS icls FROM documents
         |             WHERE doc_id % 10 = 0) b2
         |       JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
-        |             WHERE doc_id % 10 <> 0) c2 USING (icls))
+        |             WHERE doc_id % 10 <> 0) c2 USING (icls)),
+        |au AS (SELECT DISTINCT b3.doc_id
+        |       FROM (SELECT doc_id, doc_id % 35 AS acls FROM documents
+        |             WHERE doc_id % 10 = 0) b3
+        |       JOIN (SELECT DISTINCT doc_id % 35 AS acls FROM documents
+        |             WHERE doc_id % 10 <> 0) c3 USING (acls)),
+        |vi AS (SELECT DISTINCT b4.doc_id
+        |       FROM (SELECT doc_id, doc_id % 348 AS vcls FROM documents
+        |             WHERE doc_id % 10 = 0) b4
+        |       JOIN (SELECT DISTINCT doc_id % 348 AS vcls FROM documents
+        |             WHERE doc_id % 10 <> 0) c4 USING (vcls))
         |SELECT b.doc_id,
         |  ex.doc_id IS NOT NULL AS text_exact,
         |  nd.doc_id IS NOT NULL AS text_neardup,
-        |  im.doc_id IS NOT NULL AS image_exact
+        |  im.doc_id IS NOT NULL AS image_exact,
+        |  au.doc_id IS NOT NULL AS audio_struct,
+        |  vi.doc_id IS NOT NULL AS video_seq
         |FROM b
         |LEFT JOIN ex ON ex.doc_id = b.doc_id
         |LEFT JOIN nd ON nd.doc_id = b.doc_id
         |LEFT JOIN im ON im.doc_id = b.doc_id
+        |LEFT JOIN au ON au.doc_id = b.doc_id
+        |LEFT JOIN vi ON vi.doc_id = b.doc_id
         |WHERE ex.doc_id IS NOT NULL OR nd.doc_id IS NOT NULL
-        |   OR im.doc_id IS NOT NULL
+        |   OR im.doc_id IS NOT NULL OR au.doc_id IS NOT NULL
+        |   OR vi.doc_id IS NOT NULL
         |ORDER BY b.doc_id""".stripMargin,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,

@@ -214,9 +214,10 @@ class MultimodalSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     // ground truth: per-DOC edges (the quadratic form the query must avoid
-    // but the law may afford at 500 docs): text star + image-class star
-    // (generator classes — pinned equal to md5-of-bytes by the multimodal
-    // dedup oracle) + doc-level near-dup pairs
+    // but the law may afford at 500 docs): text star + per-modality class
+    // stars — image mod 6/4/32, audio mod 35, video mod 348 (generator
+    // classes — pinned equal to the decoded fingerprints by the
+    // multimodal dedup oracles) + doc-level near-dup pairs
     val textStar = d
       .withColumn("tmin", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
@@ -228,10 +229,16 @@ class MultimodalSpec extends SparkSpec {
           col("doc_id") % 6, col("doc_id") % 4, col("doc_id") % 32)))
       .filter(col("doc_id") =!= col("imin"))
       .select(col("doc_id").as("doc_a"), col("imin").as("doc_b"))
+    def modStar(m: Int) = d
+      .withColumn("mmin", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id") % m)))
+      .filter(col("doc_id") =!= col("mmin"))
+      .select(col("doc_id").as("doc_a"), col("mmin").as("doc_b"))
     val nd = operators.Dedup.minhashNearDupPairsOf(d)
       .select(col("doc_a"), col("doc_b"))
     val labels = operators.Dedup
-      .connectedComponents(textStar.unionByName(imgStar).unionByName(nd))
+      .connectedComponents(textStar.unionByName(imgStar)
+        .unionByName(modStar(35)).unionByName(modStar(348)).unionByName(nd))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val got = Queries.all("q_dedup_joint")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -482,19 +489,40 @@ class MultimodalSpec extends SparkSpec {
   test("joint admission: stream twin == batch; rejection soundness vs full clustering") {
     val inc = Queries.all("q_dedup_joint_incremental")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
-        r.getBoolean(3), r.getBoolean(4)))
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
     // the admission record covers exactly the batch slice
     val batchIds = Tables.load(spark, sfDir, "documents")
       .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(inc.map(_._1).toSet == batchIds)
+    // the decision is exactly the disjunction of the five gates
+    inc.foreach { case (d, admitted, te, nd, im, au, vi) =>
+      assert(admitted == !(te || nd || im || au || vi),
+        s"doc $d: admitted flag inconsistent with its gates")
+    }
+    // the audio/video gates discriminate per the closed-form classes —
+    // the mod-348 video classes are small enough at this SF that the
+    // flag genuinely varies across the batch (not a constant)
+    val storeAudCls = (0L until 500L).filter(_ % 10 != 0).map(_ % 35).toSet
+    val storeVidCls = (0L until 500L).filter(_ % 10 != 0).map(_ % 348).toSet
+    val docsN = Tables.load(spark, sfDir, "documents").count()
+    if (docsN == 500) {
+      inc.foreach { case (d, _, _, _, _, au, vi) =>
+        assert(au == storeAudCls.contains(d % 35), s"doc $d audio gate drift")
+        assert(vi == storeVidCls.contains(d % 348), s"doc $d video gate drift")
+      }
+      assert(inc.exists(_._7) && inc.exists(!_._7),
+        "video gate should discriminate at sf0.01")
+    }
     // stream == batch: the streaming rejection table is exactly the
     // rejected slice of the batch admission record, flags included
     val streamRejects = Queries.all("q_stream_joint_rejects")(spark, sfDir)
       .collect()
-      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
       .toSet
-    val batchRejects = inc.filter(!_._2).map(t => (t._1, t._3, t._4, t._5)).toSet
+    val batchRejects = inc.filter(!_._2)
+      .map(t => (t._1, t._3, t._4, t._5, t._6, t._7)).toSet
     assert(streamRejects == batchRejects, "stream/batch admission drift")
     // soundness: a rejected doc's full-corpus joint cluster contains at
     // least one store doc (the direct edge it was rejected for)
@@ -502,9 +530,43 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     val clusterOf = joint.toMap
     val clustersWithStore = joint.filter(_._1 % 10 != 0).map(_._2).toSet
-    for ((d, admitted, _, _, _) <- inc if !admitted)
+    for ((d, admitted, _, _, _, _, _) <- inc if !admitted)
       assert(clustersWithStore.contains(clusterOf(d)),
         s"rejected $d has no store member in its joint cluster")
+    // composition (r10 verdict #2's law): store keeps ∪ batch admits is a
+    // TRANSVERSAL of the full-corpus joint components with all four
+    // modality gates active — exactly one kept doc per component. Store
+    // keeps come from the same doc-level ground-truth closure restricted
+    // to the store slice.
+    import org.apache.spark.sql.functions._
+    val store = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 10 =!= 0)
+    def star(part: org.apache.spark.sql.Column*) = store
+      .withColumn("mmin", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(part: _*)))
+      .filter(col("doc_id") =!= col("mmin"))
+      .select(col("doc_id").as("doc_a"), col("mmin").as("doc_b"))
+    val storeEdges = star(col("text"))
+      .unionByName(star(col("doc_id") % 6, col("doc_id") % 4, col("doc_id") % 32))
+      .unionByName(star(col("doc_id") % 35))
+      .unionByName(star(col("doc_id") % 348))
+      .unionByName(operators.Dedup.minhashNearDupPairsOf(store)
+        .select(col("doc_a"), col("doc_b")))
+    val storeLabels = operators.Dedup.connectedComponents(storeEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val storeIds = store.select("doc_id").collect().map(_.getLong(0))
+    val storeKeeps = storeIds.map(id => storeLabels.getOrElse(id, id)).toSet
+    val batchAdmits = inc.filter(_._2).map(_._1).toSet
+    val kept = storeKeeps ++ batchAdmits
+    val fullReps = joint.map(_._2).toSet
+    val keptByComponent = kept.groupBy(clusterOf)
+    assert(keptByComponent.keySet == fullReps,
+      "kept set misses a full-corpus joint component")
+    keptByComponent.foreach { case (repC, ks) =>
+      assert(ks.size == 1,
+        s"component $repC keeps ${ks.size} docs (${ks.take(5)}) — not a transversal")
+    }
   }
 
   test("perceptual joint admission: gate monotonicity laws") {
