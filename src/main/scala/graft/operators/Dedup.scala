@@ -126,12 +126,21 @@ object Dedup {
     * [[minhashNearDupPairsOf]] and the quotient-graph operators
     * (docPageRank / triangle census / k-core), which consume the verified
     * rep pairs directly and never need the member expansion. */
-  private[graft] def minhashRepPairs(reps: DataFrame): DataFrame = {
+  private[graft] def minhashRepPairs(reps: DataFrame): DataFrame =
+    minhashRepPairsCfg(reps, 4, 16)
+
+  /** [[minhashRepPairs]] under an explicit (r rows, b bands) band
+    * configuration — k = r·b MinHash permutations. The default (4, 16) is
+    * the shipped k=64 recall-first config; [[autoBandConfigMinhash]] may
+    * choose a coarser one on a gapped corpus. Exact-jaccard verification
+    * is config-independent, so precision never varies with the config. */
+  private[graft] def minhashRepPairsCfg(reps: DataFrame, r: Int, b: Int): DataFrame = {
     val banded = reps
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        posexplode(Sketches.bandhashes(Sketches.shingleMinhashes(col("w"), 3, 64), 4))
+        posexplode(Sketches.bandhashes(
+          Sketches.shingleMinhashes(col("w"), 3, r * b), r))
           .as(Seq("band_idx", "band_hash")))
     bucketPairs(banded, Seq("band_idx", "band_hash"))
       .join(reps.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
@@ -147,7 +156,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"))
     val reps = clusters.select(col("rep").as("doc_id"), col("text"))
-    val repPairs = minhashRepPairs(reps)
+    expandTextRepPairs(minhashRepPairs(reps), clusters, np)
+  }
+
+  /** Member expansion shared by the default and auto-banded pair forms:
+    * verified rep pairs expand over exact-dup class members (cross), and
+    * ≥2-member classes emit their internal pairs (within) — both directly
+    * into the true output, never an intermediate blow-up. */
+  private[graft] def expandTextRepPairs(repPairs: DataFrame,
+      clusters: DataFrame, np: Int): DataFrame = {
     // round-robin repartitions before both fan-outs: the rep-pair / class
     // frames are tiny, so AQE would coalesce them to one partition and run
     // the member expansion single-core (the standing Generate lesson)
@@ -509,6 +526,21 @@ object Dedup {
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       observePairs(minhashNearDupPairs(s, dir),
         "q_dedup_minhash_lsh", col("doc_a"), col("doc_b"))),
+
+    // gap-aware auto-banded MinHash near-dup pairs (r10 verdict #3):
+    // q_dedup_minhash_lsh under autoBandConfigMinhash. On this corpus the
+    // chooser PROVABLY falls back (dup floor 0.9 → sEff 0.8 → no coarse
+    // config fits the 512-perm budget), so the output is bit-identical to
+    // the default form and both share the exact-pairs oracle; the
+    // decision evidence surfaces as graft.lsh_auto_minhash metrics.
+    "q_dedup_minhash_auto" -> ((s, dir) => {
+      val (pairs, cfg) = minhashNearDupPairsAutoOf(docs(s, dir))
+      observePairs(pairs.observe("graft.lsh_auto_minhash",
+        max(lit(cfg.r)).as("r"), max(lit(cfg.b)).as("b"),
+        max(lit(if (cfg.fallback) 1L else 0L)).as("fallback"),
+        max(lit(cfg.missBound)).as("miss_bound")),
+        "q_dedup_minhash_auto", col("doc_a"), col("doc_b"))
+    }),
 
     // Incremental NEAR-dup admission — the steady-state crawl shape the
     // exact-fingerprint q_dedup_incremental can't cover: a new batch
@@ -980,6 +1012,92 @@ object Dedup {
       max(lit(cfg.missBound)).as("miss_bound"))
   }
 
+  /** Gap-aware band auto-configuration for the TEXT MinHash family (r10
+    * verdict #3): the [[autoBandConfig]] recipe lifted from cosine space
+    * to jaccard space. MinHash needs no geometry — a pair's per-hash
+    * match probability IS its jaccard, so a pair at jaccard j misses all
+    * b bands of r rows with probability (1 − j^r)^b, and coarser r
+    * shrinks background collisions exponentially.
+    *
+    * Sample = the `sampleN` distinct-text reps with the smallest
+    * xxhash64(doc_id) (TakeOrdered: one scan, no shuffle), pairwise exact
+    * word-3-shingle jaccard on the driver (≤ ~131k set intersections at
+    * the default 512; shingles hash to ints — a collision only perturbs
+    * the ESTIMATE and the margin absorbs it). The chooser leaves the
+    * recall-first default (r=4, b=16 — the shipped k=64 config) only when
+    * the sampled gap clears `margin` on BOTH sides and a coarser
+    * r ∈ {16, 8} satisfies the S-curve bound (1 − sEff^r)^b ≤ eps at the
+    * certified dup-band edge sEff = max(threshold, dupMin − margin)
+    * within the 512-permutation budget (r·b ≤ 512 — the signature width
+    * the pipeline is willing to compute per doc).
+    *
+    * On the driver corpus the fallback is PROVABLE, not incidental: the
+    * observed dup floor is 0.9, so sEff = max(0.8, 0.9 − 0.1) = 0.8, and
+    * at jaccard 0.8 the bound needs b=76 of r=8 rows (608 perms) or
+    * b≈485 of 16 — both over budget — so the chooser returns the default
+    * and q_dedup_minhash_auto is bit-identical to q_dedup_minhash_lsh,
+    * which is why both share one exact-pairs oracle. On a gapped corpus
+    * (dup floor ≥ ~0.92) a coarse config fits and the equality holds only
+    * up to the certified eps miss bound — the [[autoBandConfig]] caveat
+    * verbatim. Law-tested on a real-gap text fixture in DedupAutoSpec. */
+  private[graft] def autoBandConfigMinhash(reps: DataFrame,
+      threshold: Double = 0.8, margin: Double = 0.1, sampleN: Int = 512,
+      eps: Double = 1e-6): LshBandConfig = {
+    val texts = reps.orderBy(xxhash64(col("doc_id"))).limit(sampleN)
+      .select(col("text")).collect().map(_.getString(0))
+    val shingleSets = texts.map { t =>
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty[Int]
+      else w.sliding(3).map(_.mkString(" ").hashCode).toSet
+    }.filter(_.nonEmpty)
+    var dupMin = Double.PositiveInfinity
+    var bgMax = Double.NegativeInfinity
+    var i = 0
+    while (i < shingleSets.length) {
+      val a = shingleSets(i)
+      var j = i + 1
+      while (j < shingleSets.length) {
+        val b = shingleSets(j)
+        val inter = if (a.size <= b.size) a.count(b) else b.count(a)
+        val jac = inter.toDouble / (a.size + b.size - inter)
+        if (jac >= threshold) { if (jac < dupMin) dupMin = jac }
+        else if (jac > bgMax) bgMax = jac
+        j += 1
+      }
+      i += 1
+    }
+    val default = LshBandConfig(4, 16, fallback = true, dupMin, bgMax,
+      missBound = math.pow(1.0 - math.pow(threshold, 4), 16))
+    if (!dupMin.isFinite || dupMin - threshold < margin
+        || threshold - bgMax < margin) default
+    else {
+      val sEff = math.max(threshold, dupMin - margin)
+      Seq(16, 8).view.flatMap { r =>
+        val bNeeded = math.ceil(math.log(eps)
+          / math.log(1.0 - math.pow(sEff, r))).toInt.max(1)
+        if (r * bNeeded <= 512)
+          Some(LshBandConfig(r, bNeeded, fallback = false, dupMin, bgMax,
+            missBound = math.pow(1.0 - math.pow(sEff, r), bNeeded)))
+        else None
+      }.headOption.getOrElse(default)
+    }
+  }
+
+  /** [[minhashNearDupPairsOf]] under [[autoBandConfigMinhash]]; returns
+    * the pair frame and the chosen config so the caller can surface the
+    * decision evidence as `observe` metrics. */
+  private[graft] def minhashNearDupPairsAutoOf(
+      d: DataFrame): (DataFrame, LshBandConfig) = {
+    val np = d.sparkSession.sparkContext.defaultParallelism
+    val clusters = d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    val reps = clusters.select(col("rep").as("doc_id"), col("text"))
+    val cfg = autoBandConfigMinhash(reps)
+    (expandTextRepPairs(minhashRepPairsCfg(reps, cfg.r, cfg.b), clusters, np),
+      cfg)
+  }
+
   private[operators] def embeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
     val (clusters, repPairs) = embeddingRepCandidatesOf(Tables.load(s, dir, "embeddings"))
     // within-cluster pairs (cos(v,v), ~1.0) emit from the clusters
@@ -1114,6 +1232,13 @@ object Dedup {
         |FROM documents d JOIN g ON d.text = g.text JOIN agg USING (gid)
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_minhash_lsh" ->
+      s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // shares the exact-pairs ground truth: on this corpus the auto
+    // chooser provably falls back (see autoBandConfigMinhash), so the
+    // equality is guaranteed here and holds only up to the certified eps
+    // miss bound on a genuinely gapped corpus
+    "q_dedup_minhash_auto" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactPairsSql)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     // exact batch×corpus jaccard (quadratic is gate-SF-only; the engine's

@@ -64,6 +64,42 @@ object PipelineOps {
     (instr(lit("0123456789abcdef"),
        substring(md5(col("doc_id").cast("string")), 2, 1)) - 1)
 
+  /** Deterministic synthetic URL per document — the corpus carries no url
+    * column, so the URL-curation operators key one off (source, doc_id):
+    * messy ON PURPOSE (uppercase scheme and host, www prefix, explicit
+    * default port, tracking params interleaved with real ones, fragment,
+    * trailing slash) so canonicalization has real work to do, while the
+    * canonical form stays closed-form for the oracle — the multimodal
+    * decode-vs-generator discipline applied to strings. */
+  private def withUrl(df: DataFrame): DataFrame =
+    df.withColumn("url", concat(
+      lit("HTTPS://WwW."), col("source"), col("doc_id") % 3,
+      lit(".Example.COM:443/Path/"), col("doc_id"),
+      lit("/?utm_source=feed&id="), col("doc_id") % 7,
+      lit("&fbclid=abc"), col("doc_id"),
+      lit("&page="), col("doc_id") % 5,
+      lit("#sec"), col("doc_id") % 4))
+
+  /** URL canonicalization as a pure Column (idempotent — law-tested):
+    * lowercase scheme and host (case-insensitive per RFC 3986) but NOT
+    * the path (case-sensitive), strip a www. prefix and an explicit
+    * port, drop the fragment, strip a trailing path slash, drop tracking
+    * parameters (utm_*, gclid, fbclid, ref) and sort the survivors for a
+    * canonical parameter order. All codegen'd builtins (regexp + array
+    * algebra) — a pure map over the scan, no UDF, no shuffle. */
+  private[graft] def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_replace(regexp_replace(
+      regexp_extract(u, "://([^/?#]+)", 1), ":[0-9]+$", ""), "(?i)^www\\.", ""))
+    val path = regexp_replace(
+      regexp_extract(u, "://[^/?#]+([^?#]*)", 1), "/$", "")
+    val kept = array_join(array_sort(filter(
+      split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)=") && length(p) > 0)), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
   /** (pos, doc_id) under the seed's permutation. Permutation key =
     * md5(seed:doc_id) with a fixed-width doc_id suffix for total order. */
   private[graft] def seededShuffle(d: DataFrame, seed: String): DataFrame = {
@@ -77,6 +113,40 @@ object PipelineOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // URL canonicalization (r10 verdict #4): the crawl-curation
+    // normalizer — tracking params, fragments, case, default port and
+    // trailing slash all stripped so byte-different URLs of the same
+    // resource collapse to one key for dedup/caps. The oracle states the
+    // closed canonical form; the query PARSES the messy synthesized URL.
+    "q_url_canonicalize" -> ((s, dir) =>
+      withUrl(docs(s, dir).select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("url"),
+          canonicalizeUrl(col("url")).as("canonical_url"))
+        .orderBy(col("doc_id"))),
+
+    // Per-domain deterministic cap (r10 verdict #4 — the RefinedWeb
+    // recipe): at most K docs per registrable domain, chosen by a
+    // uniform engine-portable hash (md5 of the doc id — the
+    // q_sample_per_key discipline) so reruns, late batches, and engines
+    // agree on the keep-set. Plan: one scan + bounded per-domain
+    // TopKPerKey heaps (O(n log k), partial-aggregatable, no global and
+    // no per-key sort) — a hot domain with millions of docs costs one
+    // k-element heap per task, never a quadratic or sorted state. The
+    // domain comes from PARSING the synthesized url (canonical host
+    // minus www/port); the oracle uses the closed form.
+    "q_domain_caps" -> ((s, dir) => {
+      val d = withUrl(docs(s, dir).select(col("doc_id"), col("source")))
+        .withColumn("domain", lower(regexp_replace(regexp_replace(
+          regexp_extract(col("url"), "://([^/?#]+)", 1),
+          ":[0-9]+$", ""), "(?i)^www\\.", "")))
+        .select(col("domain"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+      graft.plans.TopK.perKey(d, Seq("domain"),
+          Seq("h" -> false, "doc_id" -> false), 5)
+        .select(col("domain"), col("doc_id"))
+        .orderBy(col("domain"), col("doc_id"))
+    }),
+
     // Leakage-safe train/val/test split: the split UNIT is the near-dup
     // CLUSTER (LSS components over verified minhash pairs — the scale
     // path), not the document, so two near-duplicate documents can never
@@ -346,6 +416,28 @@ object PipelineOps {
       |GROUP BY fp ORDER BY fp""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // raw url and canonical form both closed-form in (source, doc_id)
+    "q_url_canonicalize" ->
+      """SELECT doc_id,
+        |  'HTTPS://WwW.' || source || (doc_id % 3) || '.Example.COM:443/Path/'
+        |    || doc_id || '/?utm_source=feed&id=' || (doc_id % 7)
+        |    || '&fbclid=abc' || doc_id || '&page=' || (doc_id % 5)
+        |    || '#sec' || (doc_id % 4) AS url,
+        |  'https://' || lower(source) || (doc_id % 3) || '.example.com/Path/'
+        |    || doc_id || '?id=' || (doc_id % 7) || '&page=' || (doc_id % 5)
+        |    AS canonical_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same md5 keep-order as the engine; cap K = 5 per domain
+    "q_domain_caps" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(source) || (doc_id % 3) || '.example.com' AS domain,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (SELECT domain, doc_id,
+        |    row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+        |  FROM d)
+        |SELECT domain, doc_id FROM r WHERE rk <= 5
+        |ORDER BY domain, doc_id""".stripMargin,
     "q_split_leakage_safe" ->
       s"""SELECT d.doc_id,
          |  CAST(COALESCE(c.cluster_rep, d.doc_id) AS BIGINT) AS split_unit,

@@ -102,4 +102,77 @@ class DedupAutoSpec extends SparkSpec {
     val rows = outAuto.collect()
     assert(rows.length == 32 && rows.forall(_.getLong(1) == 12L))
   }
+
+  /** Text twin of the embedding fixture (r10 verdict #3): 32 classes over
+    * a shared 60-word common prefix plus 40 class-specific words —
+    * within-class jaccard ≈ 0.94 (variants swap ONE class word at a fixed
+    * position: 3 shingles differ out of 98), cross-class ≈ 0.42 (the
+    * common prefix's 58 shingles over a 138-shingle union) — a real gap
+    * whose background is hot enough for the candidate-volume win to show
+    * (at r=4 a 0.42-jaccard pair collides in some band with p≈0.4). */
+  private def gappedTextFixture(copies: Int): DataFrame = {
+    val common = (0 until 60).map(i => s"c$i")
+    val rows = for {
+      k <- 0 until 32
+      v <- 0 until 3
+      c <- 0 until copies
+    } yield {
+      val cls = (0 until 40).map(i => s"k${k}w$i").toVector
+      val words = common ++ (if (v == 0) cls else cls.updated(10, s"k${k}v$v"))
+      (((k * 3 + v) * copies + c).toLong, words.mkString(" "))
+    }
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  test("driver corpus: text minhash chooser falls back; auto == lsh output") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val reps = d.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+      .select(col("rep").as("doc_id"), col("text"))
+    val cfg = Dedup.autoBandConfigMinhash(reps)
+    // the fallback is provable, not sampled luck: dup floor 0.9 → sEff
+    // 0.8 → both coarse r need > 512 permutations
+    assert(cfg.fallback, s"must fall back at a 0.9 dup floor, got $cfg")
+    assert(cfg.r == 4 && cfg.b == 16)
+    val auto = Queries.all("q_dedup_minhash_auto")(spark, sfDir)
+    val base = Queries.all("q_dedup_minhash_lsh")(spark, sfDir)
+    assert(auto.exceptAll(base).isEmpty && base.exceptAll(auto).isEmpty)
+    auto.collect()
+    val m = auto.queryExecution.observedMetrics("graft.lsh_auto_minhash")
+    assert(m.getAs[Int]("r") == 4 && m.getAs[Int]("b") == 16)
+    assert(m.getAs[Long]("fallback") == 1L)
+  }
+
+  test("real-gap text fixture: coarse bands cut candidates, output unchanged") {
+    val d = gappedTextFixture(copies = 2)
+    val reps = d.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+      .select(col("rep").as("doc_id"), col("text"))
+    val cfg = Dedup.autoBandConfigMinhash(reps)
+    assert(!cfg.fallback, s"0.94/0.42 gap must leave the default, got $cfg")
+    assert(cfg.r == 8, s"coarser-than-default rows expected, got $cfg")
+    assert(cfg.missBound <= 1e-6, s"certificate violated: $cfg")
+    assert(cfg.dupMin >= 0.93 && cfg.bgMax <= 0.45, s"gap estimate drift: $cfg")
+    // raw candidate volume = banded bucket pairs before verification
+    def candCount(r: Int, b: Int): Long = {
+      val banded = reps
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          posexplode(graft.functions.Sketches.bandhashes(
+            graft.functions.Sketches.shingleMinhashes(col("w"), 3, r * b), r))
+            .as(Seq("band_idx", "band_hash")))
+      Dedup.bucketPairs(banded, Seq("band_idx", "band_hash")).count()
+    }
+    val candDefault = candCount(4, 16)
+    val candAuto = candCount(cfg.r, cfg.b)
+    info(s"candidates: default(4,16)=$candDefault auto(${cfg.r},${cfg.b})=$candAuto")
+    assert(candAuto < candDefault / 2,
+      s"auto config must at least halve candidates: $candAuto vs $candDefault")
+    // recall intact: verified pair set identical to the default config's,
+    // and equal to the closed form (32 cliques of 6 → 480 pairs)
+    val outAuto = Dedup.minhashNearDupPairsAutoOf(d)._1
+    val outDef = Dedup.minhashNearDupPairsOf(d)
+    assert(outAuto.exceptAll(outDef).isEmpty && outDef.exceptAll(outAuto).isEmpty)
+    assert(outAuto.count() == 32L * 15L)
+  }
 }

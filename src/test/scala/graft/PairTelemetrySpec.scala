@@ -10,9 +10,10 @@ package graft
 class PairTelemetrySpec extends SparkSpec {
 
   private val pairQueries = Seq(
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram",
-    "q_dedup_embedding", "q_dedup_embedding_lsh", "q_multimodal_perceptual",
-    "q_cosine_pairs", "q_editdist_pairs", "q_block_sorted")
+    "q_dedup_minhash_lsh", "q_dedup_minhash_auto", "q_dedup_simhash",
+    "q_dedup_ngram", "q_dedup_embedding", "q_dedup_embedding_lsh",
+    "q_multimodal_perceptual", "q_cosine_pairs", "q_editdist_pairs",
+    "q_block_sorted")
 
   test("every pair-form query reports pairs_emitted == its row count") {
     for (name <- pairQueries) {

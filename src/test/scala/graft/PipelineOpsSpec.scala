@@ -10,6 +10,49 @@ class PipelineOpsSpec extends SparkSpec {
 
   private def q(name: String) = Queries.all(name)(spark, sfDir)
 
+  test("url canonicalization: idempotent, tracking-free, structure kept") {
+    val out = q("q_url_canonicalize").cache()
+    try {
+      // canonical form is a FIXPOINT of the canonicalizer — running it
+      // again changes nothing (the defining property of a canonical form)
+      val twice = out.withColumn("again",
+        operators.PipelineOps.canonicalizeUrl(col("canonical_url")))
+      assert(twice.filter(col("again") =!= col("canonical_url")).isEmpty,
+        "canonicalization is not idempotent")
+      // no tracking params, fragments, default ports or www survive
+      assert(out.filter(col("canonical_url").rlike(
+        "utm_|fbclid|gclid|#|:443|//www\\.")).isEmpty)
+      // the retained query params survive with their values
+      assert(out.filter(!col("canonical_url").rlike("\\?id=[0-9]+&page=[0-9]+$"))
+        .isEmpty, "real params must survive canonicalization")
+      // path case is PRESERVED (case-sensitive per RFC 3986)
+      assert(out.filter(!col("canonical_url").contains("/Path/")).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("domain caps: never upsample, exact per-domain min(k, n), stable") {
+    val out = q("q_domain_caps").cache()
+    try {
+      val d = Tables.load(spark, sfDir, "documents")
+        .withColumn("domain", concat(lower(col("source")),
+          col("doc_id") % 3, lit(".example.com")))
+      val sizes = d.groupBy(col("domain")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = out.groupBy(col("domain")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every domain appears; keeps = min(5, domain size); never more
+      assert(kept.keySet == sizes.keySet, "a domain vanished or appeared")
+      kept.foreach { case (dom, n) =>
+        assert(n == math.min(5L, sizes(dom)), s"$dom keeps $n != min(5, ${sizes(dom)})")
+      }
+      // the cap drops something at this SF (domains are larger than k)
+      assert(kept.values.sum < sizes.values.sum, "cap was a no-op")
+      // kept rows are corpus rows (no synthesis in the keep-set)
+      val ids = d.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out.collect().forall(r => ids.contains(r.getLong(1))))
+    } finally out.unpersist()
+  }
+
   test("pii redaction leaves no matching PII behind") {
     val out = q("q_pii_redact").cache()
     try {
