@@ -147,6 +147,24 @@ object PipelineOps {
         .orderBy(col("domain"), col("doc_id"))
     }),
 
+    // Domain blocklist gate (the third leg of the RefinedWeb/CCNet URL
+    // recipe, after canonicalize + caps): every doc flagged against a
+    // curated blocklist of registrable domains. The list is eval-suite-
+    // sized in production (thousands of entries), so the membership test
+    // is a literal isin — a pure codegen'd map over the scan; a list too
+    // big for literals would broadcast-left-semi instead. One entry
+    // matches nothing on purpose (a stale blocklist row must be a no-op,
+    // not an error).
+    "q_domain_blocklist" -> ((s, dir) =>
+      withUrl(docs(s, dir).select(col("doc_id"), col("source")))
+        .withColumn("domain", lower(regexp_replace(regexp_replace(
+          regexp_extract(col("url"), "://([^/?#]+)", 1),
+          ":[0-9]+$", ""), "(?i)^www\\.", "")))
+        .select(col("doc_id"), col("domain"),
+          col("domain").isin("src10.example.com", "src41.example.com",
+            "src122.example.com", "badhost.example.com").as("blocked"))
+        .orderBy(col("doc_id"))),
+
     // Leakage-safe train/val/test split: the split UNIT is the near-dup
     // CLUSTER (LSS components over verified minhash pairs — the scale
     // path), not the document, so two near-duplicate documents can never
@@ -438,6 +456,13 @@ object PipelineOps {
         |  FROM d)
         |SELECT domain, doc_id FROM r WHERE rk <= 5
         |ORDER BY domain, doc_id""".stripMargin,
+    "q_domain_blocklist" ->
+      """SELECT doc_id,
+        |  lower(source) || (doc_id % 3) || '.example.com' AS domain,
+        |  lower(source) || (doc_id % 3) || '.example.com' IN
+        |    ('src10.example.com', 'src41.example.com',
+        |     'src122.example.com', 'badhost.example.com') AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_split_leakage_safe" ->
       s"""SELECT d.doc_id,
          |  CAST(COALESCE(c.cluster_rep, d.doc_id) AS BIGINT) AS split_unit,

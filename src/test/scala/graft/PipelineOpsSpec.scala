@@ -53,6 +53,21 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("domain blocklist: flags exactly the listed domains; stale entry no-op") {
+    val out = q("q_domain_blocklist").cache()
+    try {
+      val blocked = out.filter(col("blocked")).select("domain").distinct()
+        .collect().map(_.getString(0)).toSet
+      // only listed real domains flag, and the gate actually discriminates
+      assert(blocked.nonEmpty && blocked.subsetOf(Set(
+        "src10.example.com", "src41.example.com", "src122.example.com")))
+      // the deliberately-stale blocklist entry is a no-op, not an error
+      assert(!blocked.contains("badhost.example.com"))
+      // total: one flag row per corpus doc
+      assert(out.count() == Tables.load(spark, sfDir, "documents").count())
+    } finally out.unpersist()
+  }
+
   test("pii redaction leaves no matching PII behind") {
     val out = q("q_pii_redact").cache()
     try {
