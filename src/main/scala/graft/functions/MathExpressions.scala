@@ -85,11 +85,93 @@ case class BitInterleave(left: Expression, right: Expression, bits: Int)
     copy(left = l, right = r)
 }
 
+/** `char_entropy_sum(text)` → Σ_c round(k_c · ln k_c, 9) over the text's
+  * per-codepoint frequencies k_c, as DECIMAL(28, 9).
+  *
+  * The single-pass, row-shaped kernel of q_doc_entropy: the original
+  * formulation exploded one row PER CHARACTER and shuffled ~75M rows at
+  * sf1 through a (doc_id, char) exchange (19.9 s in the sf1 ledger);
+  * per-doc entropy is a pure function of the row, so this expression
+  * builds the frequency histogram in one local pass (int[128] ASCII fast
+  * path + codepoint map fallback) and the whole query becomes scan →
+  * project with ZERO pre-sort exchanges.
+  *
+  * Exactness discipline (hash parity with the unchanged DuckDB oracle):
+  * each term replicates Spark's `cast(round(k·ln k, 9) AS DECIMAL(18,9))`
+  * bit-for-bit — `BigDecimal.valueOf` (Double.toString semantics, what
+  * both Spark's Round-on-double and its double→decimal cast use) →
+  * setScale(9, HALF_UP) → back through the double — and terms sum
+  * EXACTLY at scale 9, so the result equals the old
+  * `sum(cast(round(...) as decimal(18,9)))` including its
+  * DECIMAL(28, 9) sum type. ln via `Math.log` ([[PortableLn]]'s libm
+  * rationale). */
+case class CharEntropySum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DecimalType(28, 9)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_entropy_sum needs STRING input, got ${child.dataType}")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.CharEntropy.sumDecimal($v)")
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.sumDecimal(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): CharEntropySum =
+    copy(child = c)
+}
+
+object CharEntropy {
+  import java.math.{BigDecimal => JBD, RoundingMode}
+  def sumDecimal(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.types.Decimal = {
+    val str = s.toString
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Integer] = null
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Integer]()
+        other.merge(cp, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        ()
+      }
+      i += Character.charCount(cp)
+    }
+    var sum = JBD.ZERO
+    def add(k: Int): Unit = if (k > 0) {
+      val t = k.toDouble * Math.log(k.toDouble)
+      // Spark's Round(double, 9) goes BigDecimal.valueOf → HALF_UP →
+      // toDouble, and its double→decimal cast goes BigDecimal.valueOf →
+      // changePrecision HALF_UP; replicated exactly so the sum matches
+      // the exploded formulation term-for-term
+      val r = JBD.valueOf(t).setScale(9, RoundingMode.HALF_UP).doubleValue()
+      sum = sum.add(JBD.valueOf(r).setScale(9, RoundingMode.HALF_UP))
+    }
+    var c = 0
+    while (c < 128) { add(ascii(c)); c += 1 }
+    if (other != null) {
+      // deterministic order is irrelevant — scale-9 addition is exact —
+      // but sort anyway so any future lossy change fails loudly in tests
+      val ks = new java.util.ArrayList(other.keySet()); java.util.Collections.sort(ks)
+      ks.forEach(k => add(other.get(k)))
+    }
+    org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(sum), 28, 9)
+  }
+}
+
 object PortableMath {
   import org.apache.spark.sql.GraftBridge.{toCol, toExpr}
   /** Column surface for [[PortableLn]]. */
   def lnPortable(c: Column): Column =
     toCol(PortableLn(toExpr(c.cast("double"))))
+  /** Column surface for [[CharEntropySum]]. */
+  def charEntropySum(c: Column): Column =
+    toCol(CharEntropySum(toExpr(c)))
   /** Column surface for [[BitInterleave]] over int bucket ids. */
   def zValue(a: Column, b: Column, bits: Int): Column =
     toCol(BitInterleave(toExpr(a.cast("int")), toExpr(b.cast("int")), bits))

@@ -523,22 +523,25 @@ object TextAnalysis {
     // and summed as DECIMAL so the per-doc sum is order-independent; only
     // then does the final division produce the score.
     // per-doc character Shannon entropy (bits) — the cheap repetitive-junk
-    // detector (low entropy ⇒ boilerplate/degenerate text). One explode +
-    // two-level aggregate, all scan-stage; H = (ln n − Σ c·ln c / n)/ln 2
-    // with the q_lm_score exactness discipline: each c·ln c term rounds to
-    // 9 dp and sums as DECIMAL (order-independent), ln through PortableLn
-    // (matches the oracle engine's libm), final round 6 dp → hash-exact.
+    // detector (low entropy ⇒ boilerplate/degenerate text).
+    // H = (ln n − Σ c·ln c / n)/ln 2 with the q_lm_score exactness
+    // discipline: each c·ln c term rounds to 9 dp and sums as DECIMAL
+    // (order-independent), ln through the platform libm (matches the
+    // oracle engine), final round 6 dp → hash-exact.
+    //
+    // r11 rewrite: per-doc entropy is a pure function of the ROW, so the
+    // frequency histogram builds in one local pass inside the codegen'd
+    // CharEntropySum expression — scan → project, ZERO pre-sort
+    // exchanges. The original explode-per-character + two-level groupBy
+    // shuffled ~75M (doc_id, char) rows at sf1 (19.9 s → the aggregation
+    // state was corpus-shaped for a row-shaped quantity); the expression
+    // replicates the old round→decimal term algebra bit-for-bit, so the
+    // DuckDB oracle is unchanged and still hash-green.
     "q_doc_entropy" -> ((s, dir) => {
       val lnP = graft.functions.PortableMath.lnPortable _
       docs(s, dir)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text)), i -> substr(text, i, 1))")).as("c"))
-        .groupBy(col("doc_id"), col("c"))
-        .agg(count(lit(1)).as("k"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("k")).as("n_chars"),
-          sum(round(col("k").cast("double") * lnP(col("k").cast("double")), 9)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).as("s"))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          graft.functions.PortableMath.charEntropySum(col("text")).as("s"))
         .select(col("doc_id"), col("n_chars"),
           round((lnP(col("n_chars").cast("double"))
             - col("s").cast("double") / col("n_chars").cast("double"))
