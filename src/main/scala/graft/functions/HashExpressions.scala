@@ -800,9 +800,62 @@ object WindowHashes {
   }
 }
 
+/** `max_token_count(words)` → the maximum multiplicity of any element of
+  * a string array (0 for empty/null-only arrays).
+  *
+  * The row-shaped kernel of the Gopher most-frequent-token signal
+  * (q_doc_repetition): the quantity is a pure function of the row, but
+  * the original formulation computed it with explode → groupBy(doc_id,
+  * token) → per-doc max → join — two exchanges and a join for what one
+  * local hash count answers (the q_doc_entropy shape lesson, same
+  * round). One pass, one small HashMap per row, codegen via a static
+  * call so the projection stays inside WholeStageCodegen. */
+case class MaxTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"max_token_count needs ARRAY<STRING>, got $other")
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.MaxTokenCount.maxMultiplicity($v)")
+  override def nullSafeEval(input: Any): Any =
+    MaxTokenCount.maxMultiplicity(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): MaxTokenCount =
+    copy(child = c)
+}
+
+object MaxTokenCount {
+  // named distinctly from Expression.eval so scalac emits the static
+  // forwarder Janino needs (same-named members suppress forwarders)
+  def maxMultiplicity(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts =
+      new java.util.HashMap[UTF8String, java.lang.Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = arr.getUTF8String(i)
+        val prev = counts.get(k)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(k, java.lang.Integer.valueOf(c))
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best.toLong
+  }
+}
+
 /** Column-API surface for the custom expressions (classic-session bridge:
   * Spark 4 moved Column↔Expression conversion to sql.classic). */
 object Sketches {
+  def maxTokenCount(c: Column): Column = toCol(MaxTokenCount(toExpr(c)))
   def minhashes(c: Column, k: Int): Column = toCol(MinHashes(toExpr(c), k))
   def shingleMinhashes(words: Column, n: Int, k: Int): Column =
     toCol(ShingleMinHashes(toExpr(words), n, k))

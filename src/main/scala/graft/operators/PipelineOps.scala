@@ -206,15 +206,18 @@ object PipelineOps {
     }),
 
     // Gopher-style repetition signals: duplicate-word fraction, duplicate-
-    // bigram fraction, most-frequent-token share. Array algebra for the
-    // n-gram stats; the per-doc token mode goes through explode →
-    // two-level aggregate (partial combine per partition, keys are
-    // (doc_id, token) — cardinality-bounded, skew-free).
+    // bigram fraction, most-frequent-token share. Pure array algebra —
+    // every signal is a function of the ROW, so the whole query is
+    // scan → project with zero pre-sort exchanges (r11: the per-doc token
+    // mode previously went explode → groupBy(doc_id, token) → per-doc
+    // max → join — two shuffles and a join replaced by the codegen'd
+    // MaxTokenCount local hash count; the q_doc_entropy shape lesson).
     "q_doc_repetition" -> ((s, dir) => {
       val base = docs(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       val stats = base.select(
         col("doc_id"),
+        col("w"),
         size(col("w")).cast("long").as("n_tokens"),
         size(array_distinct(col("w"))).cast("long").as("n_uniq"),
         when(size(col("w")) >= 2, expr(
@@ -222,13 +225,9 @@ object PipelineOps {
           .otherwise(array().cast("array<string>")).as("bg"))
         .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
           size(col("bg")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"))
-      val top = base.select(col("doc_id"), explode(col("w")).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).cast("long").as("top_tok_cnt"))
-      stats.join(top, "doc_id")
+          size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"),
+          graft.functions.Sketches.maxTokenCount(col("w")).as("top_tok_cnt"))
+      stats
         .select(
           col("doc_id"), col("n_tokens"),
           round(lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"), 6)

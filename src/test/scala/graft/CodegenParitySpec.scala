@@ -26,7 +26,8 @@ class CodegenParitySpec extends SparkSpec {
     val names = Seq("q_dedup_minhash_lsh", "q_dedup_simhash",
       "q_dedup_embedding_lsh", "q_similarity_lsh", "q_similarity_ivf",
       "q_similarity_pq", "q_doc_winnow", "q_doc_fingerprint", "q_tfidf",
-      "q_sql_fn", "q_dedup_chunks_cdc", "q_dedup_substrings", "q_doc_entropy")
+      "q_sql_fn", "q_dedup_chunks_cdc", "q_dedup_substrings", "q_doc_entropy",
+      "q_doc_repetition")
     for (n <- names) {
       val gen = Queries.all(n)(spark, sfDir).collect().toSeq
       val interp = interpreted(Queries.all(n)(spark, sfDir).collect().toSeq)
