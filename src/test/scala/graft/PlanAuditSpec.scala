@@ -296,6 +296,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!w.contains("Window") && !w.contains("Join"), w.take(3000))
   }
 
+  test("row-pure text signals are scan-shaped: no hash exchange or join") {
+    // the r11 shape rewrites frozen: per-doc entropy and repetition are
+    // pure functions of the row, so their plans must stay scan → project
+    // (the presentation sort's range exchange is the only exchange) — an
+    // explode+groupBy regression here re-costs 10-20× at sf1
+    for (n <- Seq("q_doc_entropy", "q_doc_repetition")) {
+      val p = planOf(n)
+      assert(!p.contains("Exchange hashpartitioning"), s"$n shuffles: ${p.take(2000)}")
+      assert(!p.contains("Join"), s"$n joins: ${p.take(2000)}")
+      assert(!p.contains("Generate explode"), s"$n explodes: ${p.take(2000)}")
+    }
+    // the URL curation pair: canonicalize is a pure map; caps is one
+    // TopKPerKey exchange and nothing else
+    val u = planOf("q_url_canonicalize")
+    assert(!u.contains("Exchange hashpartitioning") && !u.contains("Join"),
+      u.take(2000))
+    val d = planOf("q_domain_caps")
+    assert(d.contains("TopKPerKey"), d.take(2000))
+    assert(!d.contains("Window") && !d.contains("Join"), d.take(2000))
+  }
+
   test("quality classifier scores in-scan: no join, window, or hash exchange") {
     val qc = planOf("q_quality_classifier")
     assert(!qc.contains("Join"), qc.take(3000))
