@@ -71,7 +71,7 @@ object PipelineOps {
     * trailing slash) so canonicalization has real work to do, while the
     * canonical form stays closed-form for the oracle — the multimodal
     * decode-vs-generator discipline applied to strings. */
-  private def withUrl(df: DataFrame): DataFrame =
+  private[graft] def withUrl(df: DataFrame): DataFrame =
     df.withColumn("url", concat(
       lit("HTTPS://WwW."), col("source"), col("doc_id") % 3,
       lit(".Example.COM:443/Path/"), col("doc_id"),
@@ -79,6 +79,13 @@ object PipelineOps {
       lit("&fbclid=abc"), col("doc_id"),
       lit("&page="), col("doc_id") % 5,
       lit("#sec"), col("doc_id") % 4))
+
+  /** Registrable domain of a raw URL: canonical host minus the www prefix
+    * and any explicit port — the grouping key of the whole URL-curation
+    * recipe (caps, blocklist, streaming admission). */
+  private[graft] def domainOfUrl(u: Column): Column =
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(u, "://([^/?#]+)", 1), ":[0-9]+$", ""), "(?i)^www\\.", ""))
 
   /** URL canonicalization as a pure Column (idempotent — law-tested):
     * lowercase scheme and host (case-insensitive per RFC 3986) but NOT
@@ -136,9 +143,7 @@ object PipelineOps {
     // minus www/port); the oracle uses the closed form.
     "q_domain_caps" -> ((s, dir) => {
       val d = withUrl(docs(s, dir).select(col("doc_id"), col("source")))
-        .withColumn("domain", lower(regexp_replace(regexp_replace(
-          regexp_extract(col("url"), "://([^/?#]+)", 1),
-          ":[0-9]+$", ""), "(?i)^www\\.", "")))
+        .withColumn("domain", domainOfUrl(col("url")))
         .select(col("domain"), col("doc_id"),
           md5(col("doc_id").cast("string")).as("h"))
       graft.plans.TopK.perKey(d, Seq("domain"),
@@ -157,9 +162,7 @@ object PipelineOps {
     // not an error).
     "q_domain_blocklist" -> ((s, dir) =>
       withUrl(docs(s, dir).select(col("doc_id"), col("source")))
-        .withColumn("domain", lower(regexp_replace(regexp_replace(
-          regexp_extract(col("url"), "://([^/?#]+)", 1),
-          ":[0-9]+$", ""), "(?i)^www\\.", "")))
+        .withColumn("domain", domainOfUrl(col("url")))
         .select(col("doc_id"), col("domain"),
           col("domain").isin("src10.example.com", "src41.example.com",
             "src122.example.com", "badhost.example.com").as("blocked"))

@@ -1073,6 +1073,63 @@ object Streams {
       .orderBy(col("keeper_doc_id"))
   }
 
+  /** Streaming per-domain admission cap — the rate-limit form of the
+    * RefinedWeb/CCNet per-domain cap (`q_domain_caps`), run at INGEST: as
+    * documents arrive, a keyed counter per registrable domain admits the
+    * first `k` arrivals and flags the rest. Streaming admission is
+    * irrevocable (an admitted doc cannot be un-admitted when a
+    * "better-hashed" one lands later), so the streaming cap is
+    * ARRIVAL-ORDER by contract — the batch cap's md5-hash keep-order is a
+    * rerun-stability device the batch form keeps; the two keep-sets have
+    * identical per-domain SIZES (law-tested), not identical members.
+    * Within a micro-batch arrivals are ordered by doc_id before admission,
+    * so the output is deterministic and, with the corpus arriving in id
+    * order, the keep-set is the closed form rank-by-id ≤ k (the oracle).
+    *
+    * Scale: state is ONE long per domain — bounded by |domains|, never
+    * stream length; output is one flagged row per arrival (linear, no
+    * retraction). The groupByKey shuffles each micro-batch by domain; a
+    * hot domain concentrates its batch slice on one task, but the per-row
+    * work is a counter compare, so skew costs bandwidth, not memory —
+    * and past the cap the slice could be pre-filtered with a broadcast
+    * saturated-domain set if a crawl frontier ever made one domain
+    * batch-dominant. */
+  private[graft] def domainCapFlags(spark: SparkSession,
+                                    docStream: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    graft.operators.PipelineOps.withUrl(
+        docStream.select(col("doc_id"), col("source")))
+      .select(col("doc_id"),
+        graft.operators.PipelineOps.domainOfUrl(col("url")).as("domain"))
+      .as[(Long, String)]
+      .groupByKey { case (_, domain) => domain }
+      .flatMapGroupsWithState[Long, (Long, String, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (domain, rows, state: GroupState[Long]) =>
+            var admitted = state.getOption.getOrElse(0L)
+            // id-sorted within the batch: deterministic under Spark's
+            // unordered group iterator, equal to arrival order for an
+            // id-ordered feed (the corpus contract)
+            val out = rows.map(_._1).toArray.sorted.map { id =>
+              val admit = admitted < k
+              if (admit) admitted += 1
+              (id, domain, admit)
+            }
+            state.update(admitted)
+            out.iterator
+        }
+      .toDF("doc_id", "domain", "admitted")
+  }
+
+  def domainCapStream(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    runToTable(domainCapFlags(spark, stream, k), spark, OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming sessionization: the state-store-native expression of the
     * batch q_session_window — `session_window` merges a user's events into
     * gap-bounded sessions as they arrive, the watermark closes (and
@@ -1135,6 +1192,7 @@ object Streams {
     "q_stream_multimodal_dedup" -> ((s, dir) => multimodalDedupStream(s, dir)),
     "q_stream_audio_dedup" -> ((s, dir) => audioDedupStream(s, dir)),
     "q_stream_video_dedup" -> ((s, dir) => videoDedupStream(s, dir)),
+    "q_stream_domain_caps" -> ((s, dir) => domainCapStream(s, dir)),
   )
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
@@ -1294,6 +1352,17 @@ object Streams {
         |FROM documents
         |GROUP BY doc_id % 348
         |ORDER BY keeper_doc_id""".stripMargin,
+    // arrival-order cap with an id-ordered feed ⟺ rank-by-id ≤ k; the
+    // synthesized domain's closed form is the q_domain_caps one
+    "q_stream_domain_caps" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(source) || (doc_id % 3) || '.example.com' AS domain
+        |  FROM documents),
+        |r AS (SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+        |  FROM d)
+        |SELECT doc_id, domain, rk <= 5 AS admitted
+        |FROM r ORDER BY doc_id""".stripMargin,
     // exact while every duplicate group spans < the 1-day lateness window
     // (see dedupWindowedCount's contract scaladoc)
     "q_stream_dedup_windowed" ->
