@@ -551,6 +551,35 @@ object Multimodal {
     }
   }
 
+  /** One ingest-time fingerprint row per document across ALL codec
+    * modalities — the factoring every downstream dedup / admission /
+    * decontamination query shares: at 100 TB the payload columns are read
+    * and DECODED exactly once, the fixed-width fingerprints persist (as a
+    * bucketed table keyed by doc_id), and the per-modality gates become
+    * joins over this frame instead of re-running three codec scans each.
+    * (The 1000× joint-admission probe measured the codec scans as the
+    * honest dominant term — 400+ s of 627 s — precisely the cost this
+    * amortizes across queries.) */
+  case class IngestFp(doc_id: Long, img_fp: String, audio_frames: Int,
+                      audio_mask: Long, video_fp: String)
+
+  /** Fused per-partition decode: the three modality fingerprint iterators
+    * ([[imageFingerprints]], [[audioStructure]], [[videoFingerprint]])
+    * run in LOCKSTEP over duplicated id cursors (zip pulls alternately, so
+    * the duplicate buffers hold ≤1 element) — each keeps its one-digest-
+    * per-partition discipline, and each document's three payloads are
+    * encoded, decoded, and dropped before the next row. */
+  def ingestFingerprints(ids: Iterator[Long]): Iterator[IngestFp] = {
+    val (i1, rest) = ids.duplicate
+    val (i2, i3) = rest.duplicate
+    val img = imageFingerprints(i1.map(id => MediaRow(id, "image", encodePng(id))))
+    val au = audioStructure(i2.map(id => MediaRow(id, "audio", encodeWav(id))))
+    val vid = videoFingerprint(i3.map(id => MediaRow(id, "video", encodeVideo(id))))
+    img.zip(au).zip(vid).map { case ((i, a), v) =>
+      IngestFp(i.doc_id, i.fp_md5, a.n_frames, a.silent_mask, v.video_fp)
+    }
+  }
+
   /** Batched decode + feature-extract: per-partition iterator, one real
     * PNG decode per row (registry-free — see [[decodeImageBytes]]), stats
     * and a genuine 2×2 box-average downscale
@@ -724,6 +753,34 @@ object Multimodal {
           count(lit(1)).as("n_copies"))
         .select(col("keeper_doc_id"), col("n_copies"))
         .orderBy(col("keeper_doc_id"))
+    }),
+
+    // the ingest-time fingerprint table, all modalities in ONE fused
+    // codec pass ([[ingestFingerprints]]): per doc, the exact-image md5,
+    // audio silence-structure key, and video sequence fingerprint, plus
+    // each class's keeper/size facts (min-id + count over the class
+    // key — window partitions are class-sized, never corpus-sized; only
+    // fixed-width fingerprints cross the exchanges). Oracle: the three
+    // class bijections (img ⟺ mod 96, audio ⟺ mod 35, video ⟺ mod 348,
+    // each pinned in MultimodalSpec) give every output column a closed
+    // form. Production persists this frame bucketed by doc_id and the
+    // whole dedup/admission/decontamination family joins it instead of
+    // re-decoding — the factoring the 1000× joint probes costed out.
+    "q_multimodal_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fp = docIds(s, dir).mapPartitions(ingestFingerprints).toDF()
+      val wi = Window.partitionBy(col("img_fp"))
+      val wa = Window.partitionBy(col("audio_frames"), col("audio_mask"))
+      val wv = Window.partitionBy(col("video_fp"))
+      fp.select(col("doc_id"),
+          min(col("doc_id")).over(wi).as("img_keeper"),
+          count(lit(1)).over(wi).as("img_copies"),
+          min(col("doc_id")).over(wa).as("audio_keeper"),
+          count(lit(1)).over(wa).as("audio_copies"),
+          min(col("doc_id")).over(wv).as("video_keeper"),
+          count(lit(1)).over(wv).as("video_copies"))
+        .orderBy(col("doc_id"))
     }),
 
     // perceptual (near-duplicate) image dedup — the first non-trivial gate
@@ -1876,6 +1933,24 @@ object Multimodal {
         |FROM documents
         |GROUP BY doc_id % 6, doc_id % 4, doc_id % 32
         |ORDER BY keeper_doc_id""".stripMargin,
+    // the three class bijections at once (img ⟺ mod 96 via the
+    // (d%6, d%4, d%32) pattern params, audio ⟺ mod 35, video ⟺ mod 348)
+    "q_multimodal_ingest" ->
+      """WITH i AS (SELECT doc_id % 96 AS c, CAST(MIN(doc_id) AS BIGINT) AS k,
+        |             CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |a AS (SELECT doc_id % 35 AS c, CAST(MIN(doc_id) AS BIGINT) AS k,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |v AS (SELECT doc_id % 348 AS c, CAST(MIN(doc_id) AS BIGINT) AS k,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+        |SELECT d.doc_id,
+        |  i.k AS img_keeper, i.n AS img_copies,
+        |  a.k AS audio_keeper, a.n AS audio_copies,
+        |  v.k AS video_keeper, v.n AS video_copies
+        |FROM documents d
+        |JOIN i ON d.doc_id % 96 = i.c
+        |JOIN a ON d.doc_id % 35 = a.c
+        |JOIN v ON d.doc_id % 348 = v.c
+        |ORDER BY d.doc_id""".stripMargin,
     // the perceptual predicate over closed-form pixels: the 8×8
     // NN-resample of gray(x,y) = base + 7x + 13y samples source pixel
     // ((i%8)·w/8, (i/8)·h/8); aHash bit i is the integer form

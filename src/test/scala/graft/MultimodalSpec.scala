@@ -599,4 +599,25 @@ class MultimodalSpec extends SparkSpec {
       assert(direct == nClasses, s"$src: class count drift")
     }
   }
+
+  test("ingest fingerprint table: per-modality facts == the single-modality dedup queries") {
+    // the fused one-pass decode must reproduce EXACTLY the (keeper, size)
+    // facts each standalone codec query computes from its own scan
+    val ing = Queries.all("q_multimodal_ingest")(spark, sfDir).collect()
+    assert(ing.nonEmpty)
+    def classFacts(keeperIdx: Int, copiesIdx: Int) =
+      ing.map(r => (r.getLong(keeperIdx), r.getLong(copiesIdx))).toSet
+    def dedupFacts(q: String) =
+      Queries.all(q)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(classFacts(1, 2) == dedupFacts("q_multimodal_dedup"), "image")
+    assert(classFacts(3, 4) == dedupFacts("q_audio_dedup"), "audio")
+    assert(classFacts(5, 6) == dedupFacts("q_video_dedup"), "video")
+    // every doc belongs to its keeper's class: keeper ≤ doc_id, and the
+    // keeper row is self-keeping on all three modalities
+    ing.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) <= id && r.getLong(3) <= id && r.getLong(5) <= id)
+    }
+  }
 }
