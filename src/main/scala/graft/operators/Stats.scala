@@ -70,6 +70,25 @@ object Stats {
       Encoders.kryo[Map[String, Long]]
   }
 
+  /** [[MisraGries]] with a string-typed finish (space-joined sorted
+    * nominee tokens) — the streaming form: a memory-sink row must be a
+    * plain SQL type, not a Kryo blob, for the harness to read it back.
+    * Same sketch, same superset guarantee; only the presentation of the
+    * bounded nominee set differs. */
+  class MisraGriesNominees(k: Int) extends Aggregator[String, Map[String, Long], String] {
+    private val mg = new MisraGries(k)
+    override def zero: Map[String, Long] = mg.zero
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      mg.reduce(b, a)
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      mg.merge(x, y)
+    override def finish(r: Map[String, Long]): String =
+      r.keys.toSeq.sorted.mkString(" ")
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
   val queries: Map[String, Q] = Map(
     // variance / stddev / correlation from exact moment sums
     "q_stats_agg" -> ((s, dir) => {

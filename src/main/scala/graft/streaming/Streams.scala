@@ -1130,6 +1130,63 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming heavy hitters — the batch q_heavy_hitters' two-phase
+    * Misra–Gries design at ingest: the token stream folds into ONE
+    * mergeable ≤k-counter sketch (a typed Aggregator as a Complete-mode
+    * global aggregation, so streaming state is the k-entry buffer — never
+    * a per-token counter table), then the bounded nominee set is
+    * exact-verified against the batch corpus. MG's superset guarantee
+    * (any token with frequency > n/(k+1) survives reduce AND merge in any
+    * order) is what makes the sketch pass order- and batching-invariant:
+    * the verified output equals the batch query exactly, so they share
+    * the exact-frequency oracle.
+    *
+    * 100 TB shape: this is the streaming frequent-items operator a
+    * vocabulary monitor / hot-key detector needs — per-partition partial
+    * sketches merge map-side, the state store holds ONE k-entry row, and
+    * the only per-token state anywhere is in the final exact count over
+    * the ≤k nominees. A per-key streaming count (the naive form) keeps
+    * |vocabulary| rows of state; this keeps k. */
+  /** The bounded nominee set from a streaming document feed: fold the
+    * token stream into the k-counter sketch, read back the one-row
+    * Complete-mode result. Factored so tests can drive a sliced feed
+    * through cross-micro-batch sketch merging. */
+  private[graft] def heavyHitterNominees(spark: SparkSession,
+                                         docStream: DataFrame, k: Int): Seq[String] = {
+    import spark.implicits._
+    val toks = docStream
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .as[String]
+    runToTable(
+        toks.select(new graft.operators.Stats.MisraGriesNominees(k).toColumn)
+          .toDF("nominees"),
+        spark, OutputMode.Complete())
+      .head().getString(0).split(" ").toSeq
+  }
+
+  /** Exact verification of a bounded nominee set against the batch corpus
+    * — phase two of the batch query, unchanged. */
+  private[graft] def verifyHeavyHitters(spark: SparkSession, dir: String,
+                                        nominees: Seq[String], k: Int): DataFrame = {
+    val t = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+    val tot = t.agg(count(lit(1)).as("t"))
+    t.filter(col("token").isInCollection(nominees.sorted))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(tot)
+      .filter(col("n") * (k + 1) > col("t"))
+      .select(col("token"), col("n"), col("t").as("total"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  def heavyHittersStream(spark: SparkSession, dir: String, k: Int = 29): DataFrame = {
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    verifyHeavyHitters(spark, dir, heavyHitterNominees(spark, stream, k), k)
+  }
+
   /** Streaming sessionization: the state-store-native expression of the
     * batch q_session_window — `session_window` merges a user's events into
     * gap-bounded sessions as they arrive, the watermark closes (and
@@ -1193,6 +1250,7 @@ object Streams {
     "q_stream_audio_dedup" -> ((s, dir) => audioDedupStream(s, dir)),
     "q_stream_video_dedup" -> ((s, dir) => videoDedupStream(s, dir)),
     "q_stream_domain_caps" -> ((s, dir) => domainCapStream(s, dir)),
+    "q_stream_heavy_hitters" -> ((s, dir) => heavyHittersStream(s, dir)),
   )
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
@@ -1352,6 +1410,17 @@ object Streams {
         |FROM documents
         |GROUP BY doc_id % 348
         |ORDER BY keeper_doc_id""".stripMargin,
+    // identical to the batch q_heavy_hitters oracle: the MG sketch pass
+    // is order/batching-invariant (superset guarantee) and the verify
+    // pass is exact, so the streaming output is the same exact >n/30 set
+    "q_stream_heavy_hitters" ->
+      """WITH tf AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |           FROM documents),
+        |tot AS (SELECT COUNT(*) AS t FROM tf)
+        |SELECT token, COUNT(*) AS n, (SELECT t FROM tot) AS total
+        |FROM tf GROUP BY token
+        |HAVING COUNT(*) * 30 > (SELECT t FROM tot)
+        |ORDER BY n DESC, token""".stripMargin,
     // arrival-order cap with an id-ordered feed ⟺ rank-by-id ≤ k; the
     // synthesized domain's closed form is the q_domain_caps one
     "q_stream_domain_caps" ->

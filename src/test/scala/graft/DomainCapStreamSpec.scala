@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,23 +42,8 @@ class DomainCapStreamSpec extends SparkSpec {
   test("admission state carries across micro-batches (two-slice feed)") {
     // two id-ordered slices as separate files, one file per trigger ⇒ the
     // second batch must CONTINUE each domain's count, not restart it
-    val base = Files.createTempDirectory("graft_domcap").toString
+    val base = TestFeeds.slicedDocs(spark, sfDir, 2)
     val docs = Tables.load(spark, sfDir, "documents")
-    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0).head
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val t0 = System.currentTimeMillis()
-    Seq(docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
-      .zipWithIndex.foreach { case (slice, i) =>
-        val tmp = s"$base/.tmp"
-        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val dst = new org.apache.hadoop.fs.Path(f"$base/docs_$i%02d.parquet")
-        fs.rename(part, dst)
-        fs.setTimes(dst, t0 + i * 1000L, -1)
-      }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$base/.tmp"), true)
     val stream = spark.readStream
       .schema(docs.schema)
       .option("maxFilesPerTrigger", "1")

@@ -41,6 +41,31 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters == batch heavy hitters (sketch state merges across batches)") {
+    val stream = Queries.all("q_stream_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Queries.all("q_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream.nonEmpty && stream == batch)
+  }
+
+  test("streaming MG sketch state merges across micro-batches (sliced feed)") {
+    // three id-ordered slices, one file per trigger: nominees from the
+    // cross-batch merged sketch must still cover every true heavy hitter,
+    // and the verified output must equal the batch query's
+    val base = TestFeeds.slicedDocs(spark, sfDir, 3)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(base)
+    val nominees = streaming.Streams.heavyHitterNominees(spark, stream, 29)
+    assert(nominees.size <= 29)
+    val got = streaming.Streams.verifyHeavyHitters(spark, sfDir, nominees, 29)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Queries.all("q_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val exact = li.groupBy(col("l_returnflag"))
