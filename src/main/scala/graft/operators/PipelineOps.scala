@@ -152,6 +152,36 @@ object PipelineOps {
         .orderBy(col("domain"), col("doc_id"))
     }),
 
+    // Incremental per-domain cap — the recrawl posture of q_domain_caps
+    // (the q_dedup_incremental discipline applied to URL curation): the
+    // STORE's keep-set is already fixed (first K per domain by the md5
+    // keep-order), and an arriving batch may only fill each domain's
+    // REMAINING quota, chosen by the same hash order so reruns agree.
+    // Plan: one shared scan; the store side never sorts or tops — its
+    // kept count is closed-form least(K, count) per domain (a partial-
+    // aggregatable count, replication-cheap); the batch side runs the
+    // bounded TopKPerKey heaps, and only the ≤K-per-domain survivor frame
+    // pays a rank window (partitions of ≤K rows) before the quota filter.
+    "q_domain_caps_incremental" -> ((s, dir) => {
+      val k = 5
+      val d = withUrl(docs(s, dir).select(col("doc_id"), col("source")))
+        .withColumn("domain", domainOfUrl(col("url")))
+        .select(col("domain"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val quota = d.filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("domain"))
+        .agg(least(lit(k.toLong), count(lit(1))).as("n_kept"))
+      val batchTop = graft.plans.TopK.perKey(
+          d.filter(col("doc_id") % 10 === 0), Seq("domain"),
+          Seq("h" -> false, "doc_id" -> false), k)
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("domain")).orderBy(col("h"), col("doc_id"))))
+      batchTop.join(quota, Seq("domain"), "left")
+        .filter(col("rk") <= lit(k) - coalesce(col("n_kept"), lit(0L)))
+        .select(col("domain"), col("doc_id"))
+        .orderBy(col("domain"), col("doc_id"))
+    }),
+
     // Domain blocklist gate (the third leg of the RefinedWeb/CCNet URL
     // recipe, after canonicalize + caps): every doc flagged against a
     // curated blocklist of registrable domains. The list is eval-suite-
@@ -457,6 +487,23 @@ object PipelineOps {
         |    row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
         |  FROM d)
         |SELECT domain, doc_id FROM r WHERE rk <= 5
+        |ORDER BY domain, doc_id""".stripMargin,
+    // store keeps are first-K per domain by (h, doc_id) among store docs;
+    // the batch fills only the remaining quota in the same order
+    "q_domain_caps_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(source) || (doc_id % 3) || '.example.com' AS domain,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (SELECT domain, COUNT(*) AS n_kept FROM (
+        |    SELECT domain,
+        |      row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+        |    FROM d WHERE doc_id % 10 <> 0) WHERE rk <= 5 GROUP BY domain),
+        |b AS (SELECT domain, doc_id,
+        |    row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+        |  FROM d WHERE doc_id % 10 = 0)
+        |SELECT b.domain, b.doc_id FROM b LEFT JOIN s USING (domain)
+        |WHERE b.rk <= 5 - COALESCE(s.n_kept, 0)
         |ORDER BY domain, doc_id""".stripMargin,
     "q_domain_blocklist" ->
       """SELECT doc_id,

@@ -53,6 +53,35 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("incremental domain caps: quota law — store keeps + batch admits == single-shot cap size") {
+    // the incremental contract: store keeps are FIXED (admission is
+    // irrevocable), so the member sets may differ from a single-shot cap,
+    // but per-domain TOTAL keep counts must agree: min(K, store_n) +
+    // admits == min(K, store_n + batch_n). Also: admits ⊆ batch docs, and
+    // a store-saturated domain admits nothing.
+    val admits = q("q_domain_caps_incremental")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("domain", concat(lower(col("source")),
+        col("doc_id") % 3, lit(".example.com")))
+    val storeN = d.filter(col("doc_id") % 10 =!= 0).groupBy(col("domain"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchN = d.filter(col("doc_id") % 10 === 0).groupBy(col("domain"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchIds = d.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admits.forall(a => batchIds.contains(a._2)), "admitted a store doc")
+    val admitN = admits.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    (storeN.keySet ++ batchN.keySet).foreach { dom =>
+      val s = storeN.getOrElse(dom, 0L); val b = batchN.getOrElse(dom, 0L)
+      val total = math.min(5L, s) + admitN.getOrElse(dom, 0L)
+      assert(total == math.min(5L, s + b),
+        s"$dom: store=$s batch=$b admits=${admitN.getOrElse(dom, 0L)}")
+      if (s >= 5L) assert(!admitN.contains(dom), s"$dom saturated but admitted")
+    }
+    assert(admits.nonEmpty)
+  }
+
   test("domain blocklist: flags exactly the listed domains; stale entry no-op") {
     val out = q("q_domain_blocklist").cache()
     try {
