@@ -560,7 +560,8 @@ object Multimodal {
     * (The 1000× joint-admission probe measured the codec scans as the
     * honest dominant term — 400+ s of 627 s — precisely the cost this
     * amortizes across queries.) */
-  case class IngestFp(doc_id: Long, img_fp: String, audio_frames: Int,
+  case class IngestFp(doc_id: Long, img_fp: String, img_raster: Array[Int],
+                      img_ahash: Long, audio_frames: Int,
                       audio_mask: Long, video_fp: String)
 
   /** Fused per-partition decode: the three modality fingerprint iterators
@@ -576,7 +577,8 @@ object Multimodal {
     val au = audioStructure(i2.map(id => MediaRow(id, "audio", encodeWav(id))))
     val vid = videoFingerprint(i3.map(id => MediaRow(id, "video", encodeVideo(id))))
     img.zip(au).zip(vid).map { case ((i, a), v) =>
-      IngestFp(i.doc_id, i.fp_md5, a.n_frames, a.silent_mask, v.video_fp)
+      IngestFp(i.doc_id, i.fp_md5, i.p, i.ahash, a.n_frames, a.silent_mask,
+        v.video_fp)
     }
   }
 
@@ -1157,33 +1159,34 @@ object Multimodal {
     "q_dedup_joint" -> ((s, dir) => {
       import s.implicits._
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      val img = docIds(s, dir)
-        .mapPartitions { it =>
-          it.map(id => MediaRow(id, "image", encodePng(id)))
-        }
-        .toDF()
-        .select(col("doc_id"), md5(col("payload")).as("img_fp"))
+      // ONE fused codec pass, materialized ([[ingestFingerprints]] —
+      // the ingest-table factoring, applied INSIDE the query): before
+      // r11 each modality frame was built by its own codec scan AND
+      // self-joined with its own groupBy, so Spark executed every codec
+      // scan twice — six decode passes total. The 1000× probe measured
+      // the rewrite: 627.7 s → 375.1 s, sf0.1 checksum bit-identical.
+      // The perceptual raster is pruned BEFORE the checkpoint (this
+      // query's gates are byte-exact; materializing 64-int rasters per
+      // doc would bloat the frame ~4×). The localCheckpoint is the
+      // in-query stand-in for the persisted fingerprint table
+      // (q_multimodal_ingest) a production deployment reads here.
+      val fp = docIds(s, dir).mapPartitions(ingestFingerprints).toDF()
+        .select(col("doc_id"), col("img_fp"), col("audio_frames"),
+          col("audio_mask"), col("video_fp"))
+        .localCheckpoint()
+      val img = fp.select(col("doc_id"), col("img_fp"))
       val withImg = img
         .join(img.groupBy(col("img_fp")).agg(min(col("doc_id")).as("img_rep")),
           "img_fp")
         .select(col("doc_id"), col("img_rep"))
-      val aud = docIds(s, dir)
-        .mapPartitions { it =>
-          audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
-        }
-        .toDF()
-        .select(col("doc_id"),
-          struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
+      val aud = fp.select(col("doc_id"),
+        struct(col("audio_frames").as("n_frames"),
+          col("audio_mask").as("silent_mask")).as("aud_cls"))
       val withAud = aud
         .join(aud.groupBy(col("aud_cls")).agg(min(col("doc_id")).as("aud_rep")),
           "aud_cls")
         .select(col("doc_id"), col("aud_rep"))
-      val vid = docIds(s, dir)
-        .mapPartitions { it =>
-          videoFingerprint(it.map(id => MediaRow(id, "video", encodeVideo(id))))
-        }
-        .toDF()
-        .select(col("doc_id"), col("video_fp"))
+      val vid = fp.select(col("doc_id"), col("video_fp"))
       val withVid = vid
         .join(vid.groupBy(col("video_fp")).agg(min(col("doc_id")).as("vid_rep")),
           "video_fp")
@@ -1301,44 +1304,38 @@ object Multimodal {
       val ndHits = batch
         .join(ndTexts.select(col("text_b").as("text")), Seq("text"), "left_semi")
         .select(col("doc_id"), lit(true).as("text_neardup"))
-      // gate 3: image byte identity against the store's md5 class index
-      def imgFps(pred: org.apache.spark.sql.Column) =
+      // gates 3–5: image byte identity, audio silence structure, video
+      // sequence fingerprint — each side's three fingerprints from ONE
+      // fused codec pass ([[ingestFingerprints]]), materialized because
+      // three gate branches consume it (without the checkpoint each
+      // branch would re-run the fused scan and the rewrite would TRIPLE
+      // the codec work instead of thirding it). Honest 1000× A/B: the
+      // six per-side scans measured 333.4 s, the two fused frames
+      // 346.3 s — a WASH, because each old scan already ran once per
+      // modality per side (codec work is conserved) and the checkpoint
+      // materialization offsets the saved scan overhead. The fused form
+      // is kept for the architecture, not a local win: in production
+      // these two frames are reads of the persisted ingest fingerprint
+      // table (q_multimodal_ingest), split by arrival — zero codec work
+      // at admission time. Raster pruned pre-checkpoint (exact gates).
+      def fusedFps(pred: org.apache.spark.sql.Column) =
         docIdsWhere(s, dir, pred)
-          .mapPartitions { it =>
-            it.map(id => MediaRow(id, "image", encodePng(id)))
-          }
-          .toDF()
-          .select(col("doc_id"), md5(col("payload")).as("img_fp"))
-      val imgHits = imgFps(col("doc_id") % 10 === 0)
-        .join(imgFps(col("doc_id") % 10 =!= 0).select(col("img_fp")).distinct(),
-          Seq("img_fp"), "left_semi")
+          .mapPartitions(ingestFingerprints).toDF()
+          .select(col("doc_id"), col("img_fp"), col("audio_frames"),
+            col("audio_mask"), col("video_fp"))
+          .localCheckpoint()
+      val bFp = fusedFps(col("doc_id") % 10 === 0)
+      val sFp = fusedFps(col("doc_id") % 10 =!= 0)
+      val imgHits = bFp.select(col("doc_id"), col("img_fp"))
+        .join(sFp.select(col("img_fp")).distinct(), Seq("img_fp"), "left_semi")
         .select(col("doc_id"), lit(true).as("image_exact"))
-      // gate 4: audio silence-structure class (decoded PCM) against the
-      // store's structural class index (r10 verdict #2)
-      def audCls(pred: org.apache.spark.sql.Column) =
-        docIdsWhere(s, dir, pred)
-          .mapPartitions { it =>
-            audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
-          }
-          .toDF()
-          .select(col("doc_id"),
-            struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
-      val audHits = audCls(col("doc_id") % 10 === 0)
-        .join(audCls(col("doc_id") % 10 =!= 0).select(col("aud_cls")).distinct(),
-          Seq("aud_cls"), "left_semi")
+      val audCls = struct(col("audio_frames").as("n_frames"),
+        col("audio_mask").as("silent_mask")).as("aud_cls")
+      val audHits = bFp.select(col("doc_id"), audCls)
+        .join(sFp.select(audCls).distinct(), Seq("aud_cls"), "left_semi")
         .select(col("doc_id"), lit(true).as("audio_struct"))
-      // gate 5: video sequence fingerprint (decoded frames) against the
-      // store's fingerprint class index
-      def vidCls(pred: org.apache.spark.sql.Column) =
-        docIdsWhere(s, dir, pred)
-          .mapPartitions { it =>
-            videoFingerprint(it.map(id => MediaRow(id, "video", encodeVideo(id))))
-          }
-          .toDF()
-          .select(col("doc_id"), col("video_fp"))
-      val vidHits = vidCls(col("doc_id") % 10 === 0)
-        .join(vidCls(col("doc_id") % 10 =!= 0).select(col("video_fp")).distinct(),
-          Seq("video_fp"), "left_semi")
+      val vidHits = bFp.select(col("doc_id"), col("video_fp"))
+        .join(sFp.select(col("video_fp")).distinct(), Seq("video_fp"), "left_semi")
         .select(col("doc_id"), lit(true).as("video_seq"))
       batch.select(col("doc_id"))
         .join(exactHits, Seq("doc_id"), "left_outer")
@@ -1398,16 +1395,22 @@ object Multimodal {
       val ndHits = batch
         .join(ndTexts.select(col("text_b").as("text")), Seq("text"), "left_semi")
         .select(col("doc_id"), lit(true).as("text_neardup"))
-      // image gates share ONE codec scan per side: md5 (exact) and the
-      // 8×8 raster + aHash (perceptual) from imageFingerprints
-      def imgFps(pred: org.apache.spark.sql.Column) =
+      // ALL codec gates share ONE fused scan per side, materialized
+      // ([[ingestFingerprints]] — the r11 factoring): the image frame
+      // alone has three consumers (exact semi-join, raster classes,
+      // perceptual hit check), so without the checkpoint every consumer
+      // re-ran its codec scan. In production these frames are reads of
+      // the persisted ingest fingerprint table, split by arrival.
+      def fusedFps(pred: org.apache.spark.sql.Column) =
         docIdsWhere(s, dir, pred)
-          .mapPartitions { it =>
-            imageFingerprints(it.map(id => MediaRow(id, "image", encodePng(id))))
-          }
-          .toDF()
-      val bImg = imgFps(col("doc_id") % 10 === 0)
-      val sImg = imgFps(col("doc_id") % 10 =!= 0)
+          .mapPartitions(ingestFingerprints).toDF().localCheckpoint()
+      val bFp = fusedFps(col("doc_id") % 10 === 0)
+      val sFp = fusedFps(col("doc_id") % 10 =!= 0)
+      def imgView(fp: DataFrame) = fp.select(col("doc_id"),
+        col("img_fp").as("fp_md5"), col("img_raster").as("p"),
+        col("img_ahash").as("ahash"))
+      val bImg = imgView(bFp)
+      val sImg = imgView(sFp)
       val imgHits = bImg
         .join(sImg.select(col("fp_md5")).distinct(), Seq("fp_md5"), "left_semi")
         .select(col("doc_id"), lit(true).as("image_exact"))
@@ -1442,29 +1445,15 @@ object Multimodal {
         .select(col("doc_id"), lit(true).as("image_perceptual"))
       // audio/video gates as in q_dedup_joint_incremental (r10 verdict
       // #2) — the perceptual form keeps the full gate superset so the
-      // "only ever rejects more" monotonicity law stays structural
-      def audCls(pred: org.apache.spark.sql.Column) =
-        docIdsWhere(s, dir, pred)
-          .mapPartitions { it =>
-            audioStructure(it.map(id => MediaRow(id, "audio", encodeWav(id))))
-          }
-          .toDF()
-          .select(col("doc_id"),
-            struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
-      val audHits = audCls(col("doc_id") % 10 === 0)
-        .join(audCls(col("doc_id") % 10 =!= 0).select(col("aud_cls")).distinct(),
-          Seq("aud_cls"), "left_semi")
+      // "only ever rejects more" monotonicity law stays structural;
+      // both read the fused frames above, no extra codec pass
+      val audCls = struct(col("audio_frames").as("n_frames"),
+        col("audio_mask").as("silent_mask")).as("aud_cls")
+      val audHits = bFp.select(col("doc_id"), audCls)
+        .join(sFp.select(audCls).distinct(), Seq("aud_cls"), "left_semi")
         .select(col("doc_id"), lit(true).as("audio_struct"))
-      def vidCls(pred: org.apache.spark.sql.Column) =
-        docIdsWhere(s, dir, pred)
-          .mapPartitions { it =>
-            videoFingerprint(it.map(id => MediaRow(id, "video", encodeVideo(id))))
-          }
-          .toDF()
-          .select(col("doc_id"), col("video_fp"))
-      val vidHits = vidCls(col("doc_id") % 10 === 0)
-        .join(vidCls(col("doc_id") % 10 =!= 0).select(col("video_fp")).distinct(),
-          Seq("video_fp"), "left_semi")
+      val vidHits = bFp.select(col("doc_id"), col("video_fp"))
+        .join(sFp.select(col("video_fp")).distinct(), Seq("video_fp"), "left_semi")
         .select(col("doc_id"), lit(true).as("video_seq"))
       batch.select(col("doc_id"))
         .join(exactHits, Seq("doc_id"), "left_outer")
