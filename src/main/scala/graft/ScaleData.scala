@@ -33,7 +33,13 @@ object ScaleData {
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      // FIXED default width: derived-parquet part-file layout follows the
+      // generating session's parallelism, and layout sets scan split
+      // counts downstream — two corpora generated at different widths
+      // bench differently on scan-bound queries (measured, r11 sf1
+      // refresh). Override consciously, and record it next to the
+      // artifact if you do.
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

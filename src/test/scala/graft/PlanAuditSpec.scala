@@ -315,6 +315,30 @@ class PlanAuditSpec extends SparkSpec {
     val d = planOf("q_domain_caps")
     assert(d.contains("TopKPerKey"), d.take(2000))
     assert(!d.contains("Window") && !d.contains("Join"), d.take(2000))
+    // incremental caps: store side must aggregate (never sort/top), batch
+    // side keeps the TopKPerKey heaps, and the only window runs on the
+    // ≤K-per-domain survivor frame AFTER the heaps (heap node below it)
+    val di = planOf("q_domain_caps_incremental")
+    assert(di.contains("TopKPerKey"), di.take(3000))
+    assert(di.contains("partial_count") || di.contains("partial_min"),
+      di.take(3000))
+    assert(!di.contains("CartesianProduct") && !di.contains("BroadcastNestedLoopJoin"),
+      di.take(3000))
+  }
+
+  test("multimodal ingest: one codec pass feeds class windows, fingerprints only cross exchanges") {
+    val p = planOf("q_multimodal_ingest")
+    // exactly ONE fused decode: a single MapPartitions node renders ≤4
+    // times across planOf's two dumps (formatted tree + node detail +
+    // executedPlan.toString); a second codec pass would add ≥2 more
+    assert("MapPartitions".r.findAllIn(p).size <= 4, p.take(3000))
+    // no join — class facts come from windows over the fingerprint frame
+    assert(!p.contains("Join"), p.take(3000))
+    // the scan reads ids only (payloads are synthesized in the codec
+    // pass; a regression that scans text here re-reads the corpus)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      readSchema)
   }
 
   test("quality classifier scores in-scan: no join, window, or hash exchange") {
