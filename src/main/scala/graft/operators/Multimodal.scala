@@ -582,6 +582,38 @@ object Multimodal {
     }
   }
 
+  /** The LAZY fused fingerprint frame — one row per document (optionally
+    * restricted by a pushdown-friendly `pred`), exactly ONE MapPartitions
+    * codec pass over an ids-only scan, fixed-width exact fingerprints only
+    * (the perceptual raster/ahash are pruned — callers that need them use
+    * the full-width [[ingestFingerprints]] directly). Exposed
+    * un-materialized so `PlanAuditSpec` can pin the decode shape. */
+  def ingestFingerprintFrame(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    import s.implicits._
+    docIdsWhere(s, dir, pred)
+      .mapPartitions(ingestFingerprints).toDF()
+      .select(col("doc_id"), col("img_fp"), col("audio_frames"),
+        col("audio_mask"), col("video_fp"))
+  }
+
+  /** [[ingestFingerprintFrame]] materialized (localCheckpoint) — the
+    * in-query stand-in for the PERSISTED ingest table whenever more than
+    * one consumer reads the fingerprints: without it every consumer
+    * branch re-runs the codec scan. */
+  def ingestTable(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    ingestFingerprintFrame(s, dir, pred).localCheckpoint()
+
+  /** Production factoring: write the fused fingerprint table to parquet
+    * once at ingest time so every downstream gate — batch or streaming —
+    * reads fingerprints with ZERO codec work at query time. (A cluster
+    * deployment buckets this by doc_id via `bucketBy(...).saveAsTable`;
+    * path-addressed parquet is the portable form the tests and the
+    * streaming joint-admission store side exercise.) */
+  def writeIngestTable(s: SparkSession, dir: String, outPath: String): Unit =
+    ingestFingerprintFrame(s, dir).write.mode("overwrite").parquet(outPath)
+
   /** Batched decode + feature-extract: per-partition iterator, one real
     * PNG decode per row (registry-free — see [[decodeImageBytes]]), stats
     * and a genuine 2×2 box-average downscale
@@ -760,28 +792,43 @@ object Multimodal {
     // the ingest-time fingerprint table, all modalities in ONE fused
     // codec pass ([[ingestFingerprints]]): per doc, the exact-image md5,
     // audio silence-structure key, and video sequence fingerprint, plus
-    // each class's keeper/size facts (min-id + count over the class
-    // key — window partitions are class-sized, never corpus-sized; only
-    // fixed-width fingerprints cross the exchanges). Oracle: the three
-    // class bijections (img ⟺ mod 96, audio ⟺ mod 35, video ⟺ mod 348,
-    // each pinned in MultimodalSpec) give every output column a closed
-    // form. Production persists this frame bucketed by doc_id and the
-    // whole dedup/admission/decontamination family joins it instead of
-    // re-decoding — the factoring the 1000× joint probes costed out.
+    // each class's keeper/size facts. r12 de-skew: the facts were
+    // min/count over `Window.partitionBy(class)` — correct on every
+    // fixture, but a window partition's size is its class's duplication
+    // count, and at 100 TB the hottest class (a boilerplate image, a
+    // silence clip) is a material fraction of the corpus: ONE WindowExec
+    // task buffering billions of rows, with no AQE mitigation (AQE
+    // skew-splits joins, not windows). The facts now come from map-side-
+    // combined `groupBy(class).agg(min, count)` frames joined back —
+    // partial aggregation collapses a mega-class to one row per map task
+    // before any exchange, and the three equi-joins are AQE skew-
+    // splittable (and broadcast outright when the class-fact frames are
+    // small). The fingerprint frame is materialized once
+    // ([[ingestTable]] — the in-query stand-in for the persisted table)
+    // because four consumers read it. Oracle: the three class bijections
+    // (img ⟺ mod 96, audio ⟺ mod 35, video ⟺ mod 348, each pinned in
+    // MultimodalSpec) give every output column a closed form. Production
+    // persists this frame bucketed by doc_id ([[writeIngestTable]]) and
+    // the whole dedup/admission/decontamination family joins it instead
+    // of re-decoding — the factoring the 1000× joint probes costed out.
     "q_multimodal_ingest" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val fp = docIds(s, dir).mapPartitions(ingestFingerprints).toDF()
-      val wi = Window.partitionBy(col("img_fp"))
-      val wa = Window.partitionBy(col("audio_frames"), col("audio_mask"))
-      val wv = Window.partitionBy(col("video_fp"))
-      fp.select(col("doc_id"),
-          min(col("doc_id")).over(wi).as("img_keeper"),
-          count(lit(1)).over(wi).as("img_copies"),
-          min(col("doc_id")).over(wa).as("audio_keeper"),
-          count(lit(1)).over(wa).as("audio_copies"),
-          min(col("doc_id")).over(wv).as("video_keeper"),
-          count(lit(1)).over(wv).as("video_copies"))
+      val fp = ingestTable(s, dir)
+      val fi = fp.groupBy(col("img_fp"))
+        .agg(min(col("doc_id")).as("img_keeper"),
+          count(lit(1)).as("img_copies"))
+      val fa = fp.groupBy(col("audio_frames"), col("audio_mask"))
+        .agg(min(col("doc_id")).as("audio_keeper"),
+          count(lit(1)).as("audio_copies"))
+      val fv = fp.groupBy(col("video_fp"))
+        .agg(min(col("doc_id")).as("video_keeper"),
+          count(lit(1)).as("video_copies"))
+      fp.join(fi, Seq("img_fp"))
+        .join(fa, Seq("audio_frames", "audio_mask"))
+        .join(fv, Seq("video_fp"))
+        .select(col("doc_id"),
+          col("img_keeper"), col("img_copies"),
+          col("audio_keeper"), col("audio_copies"),
+          col("video_keeper"), col("video_copies"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1167,13 +1214,10 @@ object Multimodal {
       // the rewrite: 627.7 s → 375.1 s, sf0.1 checksum bit-identical.
       // The perceptual raster is pruned BEFORE the checkpoint (this
       // query's gates are byte-exact; materializing 64-int rasters per
-      // doc would bloat the frame ~4×). The localCheckpoint is the
-      // in-query stand-in for the persisted fingerprint table
+      // doc would bloat the frame ~4×). [[ingestTable]]'s localCheckpoint
+      // is the in-query stand-in for the persisted fingerprint table
       // (q_multimodal_ingest) a production deployment reads here.
-      val fp = docIds(s, dir).mapPartitions(ingestFingerprints).toDF()
-        .select(col("doc_id"), col("img_fp"), col("audio_frames"),
-          col("audio_mask"), col("video_fp"))
-        .localCheckpoint()
+      val fp = ingestTable(s, dir)
       val img = fp.select(col("doc_id"), col("img_fp"))
       val withImg = img
         .join(img.groupBy(col("img_fp")).agg(min(col("doc_id")).as("img_rep")),
@@ -1318,14 +1362,8 @@ object Multimodal {
       // these two frames are reads of the persisted ingest fingerprint
       // table (q_multimodal_ingest), split by arrival — zero codec work
       // at admission time. Raster pruned pre-checkpoint (exact gates).
-      def fusedFps(pred: org.apache.spark.sql.Column) =
-        docIdsWhere(s, dir, pred)
-          .mapPartitions(ingestFingerprints).toDF()
-          .select(col("doc_id"), col("img_fp"), col("audio_frames"),
-            col("audio_mask"), col("video_fp"))
-          .localCheckpoint()
-      val bFp = fusedFps(col("doc_id") % 10 === 0)
-      val sFp = fusedFps(col("doc_id") % 10 =!= 0)
+      val bFp = ingestTable(s, dir, col("doc_id") % 10 === 0)
+      val sFp = ingestTable(s, dir, col("doc_id") % 10 =!= 0)
       val imgHits = bFp.select(col("doc_id"), col("img_fp"))
         .join(sFp.select(col("img_fp")).distinct(), Seq("img_fp"), "left_semi")
         .select(col("doc_id"), lit(true).as("image_exact"))

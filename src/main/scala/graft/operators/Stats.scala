@@ -70,11 +70,13 @@ object Stats {
       Encoders.kryo[Map[String, Long]]
   }
 
-  /** [[MisraGries]] with a string-typed finish (space-joined sorted
-    * nominee tokens) — the streaming form: a memory-sink row must be a
-    * plain SQL type, not a Kryo blob, for the harness to read it back.
-    * Same sketch, same superset guarantee; only the presentation of the
-    * bounded nominee set differs. */
+  /** [[MisraGries]] with a string-typed finish (NUL-joined sorted
+    * nominee tokens — NUL cannot appear in any key, unlike a space,
+    * which a future non-whitespace-tokenized caller's keys could contain
+    * and silently corrupt the split-back) — the streaming form: a
+    * memory-sink row must be a plain SQL type, not a Kryo blob, for the
+    * harness to read it back. Same sketch, same superset guarantee; only
+    * the presentation of the bounded nominee set differs. */
   class MisraGriesNominees(k: Int) extends Aggregator[String, Map[String, Long], String] {
     private val mg = new MisraGries(k)
     override def zero: Map[String, Long] = mg.zero
@@ -82,8 +84,11 @@ object Stats {
       mg.reduce(b, a)
     override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
       mg.merge(x, y)
-    override def finish(r: Map[String, Long]): String =
-      r.keys.toSeq.sorted.mkString(" ")
+    override def finish(r: Map[String, Long]): String = {
+      require(r.keys.forall(!_.contains('\u0000')),
+        "nominee keys must not contain NUL (the join separator)")
+      r.keys.toSeq.sorted.mkString("\u0000")
+    }
     override def bufferEncoder: Encoder[Map[String, Long]] =
       Encoders.kryo[Map[String, Long]]
     override def outputEncoder: Encoder[String] = Encoders.STRING

@@ -1089,11 +1089,15 @@ object Streams {
     * Scale: state is ONE long per domain — bounded by |domains|, never
     * stream length; output is one flagged row per arrival (linear, no
     * retraction). The groupByKey shuffles each micro-batch by domain; a
-    * hot domain concentrates its batch slice on one task, but the per-row
-    * work is a counter compare, so skew costs bandwidth, not memory —
-    * and past the cap the slice could be pre-filtered with a broadcast
-    * saturated-domain set if a crawl frontier ever made one domain
-    * batch-dominant. */
+    * hot domain concentrates its batch slice on one task, but the group
+    * function holds only a ≤(k−admitted)-element heap — a SATURATED hot
+    * domain (the crawl-frontier steady state) streams pure lazy
+    * rejections with zero buffering, and an unsaturated one buffers k
+    * ids at most, so skew genuinely costs bandwidth, not memory. The
+    * admitted set per batch is the `k−admitted` SMALLEST ids of the
+    * slice (== sort-ascending-then-admit, without the sort buffer),
+    * deterministic under Spark's unordered group iterator and equal to
+    * arrival order for an id-ordered feed (the corpus contract). */
   private[graft] def domainCapFlags(spark: SparkSession,
                                     docStream: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
@@ -1106,17 +1110,34 @@ object Streams {
       .flatMapGroupsWithState[Long, (Long, String, Boolean)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
           case (domain, rows, state: GroupState[Long]) =>
-            var admitted = state.getOption.getOrElse(0L)
-            // id-sorted within the batch: deterministic under Spark's
-            // unordered group iterator, equal to arrival order for an
-            // id-ordered feed (the corpus contract)
-            val out = rows.map(_._1).toArray.sorted.map { id =>
-              val admit = admitted < k
-              if (admit) admitted += 1
-              (id, domain, admit)
+            val already = state.getOption.getOrElse(0L)
+            val capacity = math.max(0L, k - already).toInt
+            if (capacity == 0) {
+              // saturated domain: pure lazy pass-through — no buffer, no
+              // state write (the count is unchanged)
+              rows.map { case (id, _) => (id, domain, false) }
+            } else {
+              // bounded max-heap of the `capacity` smallest ids seen so
+              // far; every displaced or larger id is a rejection emitted
+              // lazily as the group iterator drains. Spark commits state
+              // AFTER the returned iterator completes (CompletionIterator
+              // in FlatMapGroupsWithStateExec), so the update below —
+              // evaluated when the rejection stream is exhausted — lands
+              // in the store for the next micro-batch.
+              val heap = scala.collection.mutable.PriorityQueue.empty[Long]
+              val rejections = rows.flatMap { case (id, _) =>
+                if (heap.size < capacity) { heap.enqueue(id); Iterator.empty }
+                else if (id < heap.head) {
+                  val evicted = heap.dequeue(); heap.enqueue(id)
+                  Iterator.single((evicted, domain, false))
+                } else Iterator.single((id, domain, false))
+              }
+              def admissions = {
+                state.update(already + heap.size)
+                heap.dequeueAll[Long].reverseIterator.map(id => (id, domain, true))
+              }
+              rejections ++ admissions
             }
-            state.update(admitted)
-            out.iterator
         }
       .toDF("doc_id", "domain", "admitted")
   }
@@ -1161,7 +1182,7 @@ object Streams {
         toks.select(new graft.operators.Stats.MisraGriesNominees(k).toColumn)
           .toDF("nominees"),
         spark, OutputMode.Complete())
-      .head().getString(0).split(" ").toSeq
+      .head().getString(0).split("\\u0000").toSeq
   }
 
   /** Exact verification of a bounded nominee set against the batch corpus

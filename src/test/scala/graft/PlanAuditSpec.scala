@@ -326,19 +326,37 @@ class PlanAuditSpec extends SparkSpec {
       di.take(3000))
   }
 
-  test("multimodal ingest: one codec pass feeds class windows, fingerprints only cross exchanges") {
-    val p = planOf("q_multimodal_ingest")
-    // exactly ONE fused decode: a single MapPartitions node renders ≤4
-    // times across planOf's two dumps (formatted tree + node detail +
-    // executedPlan.toString); a second codec pass would add ≥2 more
-    assert("MapPartitions".r.findAllIn(p).size <= 4, p.take(3000))
-    // no join — class facts come from windows over the fingerprint frame
-    assert(!p.contains("Join"), p.take(3000))
-    // the scan reads ids only (payloads are synthesized in the codec
-    // pass; a regression that scans text here re-reads the corpus)
-    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+  test("multimodal ingest: one materialized codec pass, skew-safe class facts") {
+    // the codec pass itself, audited on the LAZY frame (the query
+    // materializes it via localCheckpoint, which truncates lineage out of
+    // the query's own plan): exactly ONE fused MapPartitions decode — the
+    // node renders 2–4 times across planOf-style dumps (formatted tree +
+    // node detail + executedPlan.toString); 0 would mean the codec pass
+    // vanished, ≥5 a second pass
+    val lazyQe = graft.operators.Multimodal
+      .ingestFingerprintFrame(spark, sfDir).queryExecution
+    val lp = lazyQe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+      "\n" + lazyQe.executedPlan.toString
+    val mpCount = "MapPartitions".r.findAllIn(lp).size
+    assert(mpCount >= 2 && mpCount <= 4, s"fused decode count $mpCount:\n${lp.take(3000)}")
+    // the scan under the codec pass reads ids only (payloads are
+    // synthesized in the pass; scanning text here re-reads the corpus)
+    val readSchema = lp.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
       readSchema)
+    // the query's class facts: NO window anywhere — a window partition's
+    // size is its class's duplication count, and the hottest class of a
+    // 100 TB corpus lands on ONE WindowExec task with no AQE mitigation.
+    // Facts must be map-side-combined aggregates (partial_min/partial_count
+    // collapse a mega-class to one row per map task before the exchange)
+    // joined back via AQE-skew-splittable equi-joins.
+    val p = planOf("q_multimodal_ingest")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
   test("quality classifier scores in-scan: no join, window, or hash exchange") {
