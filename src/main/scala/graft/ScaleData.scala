@@ -21,17 +21,49 @@ import org.apache.spark.sql.functions._
   *    dimension tables stay single-copy (10x facts per dimension row).
   *  - events: event_ids shift; timestamps repeat (10x events per day).
   *
-  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [copies] [tables]
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> [copies] [tables] [skewPct]
   * (tables = comma list to replicate a subset, e.g. "documents,embeddings"
   * for a deep text/embedding probe without paying for 1000x events)
+  *
+  * skewPct > 0 plants the ADVERSARIAL-SKEW block the uniform replication
+  * above cannot produce: real crawls have mega-classes (one blank image /
+  * silence clip / boilerplate page duplicated billions of times), and the
+  * hot-class paths — ingest class facts, joint-class label propagation,
+  * member-pair expansions, per-domain caps — never see one on the mod-
+  * rotated corpora. The block is `skewPct` percent of the final document
+  * count, every row of which shares
+  *  - ONE text (a 180-token page over a 3-word vocabulary, so its tokens
+  *    are unambiguous >3% heavy hitters at ANY scale — the corpus where
+  *    q_stream_heavy_hitters provably fires, scale-invariantly);
+  *  - ONE source (⇒ one hot domain for the cap operators; planted ids are
+  *    ≡0 mod 3, so the derived domain is single); and
+  *  - ONE class in EVERY codec modality: planted doc_ids are multiples of
+  *    lcm(96, 35, 348) = 97 440, the period of the image / audio / video
+  *    generator patterns, so all planted payloads are byte-identical per
+  *    modality — the mega-class lands on the image class of residue 0,
+  *    the audio class of residue 0, and the video class of residue 0
+  *    simultaneously (the harshest joint-class case).
+  * Planted ids start at the first multiple of lcm beyond every replicated
+  * id, so they collide with nothing while keeping residue 0.
   */
 object ScaleData {
+  /** Period of all three codec generator patterns: lcm(96, 35, 348). */
+  val ModalityLcm: Long = 97440L
+  /** The planted mega-class text: 3 distinct tokens × 60 — each token is
+    * ~9% of the skewed corpus' token stream at skewPct=10 (base docs
+    * average ~54 tokens), far above the 1/(k+1)=1/30 heavy-hitter bar. */
+  val HotText: String =
+    Seq.fill(60)("boilerplate").concat(Seq.fill(60)("cookie"))
+      .concat(Seq.fill(60)("copyright")).mkString(" ")
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "args: <srcSfDir> <outDir> [copies]")
+    require(args.length >= 2, "args: <srcSfDir> <outDir> [copies] [tables] [skewPct]")
     val (src, out) = (args(0), args(1))
     val copies = if (args.length > 2) args(2).toInt else 10
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    val skewPct = if (args.length > 4) args(4).toInt else 0
+    require(skewPct >= 0 && skewPct < 100, s"skewPct in [0,100): $skewPct")
     val spark = SparkSession.builder()
       // FIXED default width: derived-parquet part-file layout follows the
       // generating session's parallelism, and layout sets scan split
@@ -76,9 +108,36 @@ object ScaleData {
     val vowels = "aeiouy"
     def rot(i: Int): String = { val r = i % vowels.length; vowels.drop(r) + vowels.take(r) }
 
+    // the planted mega-class block (see object scaladoc): ids are
+    // consecutive multiples of ModalityLcm starting past every replicated
+    // id, so every planted payload is byte-identical per modality and no
+    // id collides. Appended to the LAST copy so the single-file
+    // documents.parquet keeps one lineage.
+    def plantedBlock(spark: SparkSession, base: DataFrame): Option[DataFrame] = {
+      if (skewPct == 0) return None
+      import spark.implicits._
+      val baseN = base.count()
+      val total = baseN * copies
+      // m/(total+m) = skewPct/100  ⇒  m = total*skewPct/(100-skewPct)
+      val m = math.max(1L, total * skewPct / (100 - skewPct))
+      val maxRep = (copies - 1).toLong * idStep +
+        base.agg(max("doc_id")).head().getLong(0)
+      val offset = (maxRep / ModalityLcm + 1) * ModalityLcm
+      println(s"[scale] planting $m hot docs (ids $offset + j*$ModalityLcm)")
+      Some(spark.range(m).select(
+        (lit(offset) + col("id") * lit(ModalityLcm)).as("doc_id"),
+        lit(HotText).as("text"),
+        lit("en").as("lang"),
+        lit("hotmirror").as("source"),
+        lit(HotText.length.toLong).as("n_chars")))
+    }
+
     replicate("documents") { (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i * idStep))
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * idStep))
         .withColumn("text", translate(col("text"), vowels, rot(i)))
+      if (i == copies - 1)
+        plantedBlock(spark, df).map(b => shifted.unionByName(b)).getOrElse(shifted)
+      else shifted
     }
     // embeddings keep the CORPUS CONTRACT: vec_ids contiguous 0..N-1
     // (TESTDATA.md shape; q_contrastive_triples' LCG negative indexing

@@ -68,6 +68,43 @@ object Dedup {
       .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"))
       .distinct()
 
+  /** Skew-safe within-class unordered pair expansion — the mega-class-
+    * proof replacement for a bare `explode(idPairs(members))` on
+    * DUP-CLASS member arrays: [[graft.functions.IdPairs]] materializes
+    * the full C(|class|,2) struct array inside ONE row and explodes it on
+    * ONE task, which is fine for cap-bounded candidate buckets
+    * ([[bucketPairs]]) but was an 11.8 s single-task tail (and 70% of
+    * wall) on the r12 skew probe's 5.5k-member planted class — and an
+    * outright OOM on a crawl-scale blank-image class. Two stages instead:
+    * posexplode to one row per (class, member) spread by an
+    * explicit-width repartition (AQE-coalesce-exempt), then each row
+    * emits only its LATER partners via a codegen'd slice — per-task
+    * arrays stay |class|-sized, and the shuffled bytes are output-order
+    * (the pair form's true output is itself quadratic in the hot class;
+    * the DECISION forms are the scale path). Measured trade: the planted
+    * mega-class probe drops 16.9→9.5 s wall with max-task 11.8→2.2 s,
+    * while sf0.1 q_multimodal_perceptual pays ≲0.4 s (within the box's
+    * noise band; a size-adaptive small/big union was tried and REJECTED —
+    * splitting the frame double-consumes the lazy upstream, which
+    * re-ran the perceptual codec scan and cost 2× more than it saved).
+    * Pair (a, b) order follows array order, identical to idPairs over
+    * the sorted member arrays every caller builds. All columns except
+    * `members` are carried through. */
+  private[graft] def explodeMemberPairs(df: DataFrame, members: String,
+      np: Int, aName: String, bName: String): DataFrame = {
+    val carried = df.columns.filterNot(_ == members).map(col)
+    df.select(carried :+ col(members) :+
+        posexplode(col(members)).as(Seq("__pi", "__pa")): _*)
+      .repartition(np, col("__pa"))
+      // partners strictly after position __pi (0-based): slice is 1-based
+      // and clamps past the array end
+      .withColumn("__pb", explode(slice(col(members),
+        col("__pi") + lit(2), size(col(members)))))
+      .drop(members, "__pi")
+      .withColumnRenamed("__pa", aName)
+      .withColumnRenamed("__pb", bName)
+  }
+
   /** MinHash-LSH candidate generation + exact-jaccard verification →
     * (doc_a, doc_b, jaccard) near-dup pairs. Shared by the pair query, the
     * cleaning composites, and clustering. Fused shingle+minhash evaluates
@@ -179,16 +216,16 @@ object Dedup {
     // within-class pairs: identical texts share every band, so the
     // per-copy form paired them whenever they band at all (≥3 words);
     // jaccard comes from the same expression on the identical texts
-    val within = clusters
-      .filter(size(col("members")) >= 2 &&
-        size(split(col("text"), " ")) >= 3)
-      .withColumn("jaccard",
-        Sketches.jaccardShingles(col("text"), col("text"), 3))
-      .filter(col("jaccard") >= 0.8)
-      .repartition(np)
-      .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"),
-        col("jaccard"))
-      .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"), col("jaccard"))
+    val within = explodeMemberPairs(
+        clusters
+          .filter(size(col("members")) >= 2 &&
+            size(split(col("text"), " ")) >= 3)
+          .withColumn("jaccard",
+            Sketches.jaccardShingles(col("text"), col("text"), 3))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("members"), col("jaccard")),
+        "members", np, "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
     cross.unionByName(within)
   }
 
@@ -662,13 +699,13 @@ object Dedup {
         .select(col("a"), explode(col("ms_b")).as("b"))
         .select(least(col("a"), col("b")).as("doc_a"),
           greatest(col("a"), col("b")).as("doc_b"))
-      val within = clusters
-        .filter(size(col("members")) >= 2 &&
-          size(split(col("text"), " ")) >= 3 &&
-          Sketches.jaccardShingles(col("text"), col("text"), 3) >= 0.8)
-        .repartition(np)
-        .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
-        .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"))
+      val within = explodeMemberPairs(
+          clusters
+            .filter(size(col("members")) >= 2 &&
+              size(split(col("text"), " ")) >= 3 &&
+              Sketches.jaccardShingles(col("text"), col("text"), 3) >= 0.8)
+            .select(col("members")),
+          "members", np, "doc_a", "doc_b")
       observePairs(cross.unionByName(within),
         "q_dedup_simhash", col("doc_a"), col("doc_b"))
     }),
@@ -714,16 +751,35 @@ object Dedup {
 
     // THE capstone composite: the complete training-data preparation
     // pipeline a 100 TB ingestion run executes, end to end in one lazy
-    // plan — near-dup removal (minhash-LSH, smaller id wins), benchmark
-    // decontamination (8-gram overlap with the eval split, broadcast
-    // semi-join), normalization, quality gates, deterministic md5-bucket
-    // train/val/test split, per-split token budget. Every stage is
-    // individually oracle-checked elsewhere; this query checks their
-    // composition.
+    // plan — r12 adds the RefinedWeb URL recipe AT THE HEAD, in its
+    // published order: canonicalize → domain blocklist → per-domain cap,
+    // all BEFORE any content work (dedup sees only URL survivors, the
+    // RefinedWeb staging). Then: near-dup removal (minhash-LSH over the
+    // gated corpus, smaller id wins), benchmark decontamination (8-gram
+    // overlap with the eval split — the benchmark is EXTERNAL, so eval
+    // grams are not URL-gated), normalization, quality gates,
+    // deterministic md5-bucket train/val/test split, per-split token
+    // budget. Plan shape: the URL gate set is computed on a
+    // (doc_id, source) column-pruned scan — domain + blocklist are
+    // in-row Column algebra, the cap is the bounded TopKPerKey heap —
+    // and applied as one left-semi. Every stage is individually
+    // oracle-checked elsewhere; this query checks their composition.
     "q_training_mix" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val losers = minhashNearDupPairs(s, dir).select(col("doc_b").as("doc_id"))
-      val g = d
+      val d0 = docs(s, dir)
+      val urlKeep = graft.plans.TopK.perKey(
+          PipelineOps.withUrl(d0.select(col("doc_id"), col("source")))
+            .withColumn("domain", PipelineOps.domainOfUrl(
+              PipelineOps.canonicalizeUrl(col("url"))))
+            .filter(!col("domain").isin(PipelineOps.blockedDomains: _*))
+            .select(col("domain"), col("doc_id"),
+              md5(col("doc_id").cast("string")).as("h")),
+          Seq("domain"), Seq("h" -> false, "doc_id" -> false),
+          PipelineOps.DomainCapK)
+        .select(col("doc_id"))
+      val d = d0.join(urlKeep, Seq("doc_id"), "left_semi")
+      val losers = minhashNearDupPairsOf(d.select(col("doc_id"), col("text")))
+        .select(col("doc_b").as("doc_id"))
+      val g = d0
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
         .select(col("doc_id"), explode(array_distinct(expr(
@@ -731,6 +787,8 @@ object Dedup {
              concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
                             w[i+4], w[i+5], w[i+6], w[i+7]))"""))).as("gram"))
       val evalGrams = g.filter(col("doc_id") < 50).select(col("gram")).distinct()
+      // contamination flags may include URL-rejected ids — harmless: the
+      // anti-join below runs on the gated frame, extra ids are no-ops
       val contaminated = g.filter(col("doc_id") >= 50)
         .join(broadcast(evalGrams), "gram").select(col("doc_id")).distinct()
       val tk = split(regexp_replace(trim(lower(col("text"))), " +", " "), " ")
@@ -1112,12 +1170,14 @@ object Dedup {
         """flatten(transform(ms_a, a -> transform(ms_b, b ->
              struct(least(a, b) as vec_a, greatest(a, b) as vec_b))))""")).as("p"))
       .select(col("p.vec_a"), col("p.vec_b"), col("cos"))
-    val within = clusters.filter(size(col("members")) >= 2)
-      .withColumn("cos",
-        round(graft.functions.Sketches.cosineSim(col("embedding"), col("embedding")), 6))
-      .filter(col("cos") >= 0.45) // zero vectors: cos is null → dropped
-      .select(col("cos"), explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
-      .select(col("pk.a").as("vec_a"), col("pk.b").as("vec_b"), col("cos"))
+    val within = explodeMemberPairs(
+        clusters.filter(size(col("members")) >= 2)
+          .withColumn("cos",
+            round(graft.functions.Sketches.cosineSim(col("embedding"), col("embedding")), 6))
+          .filter(col("cos") >= 0.45) // zero vectors: cos is null → dropped
+          .select(col("cos"), col("members")),
+        "members", s.sessionState.conf.numShufflePartitions, "vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("cos"))
     expanded.unionByName(within)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -1330,9 +1390,23 @@ object Dedup {
          |WHERE n_tokens BETWEEN 10 AND 2000 AND stop_ratio >= 0.01
          |ORDER BY doc_id""".stripMargin,
     "q_training_mix" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      s"""WITH uk AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rk
+         |    FROM (SELECT doc_id,
+         |            lower(source) || (doc_id % 3) || '.example.com' AS domain,
+         |            md5(CAST(doc_id AS VARCHAR)) AS h
+         |          FROM documents
+         |          WHERE lower(source) || (doc_id % 3) || '.example.com' NOT IN
+         |            ('src10.example.com', 'src41.example.com',
+         |             'src122.example.com', 'badhost.example.com'))
+         |  ) WHERE rk <= 5),
+         |t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |losers AS (
-         |  SELECT DISTINCT doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8),
+         |  SELECT DISTINCT doc_b FROM ($exactPairsSql) WHERE jaccard >= 0.8
+         |    AND doc_a IN (SELECT doc_id FROM uk)
+         |    AND doc_b IN (SELECT doc_id FROM uk)),
          |g AS (SELECT doc_id,
          |        unnest(list_distinct([array_to_string(w[i:i+7], ' ')
          |                              for i in range(1, len(w)-6)])) AS gram
@@ -1344,6 +1418,7 @@ object Dedup {
          |    string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS tk
          |  FROM documents
          |  WHERE doc_id >= 50
+         |    AND doc_id IN (SELECT doc_id FROM uk)
          |    AND doc_id NOT IN (SELECT doc_b FROM losers)
          |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
          |q2 AS (

@@ -874,10 +874,10 @@ object Multimodal {
           transform(col("ms_b"), b => struct(least(col("a"), b).as("doc_a"),
             greatest(col("a"), b).as("doc_b")))).as("pr"))
         .select(col("pr.doc_a"), col("pr.doc_b"), col("hamming"), col("pix_dist"))
-      val within = clusters.filter(size(col("members")) >= 2)
-        .repartition(np, col("rep"))
-        .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
-        .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"),
+      val within = Dedup.explodeMemberPairs(
+          clusters.filter(size(col("members")) >= 2).select(col("members")),
+          "members", np, "doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"),
           lit(0L).as("hamming"), lit(0L).as("pix_dist"))
       Dedup.observePairs(expanded.unionByName(within),
         "q_multimodal_perceptual", col("doc_a"), col("doc_b"))

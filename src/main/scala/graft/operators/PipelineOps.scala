@@ -80,6 +80,16 @@ object PipelineOps {
       lit("&page="), col("doc_id") % 5,
       lit("#sec"), col("doc_id") % 4))
 
+  /** The per-domain admission cap shared by the batch, incremental, and
+    * probe forms of the RefinedWeb-style domain cap. */
+  private[graft] val DomainCapK = 5
+
+  /** The curated domain blocklist shared by the standalone gate and the
+    * capstone pipeline. One entry matches nothing on purpose (a stale
+    * blocklist row must be a no-op, not an error). */
+  private[graft] val blockedDomains = Seq("src10.example.com",
+    "src41.example.com", "src122.example.com", "badhost.example.com")
+
   /** Registrable domain of a raw URL: canonical host minus the www prefix
     * and any explicit port — the grouping key of the whole URL-curation
     * recipe (caps, blocklist, streaming admission). */
@@ -147,7 +157,7 @@ object PipelineOps {
         .select(col("domain"), col("doc_id"),
           md5(col("doc_id").cast("string")).as("h"))
       graft.plans.TopK.perKey(d, Seq("domain"),
-          Seq("h" -> false, "doc_id" -> false), 5)
+          Seq("h" -> false, "doc_id" -> false), DomainCapK)
         .select(col("domain"), col("doc_id"))
         .orderBy(col("domain"), col("doc_id"))
     }),
@@ -163,7 +173,7 @@ object PipelineOps {
     // bounded TopKPerKey heaps, and only the ≤K-per-domain survivor frame
     // pays a rank window (partitions of ≤K rows) before the quota filter.
     "q_domain_caps_incremental" -> ((s, dir) => {
-      val k = 5
+      val k = DomainCapK
       val d = withUrl(docs(s, dir).select(col("doc_id"), col("source")))
         .withColumn("domain", domainOfUrl(col("url")))
         .select(col("domain"), col("doc_id"),
@@ -194,8 +204,7 @@ object PipelineOps {
       withUrl(docs(s, dir).select(col("doc_id"), col("source")))
         .withColumn("domain", domainOfUrl(col("url")))
         .select(col("doc_id"), col("domain"),
-          col("domain").isin("src10.example.com", "src41.example.com",
-            "src122.example.com", "badhost.example.com").as("blocked"))
+          col("domain").isin(blockedDomains: _*).as("blocked"))
         .orderBy(col("doc_id"))),
 
     // Leakage-safe train/val/test split: the split UNIT is the near-dup

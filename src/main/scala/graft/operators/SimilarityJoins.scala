@@ -133,10 +133,12 @@ object SimilarityJoins {
       .select(col("a"), explode(col("ms_b")).as("b"), col(score))
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col(score))
-    val intra = clusters.filter(size(col("members")) >= 2)
-      .select(explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
-      .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"),
-        selfScore.as(score))
+    val intra = Dedup.explodeMemberPairs(
+        clusters.filter(size(col("members")) >= 2).select(col("members")),
+        "members",
+        clusters.sparkSession.sessionState.conf.numShufflePartitions,
+        "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), selfScore.as(score))
     cross.unionByName(intra)
   }
 
@@ -371,13 +373,16 @@ object SimilarityJoins {
       .select(col("a"), explode(col("ms_b")).as("b"), col("cosine"))
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("cosine"))
-    val intra = clusters.filter(size(col("members")) >= 2)
-      .select(col("members")(0).as("rep"),
-        explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
-      .join(selfCos, "rep")
-      .filter(col("self_cos") >= t)
-      .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"),
-        col("self_cos").as("cosine"))
+    val intra = Dedup.explodeMemberPairs(
+        clusters.filter(size(col("members")) >= 2)
+          .select(col("members")(0).as("rep"), col("members"))
+          .join(selfCos, "rep")
+          .filter(col("self_cos") >= t)
+          .select(col("members"), col("self_cos")),
+        "members",
+        clusters.sparkSession.sessionState.conf.numShufflePartitions,
+        "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("self_cos").as("cosine"))
     cross.unionByName(intra)
   }
 

@@ -823,8 +823,19 @@ object Streams {
     * table with per-gate flags; admission is absence from it.
     * State = one row per rejected doc (5 booleans), bounded by
     * contaminated arrivals, never stream length; every static index is a
-    * CLASS index, so probe volume is linear in distinct store content. */
-  def jointAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    * CLASS index, so probe volume is linear in distinct store content.
+    *
+    * `ingestPath` switches the store side to the PRODUCTION factoring: the
+    * three codec class indexes become reads of a persisted fused-ingest
+    * fingerprint table ([[graft.operators.Multimodal.writeIngestTable]] —
+    * the `q_multimodal_ingest` frame on parquet), so admission does ZERO
+    * store-side codec work. The text indexes still derive from the
+    * documents scan either way — text is not an ingest fingerprint. A
+    * 100 TB ingest pipeline runs the `Some` shape; the `None` shape
+    * (in-plan codec scans, persisted for the run) remains for
+    * self-contained use and as the A/B baseline. */
+  def jointAdmissionStream(spark: SparkSession, dir: String,
+                           ingestPath: Option[String] = None): DataFrame = {
     import spark.implicits._
     import graft.functions.Sketches
     import graft.operators.Multimodal
@@ -847,39 +858,45 @@ object Streams {
         .as(Seq("band_idx", "band_hash")): _*)
     val storeSig = banded(storeTexts.select(col("text").as("text_o")),
       Seq.empty, "text_o").persist()
-    val storeImg = graft.Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"))
-      .repartition(np) // codec fan-out at full width (docIds lesson)
-      .as[Long]
-      .mapPartitions { it =>
-        it.map(id => Multimodal.MediaRow(id, "image", Multimodal.encodePng(id)))
-      }
-      .toDF()
-      .select(md5(col("payload")).as("img_fp")).distinct().persist()
-    val storeAud = graft.Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"))
-      .repartition(np)
-      .as[Long]
-      .mapPartitions { it =>
-        Multimodal.audioStructure(it.map(id =>
-          Multimodal.MediaRow(id, "audio", Multimodal.encodeWav(id))))
-      }
-      .toDF()
-      .select(struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
-      .distinct().persist()
-    val storeVid = graft.Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"))
-      .repartition(np)
-      .as[Long]
-      .mapPartitions { it =>
-        Multimodal.videoFingerprint(it.map(id =>
-          Multimodal.MediaRow(id, "video", Multimodal.encodeVideo(id))))
-      }
-      .toDF()
-      .select(col("video_fp")).distinct().persist()
+    val (storeImg, storeAud, storeVid) = ingestPath match {
+      case Some(p) =>
+        // production factoring: the codec class indexes are projections
+        // of the persisted fused-ingest fingerprint table — fixed-width
+        // columns off parquet, no decode anywhere on the store side
+        val ing = spark.read.parquet(p).filter(col("doc_id") % 10 =!= 0)
+        (ing.select(col("img_fp")).distinct().persist(),
+          ing.select(struct(col("audio_frames").as("n_frames"),
+              col("audio_mask").as("silent_mask")).as("aud_cls"))
+            .distinct().persist(),
+          ing.select(col("video_fp")).distinct().persist())
+      case None =>
+        val storeIds = () => graft.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"))
+          .repartition(np) // codec fan-out at full width (docIds lesson)
+          .as[Long]
+        (storeIds()
+          .mapPartitions { it =>
+            it.map(id => Multimodal.MediaRow(id, "image", Multimodal.encodePng(id)))
+          }
+          .toDF()
+          .select(md5(col("payload")).as("img_fp")).distinct().persist(),
+          storeIds()
+            .mapPartitions { it =>
+              Multimodal.audioStructure(it.map(id =>
+                Multimodal.MediaRow(id, "audio", Multimodal.encodeWav(id))))
+            }
+            .toDF()
+            .select(struct(col("n_frames"), col("silent_mask")).as("aud_cls"))
+            .distinct().persist(),
+          storeIds()
+            .mapPartitions { it =>
+              Multimodal.videoFingerprint(it.map(id =>
+                Multimodal.MediaRow(id, "video", Multimodal.encodeVideo(id))))
+            }
+            .toDF()
+            .select(col("video_fp")).distinct().persist())
+    }
     def arriving() = spark.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -1272,7 +1289,68 @@ object Streams {
     "q_stream_video_dedup" -> ((s, dir) => videoDedupStream(s, dir)),
     "q_stream_domain_caps" -> ((s, dir) => domainCapStream(s, dir)),
     "q_stream_heavy_hitters" -> ((s, dir) => heavyHittersStream(s, dir)),
+    // the PRODUCTION factoring of joint admission (r11 verdict #3 → r12):
+    // one fused codec pass persists the ingest fingerprint table, then
+    // the stream's store-side class indexes are parquet projections of
+    // it — zero codec work at admission time. Same semantics, same
+    // oracle as q_stream_joint_rejects; the in-plan variant stays as the
+    // self-contained form and A/B baseline.
+    "q_stream_joint_rejects_ingest" -> ((s, dir) => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ingest_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      graft.operators.Multimodal.writeIngestTable(s, dir, p)
+      jointAdmissionStream(s, dir, Some(p))
+    }),
   )
+
+  /** Shared by the in-plan and persisted-ingest joint-admission forms —
+    * identical semantics, one oracle. */
+  private val jointRejectsSql: String =
+  """WITH t AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
+        |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.text = c.text),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM t),
+        |sg AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w)-1)]) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |nd AS (SELECT DISTINCT bs.doc_id
+        |       FROM (SELECT * FROM sg WHERE doc_id % 10 = 0) bs,
+        |            (SELECT * FROM sg WHERE doc_id % 10 <> 0) cs
+        |       WHERE CAST(len(list_intersect(bs.sh, cs.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(bs.sh, cs.sh))) >= 0.8),
+        |im AS (SELECT DISTINCT b2.doc_id
+        |       FROM (SELECT doc_id, doc_id % 96 AS icls FROM documents
+        |             WHERE doc_id % 10 = 0) b2
+        |       JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
+        |             WHERE doc_id % 10 <> 0) c2 USING (icls)),
+        |au AS (SELECT DISTINCT b3.doc_id
+        |       FROM (SELECT doc_id, doc_id % 35 AS acls FROM documents
+        |             WHERE doc_id % 10 = 0) b3
+        |       JOIN (SELECT DISTINCT doc_id % 35 AS acls FROM documents
+        |             WHERE doc_id % 10 <> 0) c3 USING (acls)),
+        |vi AS (SELECT DISTINCT b4.doc_id
+        |       FROM (SELECT doc_id, doc_id % 348 AS vcls FROM documents
+        |             WHERE doc_id % 10 = 0) b4
+        |       JOIN (SELECT DISTINCT doc_id % 348 AS vcls FROM documents
+        |             WHERE doc_id % 10 <> 0) c4 USING (vcls))
+        |SELECT b.doc_id,
+        |  ex.doc_id IS NOT NULL AS text_exact,
+        |  nd.doc_id IS NOT NULL AS text_neardup,
+        |  im.doc_id IS NOT NULL AS image_exact,
+        |  au.doc_id IS NOT NULL AS audio_struct,
+        |  vi.doc_id IS NOT NULL AS video_seq
+        |FROM b
+        |LEFT JOIN ex ON ex.doc_id = b.doc_id
+        |LEFT JOIN nd ON nd.doc_id = b.doc_id
+        |LEFT JOIN im ON im.doc_id = b.doc_id
+        |LEFT JOIN au ON au.doc_id = b.doc_id
+        |LEFT JOIN vi ON vi.doc_id = b.doc_id
+        |WHERE ex.doc_id IS NOT NULL OR nd.doc_id IS NOT NULL
+        |   OR im.doc_id IS NOT NULL OR au.doc_id IS NOT NULL
+        |   OR vi.doc_id IS NOT NULL
+        |ORDER BY b.doc_id""".stripMargin
 
   /** The streams are finite and deterministic → batch SQL oracles apply. */
   val oracle: Map[String, String] = Map(
@@ -1333,52 +1411,8 @@ object Streams {
         |ORDER BY doc_id""".stripMargin,
     // the rejected slice of the q_dedup_joint_incremental oracle, with the
     // same per-gate closed forms (image class = doc_id mod 96)
-    "q_stream_joint_rejects" ->
-      """WITH t AS (SELECT doc_id, text FROM documents),
-        |b AS (SELECT * FROM t WHERE doc_id % 10 = 0),
-        |c AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
-        |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.text = c.text),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM t),
-        |sg AS (SELECT doc_id,
-        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                        for i in range(1, len(w)-1)]) AS sh
-        |       FROM w WHERE len(w) >= 3),
-        |nd AS (SELECT DISTINCT bs.doc_id
-        |       FROM (SELECT * FROM sg WHERE doc_id % 10 = 0) bs,
-        |            (SELECT * FROM sg WHERE doc_id % 10 <> 0) cs
-        |       WHERE CAST(len(list_intersect(bs.sh, cs.sh)) AS DOUBLE)
-        |             / len(list_distinct(list_concat(bs.sh, cs.sh))) >= 0.8),
-        |im AS (SELECT DISTINCT b2.doc_id
-        |       FROM (SELECT doc_id, doc_id % 96 AS icls FROM documents
-        |             WHERE doc_id % 10 = 0) b2
-        |       JOIN (SELECT DISTINCT doc_id % 96 AS icls FROM documents
-        |             WHERE doc_id % 10 <> 0) c2 USING (icls)),
-        |au AS (SELECT DISTINCT b3.doc_id
-        |       FROM (SELECT doc_id, doc_id % 35 AS acls FROM documents
-        |             WHERE doc_id % 10 = 0) b3
-        |       JOIN (SELECT DISTINCT doc_id % 35 AS acls FROM documents
-        |             WHERE doc_id % 10 <> 0) c3 USING (acls)),
-        |vi AS (SELECT DISTINCT b4.doc_id
-        |       FROM (SELECT doc_id, doc_id % 348 AS vcls FROM documents
-        |             WHERE doc_id % 10 = 0) b4
-        |       JOIN (SELECT DISTINCT doc_id % 348 AS vcls FROM documents
-        |             WHERE doc_id % 10 <> 0) c4 USING (vcls))
-        |SELECT b.doc_id,
-        |  ex.doc_id IS NOT NULL AS text_exact,
-        |  nd.doc_id IS NOT NULL AS text_neardup,
-        |  im.doc_id IS NOT NULL AS image_exact,
-        |  au.doc_id IS NOT NULL AS audio_struct,
-        |  vi.doc_id IS NOT NULL AS video_seq
-        |FROM b
-        |LEFT JOIN ex ON ex.doc_id = b.doc_id
-        |LEFT JOIN nd ON nd.doc_id = b.doc_id
-        |LEFT JOIN im ON im.doc_id = b.doc_id
-        |LEFT JOIN au ON au.doc_id = b.doc_id
-        |LEFT JOIN vi ON vi.doc_id = b.doc_id
-        |WHERE ex.doc_id IS NOT NULL OR nd.doc_id IS NOT NULL
-        |   OR im.doc_id IS NOT NULL OR au.doc_id IS NOT NULL
-        |   OR vi.doc_id IS NOT NULL
-        |ORDER BY b.doc_id""".stripMargin,
+    "q_stream_joint_rejects" -> jointRejectsSql,
+    "q_stream_joint_rejects_ingest" -> jointRejectsSql,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
         |       COUNT(*) AS n_events

@@ -620,4 +620,23 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(1) <= id && r.getLong(3) <= id && r.getLong(5) <= id)
     }
   }
+
+  test("persisted-ingest joint admission == in-plan variant (production factoring)") {
+    // the 100 TB shape: ONE codec pass writes the fingerprint table at
+    // ingest time; streaming admission then probes parquet projections of
+    // it — zero store-side codec work. Must be indistinguishable from the
+    // self-contained in-plan variant.
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_spec").toString
+    operators.Multimodal.writeIngestTable(spark, sfDir, out)
+    val ing = spark.read.parquet(out)
+    assert(ing.columns.sorted.toSeq ==
+      Seq("audio_frames", "audio_mask", "doc_id", "img_fp", "video_fp"))
+    assert(ing.count() == Tables.load(spark, sfDir, "documents").count())
+    val fromIngest = streaming.Streams
+      .jointAdmissionStream(spark, sfDir, Some(out))
+      .collect().map(_.toSeq).toSet
+    val inPlan = Queries.all("q_stream_joint_rejects")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(fromIngest == inPlan, "persisted-ingest admission drift")
+  }
 }

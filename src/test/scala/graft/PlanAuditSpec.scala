@@ -359,6 +359,20 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("capstone training mix: URL gates lead with bounded heaps, no window") {
+    // r12: canonicalize → blocklist → per-domain cap ahead of dedup —
+    // the cap must stay the TopKPerKey heap (never a rank window), the
+    // blocklist a literal in-row filter, and the whole composite free of
+    // cartesians; the URL-gate branch scans only (doc_id, source)
+    val p = planOf("q_training_mix")
+    assert(p.contains("TopKPerKey"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("doc_id") && l.contains("source")
+      && !l.contains("text")), readSchemas.mkString("\n"))
+  }
+
   test("quality classifier scores in-scan: no join, window, or hash exchange") {
     val qc = planOf("q_quality_classifier")
     assert(!qc.contains("Join"), qc.take(3000))
