@@ -1193,6 +1193,13 @@ object Streams {
                                          docStream: DataFrame, k: Int): Seq[String] = {
     import spark.implicits._
     val toks = docStream
+      // the corpus streams from ONE flat parquet file, so a micro-batch
+      // arrives in ≤ a few splits and the tokenize+partial-reduce (the
+      // real work) would run on that handful of cores — the batch docIds
+      // under-parallelization lesson applied per micro-batch: round-robin
+      // the doc rows to full width BEFORE the explode (the r12 1000×
+      // skew probe measured an 11.4 s single task here without it)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(explode(split(lower(col("text")), " ")).as("token"))
       .as[String]
     runToTable(

@@ -39,4 +39,29 @@ class BucketCapSpec extends SparkSpec {
     assert(ms.map(_.getAs[Long]("docs_dropped")).sum == 0L)
     assert(ms.map(_.getAs[Long]("buckets_capped")).sum == 0L)
   }
+
+  test("explodeMemberPairs == idPairs expansion, carried columns intact") {
+    // the skew-safe two-stage expansion (r12) must emit EXACTLY the pair
+    // multiset of the one-row idPairs form on arbitrary (sorted) member
+    // arrays — including a mega-class-shaped one — with every non-member
+    // column carried through unchanged
+    val rng = new scala.util.Random(12)
+    val rows = (0 until 40).map { i =>
+      val n = 1 + rng.nextInt(60)
+      val members = Seq.fill(n)(rng.nextLong().abs % 100000).distinct.sorted
+      (i.toLong, s"cls$i", members)
+    } :+ (999L, "mega", (0L until 3000L).map(_ * 7).toSeq) // one hot class
+    val df = spark.createDataFrame(rows).toDF("cls_id", "tag", "members")
+    val got = Dedup.explodeMemberPairs(df, "members", 8, "a", "b")
+      .select(col("cls_id"), col("tag"), col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    val want = df
+      .select(col("cls_id"), col("tag"),
+        explode(graft.functions.Pairs.idPairs(col("members"))).as("pk"))
+      .select(col("cls_id"), col("tag"), col("pk.a"), col("pk.b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(want.nonEmpty && got.toSeq == want.toSeq)
+  }
 }
