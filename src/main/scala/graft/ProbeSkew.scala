@@ -38,7 +38,7 @@ object ProbeSkew {
     val dir = args(0)
     val aspects: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("ingest", "joint", "pairs", "caps", "hh")
+      else Set("ingest", "joint", "pairs", "caps", "strata", "hh")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -169,6 +169,21 @@ object ProbeSkew {
       val c = ProbeMaterialize.checksum(closed)
       require(e == c, s"caps keep-size mismatch: engine $e != closed-form $c")
       println(s"[skew] caps OK: ${e._1} domains, hot domain capped at $k")
+    }
+
+    // strata: per-lang stratified quota with the planted block all in ONE
+    // lang — the r12 heap rewrite must agree with the window form (the
+    // old implementation, kept here as the arithmetic twin: correct at
+    // any scale, single-task-serial at this one)
+    if (aspects("strata")) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val closed = docs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("doc_id"), col("rn"))
+      check("strata", SparkEntry.queries("q_sample_stratified")(spark, dir), closed)
     }
 
     // hh: the mega-class text makes its 3 tokens unambiguous heavy

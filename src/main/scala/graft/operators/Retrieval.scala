@@ -189,7 +189,17 @@ object Retrieval {
     * token, document frequency, total term frequency, and the sorted
     * posting list (stringified — the cross-engine array idiom). The stats
     * pass nominates tokens; posting lists collect only for nominees via a
-    * broadcast join, so the heavy collect never runs on the long tail. */
+    * broadcast join, so the heavy collect never runs on the long tail.
+    *
+    * Output-shape caveat (the pair-form discipline applied to postings):
+    * the full posting list PER ROW is this query's stated output — and
+    * the nominated tokens are by definition the hottest, so at crawl
+    * scale one row holds a material fraction of all doc ids. That is a
+    * display/oracle form; a production index keeps the same plan up to
+    * the final agg but shards the collect to (token, segment) rows
+    * (segment = doc_id range), which bounds every row and every task —
+    * the groupBy key gains `floor(doc_id / segWidth)` and nothing else
+    * changes. */
   def invertedIndex(d: DataFrame, nTokens: Int = 20): DataFrame = {
     val tfc = termFreqs(d)
     val top = tfc.groupBy(col("token"))

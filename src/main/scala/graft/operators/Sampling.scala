@@ -41,13 +41,23 @@ object Sampling {
     }),
 
     // per-language quota: the 5 hash-first docs per lang — deterministic
-    // stratified downsampling (balances a lang-skewed corpus)
+    // stratified downsampling (balances a lang-skewed corpus). r12: the
+    // rank used to come from row_number over Window.partitionBy(lang) —
+    // but a lang partition is corpus/|langs| (and the hottest lang of a
+    // real crawl is ~half the corpus), so ONE WindowExec task ranked it,
+    // buffering/spilling the whole stratum to elect 5 rows. Same fix as
+    // the domain cap: bounded per-lang TopKPerKey heaps (partial-
+    // aggregatable, O(k) state per task), then the presentation rank as
+    // a window over the ≤5-row survivor partitions only.
     "q_sample_stratified" -> ((s, dir) => {
+      val kept = graft.plans.TopK.perKey(
+        docs(s, dir).select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h")),
+        Seq("lang"), Seq("h" -> false, "doc_id" -> false), 5)
       val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      docs(s, dir)
+        .orderBy(col("h"), col("doc_id"))
+      kept
         .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
         .select(col("lang"), col("doc_id"), col("rn"))
         .orderBy(col("lang"), col("rn"))
     }),

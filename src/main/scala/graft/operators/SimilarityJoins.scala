@@ -215,11 +215,19 @@ object SimilarityJoins {
 
   /** Sorted-neighborhood candidate pairs: within each `lang`, sort by
     * (n_chars, doc_id) and pair every doc with its `w` successors, scoring
-    * each candidate with the exact 5-gram Jaccard. The window is per-lang
-    * and bounded (lead chain of length w — state is w rows), so the only
-    * exchange is the lang/sort repartition; candidate volume is exactly
-    * w·n. The blocking key (length within language) is the classic cheap
-    * proxy: near-dups have near-equal lengths, so they sort adjacent. */
+    * each candidate with the exact 5-gram Jaccard. The lead-chain frame is
+    * bounded (state is w rows), so memory is safe at any stratum size;
+    * candidate volume is exactly w·n. The blocking key (length within
+    * language) is the classic cheap proxy: near-dups have near-equal
+    * lengths, so they sort adjacent.
+    *
+    * Honest scale note: `partitionBy(lang)` serializes each language's
+    * SCAN onto one task (WindowExec spills, so it is time, not memory) —
+    * inherent to the algorithm, whose whole premise is a total order per
+    * block. The scale path for a mega-stratum is a finer composite block
+    * key (lang, n_chars bucket) at the documented cost of losing the ≤w
+    * neighbor pairs that straddle bucket boundaries; this operator keeps
+    * the exact classic semantics because its oracle does. */
   def sortedNeighborhoodPairs(d: DataFrame, w: Int): DataFrame = {
     val win = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
     val leads = (1 to w).map(j => lead(col("doc_id"), j).over(win))

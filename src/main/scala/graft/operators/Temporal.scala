@@ -95,9 +95,8 @@ object Temporal {
 
     // peak concurrency per day (sweep line): each event opens a 1-hour
     // session (clipped at midnight — sessions count toward the day they
-    // start; stated semantics, not an accident); +1/-1 deltas sorted
-    // within the DAY partition, running sum, per-day max. The window is
-    // day-partitioned — bounded, parallel — never a global sort. Ends are
+    // start; stated semantics, not an accident); +1/-1 deltas in sweep
+    // order, hierarchical running sum (see below), per-day max. Ends are
     // exclusive: at equal timestamps the -1 applies first (d sorts before
     // +1), so back-to-back sessions don't double-count.
     "q_concurrency" -> ((s, dir) => {
@@ -108,10 +107,34 @@ object Temporal {
         least(col("ts") + expr("INTERVAL 1 HOUR"),
           (col("day") + lit(1)).cast("timestamp")).as("t"),
         lit(-1).as("d"))
-      val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
+      // r12: the running sum used to window over partitionBy(day) — one
+      // WindowExec task per DAY, i.e. a full day's events buffered/spilled
+      // serially, which at 100 TB is the hottest partition in the corpus.
+      // Running sums COMPOSE, so it is now hierarchical: (1) running sum
+      // within each (day, hour-of-day) bucket — 25 bounded partitions per
+      // day in parallel (bucket 24 holds the next-midnight-clamped ends);
+      // (2) per-bucket totals (a partial-aggregatable groupBy) prefixed
+      // EXCLUSIVELY by a window over the ≤25-row per-day frame; (3) each
+      // point's true running value = within-bucket run + its bucket's
+      // prefix offset (joined back via the tiny broadcastable offset
+      // frame). Ordering (t, d) is preserved exactly — the bucket id is
+      // floor(t) by hour, so bucket order extends point order.
+      val pts = starts.unionByName(ends)
+        .withColumn("hr", ((col("t").cast("long") -
+          col("day").cast("timestamp").cast("long")) / 3600L).cast("int"))
+      val wIn = Window.partitionBy(col("day"), col("hr"))
+        .orderBy(col("t"), col("d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      starts.unionByName(ends)
-        .withColumn("running", sum(col("d")).over(w))
+      val wOff = Window.partitionBy(col("day")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = pts.groupBy(col("day"), col("hr"))
+        .agg(sum(col("d")).as("htot"))
+        .withColumn("off", coalesce(sum(col("htot")).over(wOff), lit(0)))
+        .select(col("day"), col("hr"), col("off"))
+      pts
+        .withColumn("run_in", sum(col("d")).over(wIn))
+        .join(broadcast(offsets), Seq("day", "hr"))
+        .withColumn("running", col("run_in") + col("off"))
         .groupBy(col("day"))
         .agg(max(col("running")).cast("long").as("peak_concurrent"))
         .orderBy(col("day"))

@@ -359,6 +359,25 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("stratified sample ranks via bounded heaps; concurrency sweep is hierarchical") {
+    // r12 de-skew pair: a per-LANG row_number window ranked a stratum
+    // (corpus/|langs|) on one task; the quota now comes from TopKPerKey
+    // heaps with the rank window running only on the ≤k survivors
+    val st = planOf("q_sample_stratified")
+    assert(st.contains("TopKPerKeyPartial") && st.contains("TopKPerKeyFinal"),
+      st.take(3000))
+    // the per-DAY running sum decomposes into (day, hour) windows plus a
+    // broadcast offset join — the plan must show the partial-aggregated
+    // bucket totals and the broadcast, and the sweep window must key on
+    // BOTH day and hr (a regression to the day-only window serializes a
+    // full day on one task)
+    val cc = planOf("q_concurrency")
+    assert(cc.contains("partial_sum"), cc.take(3000))
+    assert(cc.contains("BroadcastHashJoin"), cc.take(3000))
+    assert(cc.contains("windowspecdefinition(day") && cc.contains("hr"),
+      cc.take(3000))
+  }
+
   test("capstone training mix: URL gates lead with bounded heaps, no window") {
     // r12: canonicalize → blocklist → per-domain cap ahead of dedup —
     // the cap must stay the TopKPerKey heap (never a rank window), the
