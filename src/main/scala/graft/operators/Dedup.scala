@@ -871,6 +871,49 @@ object Dedup {
         .withColumn("kept", coalesce(col("max_benchmark_cos") < 0.45, lit(true)))
         .orderBy(col("vec_id"))
     }),
+
+    // semantic (embedding) incremental admission — completes the
+    // incremental matrix (exact text / minhash / bloom / joint /
+    // perceptual / domain caps all have arrival forms; the embedding
+    // axis didn't): an arriving vector (vec_id % 10 == 0) is REJECTED
+    // when some STORE vector sits at cosine ≥ 0.45. 100 TB shape: both
+    // sides quotient by embedding identity, band with the SAME seeded
+    // hyperplane family ([[bandedEmbeddings]]), and probe via a
+    // batch×INDEX band equi-join — never batch×store all-pairs (unlike
+    // q_decontaminate_semantic, whose static side is eval-suite-sized
+    // and broadcasts; a dedup store is corpus-sized). Exact cosine
+    // verifies candidates; recall is the embedding family's
+    // recall-1-at-this-corpus band guarantee (r=4, b=64, per-pair miss
+    // < 4e-6), so the per-arrival MAX over candidates equals the max
+    // over all qualifying store vectors — which is the closed-form
+    // oracle. Zero vectors: cosine null → never rejected (both engines).
+    "q_dedup_semantic_incremental" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val bCls = e.filter(col("vec_id") % 10 === 0)
+        .groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("rep"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+      val sCls = e.filter(col("vec_id") % 10 =!= 0)
+        .groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("sid"))
+      val cand = bandedEmbeddings(
+          bCls.select(col("rep"), col("embedding")), "rep")
+        .join(bandedEmbeddings(
+          sCls.select(col("sid"), col("embedding")), "sid"),
+          Seq("band_idx", "band_val"))
+        .select(col("rep"), col("sid")).distinct()
+      val verified = cand
+        .join(bCls.select(col("rep"), col("embedding").as("b_emb")), "rep")
+        .join(sCls.select(col("sid"), col("embedding").as("s_emb")), "sid")
+        .withColumn("cos",
+          round(Sketches.cosineSim(col("b_emb"), col("s_emb")), 6))
+        .filter(col("cos") >= 0.45)
+        .groupBy(col("rep")).agg(max(col("cos")).as("max_cos"))
+      bCls.select(col("rep"), explode(col("members")).as("vec_id"))
+        .join(verified, "rep")
+        .select(col("vec_id"), col("max_cos"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   /** SemDeDup over the exact-dup quotient graph: components, keeper
@@ -940,31 +983,43 @@ object Dedup {
     * candidate problem scales with UNIQUE vectors. On a 10×-replicated
     * probe corpus this cut the pair query from 224 s to seconds; on a
     * dup-free corpus it is a no-op costing one aggregate. */
-  private[graft] def embeddingRepCandidatesOf(e: DataFrame, r: Int = 4,
-      b: Int = 64): (DataFrame, DataFrame) = {
+  /** Hyperplane-LSH band rows for a frame of (`idCol`, embedding): one
+    * (id, band_idx, band_val) row per band — r-bit slices of the seeded
+    * 64-bit signature family. Shared by the self-join candidate machinery
+    * ([[embeddingRepCandidatesOf]]) and the cross-side batch×index probes
+    * (the incremental/admission forms), which must band both sides with
+    * the SAME seeded planes for candidates to collide. Signatures
+    * materialize below the Generate barrier → nSigs expression evals per
+    * row, band values are bit slices per banded row. */
+  private[graft] def bandedEmbeddings(reps: DataFrame, idCol: String,
+      r: Int = 4, b: Int = 64): DataFrame = {
     // r | 64 keeps every band inside one 64-bit signature word; r·b ≤ 512
     // bounds the seeded-plane family (the default 4×64 uses 256; coarse
     // auto-chosen configs may take up to 8 signature words)
     require(Set(2, 4, 8, 16).contains(r) && b >= 1 && r * b <= 512,
       s"unsupported band config (r=$r, b=$b)")
     val nSigs = math.max(4, (r * b + 63) / 64)
-    val clusters = e.groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("rep"), sort_array(collect_list(col("vec_id"))).as("members"))
     val sigCols = (0 until nSigs).map(i =>
       graft.functions.Sketches.rhSignature(col("embedding"), 64, 64, i * 64).as(s"s$i"))
-    val reps = clusters.select(col("rep").as("vec_id") +: col("embedding") +: sigCols: _*)
-    // sigs materialize below the Generate barrier → nSigs expression evals
-    // per rep, band values are r-bit slices per banded row
-    val banded = reps
-      .select(col("vec_id").as("doc_id"),
+    reps.select(col(idCol) +: sigCols: _*)
+      .select(col(idCol),
         array((0 until nSigs).map(i => col(s"s$i")): _*).as("sigs"),
         explode(sequence(lit(0), lit(b - 1))).as("band_idx"))
       .withColumn("band_val",
         expr(s"""shiftrightunsigned(
                 |  element_at(sigs, cast((band_idx * $r) div 64 as int) + 1),
                 |  (band_idx * $r) % 64) & ${(1L << r) - 1}""".stripMargin))
-      .select(col("doc_id"), col("band_idx"), col("band_val"))
-    val emb = reps.select(col("vec_id"), col("embedding"))
+      .select(col(idCol), col("band_idx"), col("band_val"))
+  }
+
+  private[graft] def embeddingRepCandidatesOf(e: DataFrame, r: Int = 4,
+      b: Int = 64): (DataFrame, DataFrame) = {
+    val clusters = e.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"), sort_array(collect_list(col("vec_id"))).as("members"))
+    val banded = bandedEmbeddings(
+        clusters.select(col("rep"), col("embedding")), "rep", r, b)
+      .withColumnRenamed("rep", "doc_id")
+    val emb = clusters.select(col("rep").as("vec_id"), col("embedding"))
     val repPairs = bucketPairs(banded, Seq("band_idx", "band_val"))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
@@ -1466,6 +1521,18 @@ object Dedup {
         |    < 0.45, TRUE) AS kept
         |FROM e t JOIN e b ON t.vec_id >= 50 AND b.vec_id < 50
         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
+    "q_dedup_semantic_incremental" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |b AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |s AS (SELECT * FROM e WHERE vec_id % 10 <> 0)
+        |SELECT b.vec_id,
+        |  max(round(list_inner_product(b.v, s.v)
+        |    / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(s.v, s.v))), 6))
+        |    AS max_cos
+        |FROM b JOIN s
+        |  ON round(list_inner_product(b.v, s.v)
+        |    / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(s.v, s.v))), 6) >= 0.45
+        |GROUP BY b.vec_id ORDER BY b.vec_id""".stripMargin,
   )
 
   /** q_dedup_semantic_auto shares q_dedup_semantic's ground truth. On

@@ -135,6 +135,38 @@ object Sampling {
         .orderBy(col("source"))
     }),
 
+    // temperature-scaled LANGUAGE-mixture weights — the multilingual
+    // sampling recipe (mC4/XLM-R family): w_l ∝ p_l^α with α < 1
+    // upweights low-resource languages relative to proportional
+    // sampling; the boost column shows the rebalancing factor
+    // w_l / p_l each language receives. α = 0.25 ON PURPOSE: x^0.25 =
+    // sqrt(sqrt(x)) is two exactly-rounded IEEE operations, so Spark and
+    // DuckDB agree bit-for-bit — a libm pow(x, 0.3) does NOT carry that
+    // guarantee cross-engine (the q_mix_weights α = 0.5 = one sqrt is
+    // the same trick; α is a corpus-tuning knob in production anyway).
+    // Shape mirrors q_mix_weights: one partial-aggregatable two-level
+    // agg to |langs| rows, 1-row normalizer broadcast back, no window.
+    "q_mix_temperature" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val perLang = docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .withColumn("pw",
+          round(sqrt(sqrt(col("n_tokens"))), 9).cast(DecimalType(28, 9)))
+      val total = perLang.agg(sum(col("pw")).as("tw"),
+        sum(col("n_tokens")).as("tt"))
+      perLang.crossJoin(broadcast(total))
+        .withColumn("weight",
+          round(col("pw").cast("double") / col("tw").cast("double"), 6))
+        .withColumn("boost", round(col("weight") * col("tt").cast("double")
+          / col("n_tokens").cast("double"), 4))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
+          col("boost"),
+          floor(col("weight") * 1000000).cast("long").as("budget_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // temporal embargo split — the time-series leakage guard: train on
     // the past, evaluate on the future, and DISCARD an embargo window
     // between them so near-boundary correlations (a user's session
@@ -186,6 +218,20 @@ object Sampling {
         |  CAST(floor(round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE), 6)
         |             * 1000000) AS BIGINT) AS budget_tokens
         |FROM p CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n_docs,
+        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY lang),
+        |p AS (SELECT *, CAST(round(sqrt(sqrt(n_tokens)), 9) AS DECIMAL(28,9)) AS pw
+        |      FROM s),
+        |t AS (SELECT SUM(pw) AS tw, SUM(n_tokens) AS tt FROM p)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
+        |  round(round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+        |        * CAST(tt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS boost,
+        |  CAST(floor(round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+        |             * 1000000) AS BIGINT) AS budget_tokens
+        |FROM p CROSS JOIN t ORDER BY lang""".stripMargin,
     "q_sample_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
