@@ -992,7 +992,7 @@ object Dedup {
     * materialize below the Generate barrier → nSigs expression evals per
     * row, band values are bit slices per banded row. */
   private[graft] def bandedEmbeddings(reps: DataFrame, idCol: String,
-      r: Int = 4, b: Int = 64): DataFrame = {
+      r: Int = 4, b: Int = 64, carry: Seq[String] = Nil): DataFrame = {
     // r | 64 keeps every band inside one 64-bit signature word; r·b ≤ 512
     // bounds the seeded-plane family (the default 4×64 uses 256; coarse
     // auto-chosen configs may take up to 8 signature words)
@@ -1001,15 +1001,19 @@ object Dedup {
     val nSigs = math.max(4, (r * b + 63) / 64)
     val sigCols = (0 until nSigs).map(i =>
       graft.functions.Sketches.rhSignature(col("embedding"), 64, 64, i * 64).as(s"s$i"))
-    reps.select(col(idCol) +: sigCols: _*)
-      .select(col(idCol),
-        array((0 until nSigs).map(i => col(s"s$i")): _*).as("sigs"),
-        explode(sequence(lit(0), lit(b - 1))).as("band_idx"))
+    // `carry` rides through the band explode (b copies per row) — for a
+    // STREAMING probe side that must keep its embedding without a
+    // stream-stream join back; batch callers leave it empty and re-join
+    reps.select(col(idCol) +: carry.map(col) ++: sigCols: _*)
+      .select(col(idCol) +: carry.map(col) :+
+        array((0 until nSigs).map(i => col(s"s$i")): _*).as("sigs") :+
+        explode(sequence(lit(0), lit(b - 1))).as("band_idx"): _*)
       .withColumn("band_val",
         expr(s"""shiftrightunsigned(
                 |  element_at(sigs, cast((band_idx * $r) div 64 as int) + 1),
                 |  (band_idx * $r) % 64) & ${(1L << r) - 1}""".stripMargin))
-      .select(col(idCol), col("band_idx"), col("band_val"))
+      .select(col(idCol) +: carry.map(col) :+ col("band_idx") :+
+        col("band_val"): _*)
   }
 
   private[graft] def embeddingRepCandidatesOf(e: DataFrame, r: Int = 4,
@@ -1236,6 +1240,21 @@ object Dedup {
     expanded.unionByName(within)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** Shared by the batch and streaming semantic-admission forms —
+    * identical semantics, one oracle. */
+  private[graft] val semanticIncrementalSql: String =
+  """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |b AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |s AS (SELECT * FROM e WHERE vec_id % 10 <> 0)
+        |SELECT b.vec_id,
+        |  max(round(list_inner_product(b.v, s.v)
+        |    / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(s.v, s.v))), 6))
+        |    AS max_cos
+        |FROM b JOIN s
+        |  ON round(list_inner_product(b.v, s.v)
+        |    / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(s.v, s.v))), 6) >= 0.45
+        |GROUP BY b.vec_id ORDER BY b.vec_id""".stripMargin
 
   private[operators] val exactPairsSql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1521,18 +1540,7 @@ object Dedup {
         |    < 0.45, TRUE) AS kept
         |FROM e t JOIN e b ON t.vec_id >= 50 AND b.vec_id < 50
         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
-    "q_dedup_semantic_incremental" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |b AS (SELECT * FROM e WHERE vec_id % 10 = 0),
-        |s AS (SELECT * FROM e WHERE vec_id % 10 <> 0)
-        |SELECT b.vec_id,
-        |  max(round(list_inner_product(b.v, s.v)
-        |    / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(s.v, s.v))), 6))
-        |    AS max_cos
-        |FROM b JOIN s
-        |  ON round(list_inner_product(b.v, s.v)
-        |    / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(s.v, s.v))), 6) >= 0.45
-        |GROUP BY b.vec_id ORDER BY b.vec_id""".stripMargin,
+    "q_dedup_semantic_incremental" -> semanticIncrementalSql,
   )
 
   /** q_dedup_semantic_auto shares q_dedup_semantic's ground truth. On

@@ -695,6 +695,56 @@ object Streams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)),
+    StructField("label", org.apache.spark.sql.types.IntegerType)))
+
+  /** Streaming semantic (embedding) admission — the streaming twin of
+    * `q_dedup_semantic_incremental`, completing the streaming admission
+    * matrix on the embedding axis: an arriving vector is rejected when
+    * some STORE vector sits at cosine ≥ 0.45. Store side: the embedding-
+    * identity quotient banded ONCE with the shared seeded hyperplane
+    * family ([[graft.operators.Dedup.bandedEmbeddings]]) and persisted
+    * (in production, a read of the persisted band-index table — the
+    * fused-ingest discipline). Arrivals band per micro-batch CARRYING
+    * their embedding (bounded: b×|vec| bytes per arrival — joining
+    * candidates back to the stream would be a stream-stream join);
+    * candidates come from the stream-static band equi-join, the exact
+    * cosine verifies each collision, and ONE Complete-mode max per
+    * arrival absorbs duplicate band collisions (max is idempotent, so no
+    * distinct is needed before it). State: one row per REJECTED arrival
+    * — bounded by contamination, never stream length. */
+  def semanticAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.Sketches
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val sCls = e.filter(col("vec_id") % 10 =!= 0)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("sid"))
+    val sBand = Dedup.bandedEmbeddings(
+      sCls.select(col("sid"), col("embedding")), "sid").persist()
+    val sEmb = sCls.select(col("sid"), col("embedding").as("s_emb")).persist()
+    val stream = spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val banded = Dedup.bandedEmbeddings(stream, "vec_id",
+      carry = Seq("embedding"))
+    val rejects = banded
+      .join(sBand, Seq("band_idx", "band_val"))
+      .join(sEmb, "sid")
+      .withColumn("cos",
+        round(Sketches.cosineSim(col("embedding"), col("s_emb")), 6))
+      .filter(col("cos") >= 0.45)
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos"))
+    val out = runToTable(rejects, spark, OutputMode.Complete())
+    sBand.unpersist(); sEmb.unpersist()
+    out.orderBy(col("vec_id"))
+  }
+
   /** Stateless streaming text hygiene — the ingest-time stage of the
     * training-data pipeline run ON THE STREAM (normalize + length gate as
     * documents arrive), so the batch corpus-clean never sees raw text.
@@ -1308,6 +1358,7 @@ object Streams {
       graft.operators.Multimodal.writeIngestTable(s, dir, p)
       jointAdmissionStream(s, dir, Some(p))
     }),
+    "q_stream_semantic_rejects" -> ((s, dir) => semanticAdmissionStream(s, dir)),
   )
 
   /** Shared by the in-plan and persisted-ingest joint-admission forms —
@@ -1420,6 +1471,8 @@ object Streams {
     // same per-gate closed forms (image class = doc_id mod 96)
     "q_stream_joint_rejects" -> jointRejectsSql,
     "q_stream_joint_rejects_ingest" -> jointRejectsSql,
+    "q_stream_semantic_rejects" ->
+      graft.operators.Dedup.semanticIncrementalSql,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
         |       COUNT(*) AS n_events

@@ -43,6 +43,16 @@ class PipelineSpec extends SparkSpec {
       s"missing ${(batch -- stream).size}, spurious ${(stream -- batch).size}")
   }
 
+  test("streaming semantic rejection table equals the batch incremental form") {
+    val stream = Queries.all("q_stream_semantic_rejects")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = Queries.all("q_dedup_semantic_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batch.nonEmpty, "gate vacuous: no rejected vectors in corpus")
+    assert(stream == batch,
+      s"missing ${(batch -- stream).size}, spurious ${(stream -- batch).size}")
+  }
+
   test("q_embed_project: score/residual satisfy the Pythagorean identity") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sfDir, "embeddings")
