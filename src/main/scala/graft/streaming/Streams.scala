@@ -731,6 +731,11 @@ object Streams {
       .parquet(dir)
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), col("embedding"))
+      // flat single-file source ⇒ a micro-batch arrives in ≤ a few
+      // splits; the signature/banding work (the real cost) must spread
+      // to full width per micro-batch (the docIds lesson — measured 15 s
+      // vs 2.8 s for the batch twin at sf1 without this)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val banded = Dedup.bandedEmbeddings(stream, "vec_id",
       carry = Seq("embedding"))
     val rejects = banded
