@@ -378,6 +378,18 @@ class PlanAuditSpec extends SparkSpec {
       cc.take(3000))
   }
 
+  test("semantic incremental admission probes via band equi-joins, never all-pairs") {
+    // the arrival gate must join batch×INDEX on (band_idx, band_val) —
+    // a regression to batch×store all-pairs shows as a cartesian or a
+    // nested-loop join; the quotient aggregates stay map-side combined
+    val p = planOf("q_dedup_semantic_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("band_idx") && p.contains("band_val"), p.take(3000))
+    assert(p.contains("partial_min"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("capstone training mix: URL gates lead with bounded heaps, no window") {
     // r12: canonicalize → blocklist → per-domain cap ahead of dedup —
     // the cap must stay the TopKPerKey heap (never a rank window), the
