@@ -83,13 +83,16 @@ object ScaleData {
       if (only.nonEmpty && !only.contains(name)) return
       val base = spark.read.parquet(Tables.path(src, name))
       val all = (0 until copies).map(i => shift(base, i)).reduce(_ unionAll _)
-      if (name == "events" || name == "documents" || name == "embeddings") {
-        // the streaming file sources glob for FILES named events.parquet /
-        // documents.parquet / embeddings.parquet — write one flat file,
-        // not a directory of parts, or every stream probe silently reads
-        // ZERO rows (the pre-r8 q_stream_doc_clean sf10 rows were vacuous
-        // exactly so; r12 caught q_stream_semantic_rejects the same way
-        // on the embeddings side)
+      if (name == "events" || name == "documents") {
+        // the doc/event streaming sources glob for FILES named
+        // events.parquet / documents.parquet — write one flat file, not a
+        // directory of parts, or every stream probe silently reads ZERO
+        // rows (the pre-r8 q_stream_doc_clean sf10 rows were vacuous
+        // exactly so). Embeddings deliberately stay a parts DIRECTORY:
+        // the semantic stream is path-addressed (handles both layouts),
+        // and a flat 51 MB embeddings file serialized every BATCH
+        // embedding scan onto one split (measured 3-4× on the sf1
+        // family, r12)
         val tmp = s"$out/.${name}_tmp"
         all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
         val fs = new org.apache.hadoop.fs.Path(out)

@@ -725,10 +725,22 @@ object Streams {
     val sBand = Dedup.bandedEmbeddings(
       sCls.select(col("sid"), col("embedding")), "sid").persist()
     val sEmb = sCls.select(col("sid"), col("embedding").as("s_emb")).persist()
-    val stream = spark.readStream
-      .schema(embSchema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    // layout-aware source: the driver corpora keep embeddings as one
+    // flat FILE (streamed via a filename glob on the parent dir), but
+    // derived corpora write a part-file DIRECTORY named
+    // embeddings.parquet (streamed by path — FileStreamSource's basePath
+    // must be a directory, and a filename glob would match the part
+    // files of neither name and silently read ZERO rows, the r12 sf1
+    // vacuity bug). The directory layout is deliberate: forcing derived
+    // embeddings into one flat file serialized every BATCH embedding
+    // scan onto one split (measured 3-4× across the sf1 family). The
+    // branch is one driver-side FS metadata call at plan-build time.
+    val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val isDir = embPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(embPath).isDirectory
+    val reader = spark.readStream.schema(embSchema)
+    val stream = (if (isDir) reader.parquet(embPath.toString)
+      else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir))
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), col("embedding"))
       // flat single-file source ⇒ a micro-batch arrives in ≤ a few
