@@ -59,6 +59,8 @@ object ProbeMaterialize {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        Scratch.localCheckpointFileManager)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.preflight(spark, sfDir)

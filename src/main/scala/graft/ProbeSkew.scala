@@ -17,7 +17,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * correctness gate at probe scale, not just a stopwatch.
   *
   * Usage: tools/run.sh graft.ProbeSkew <skewedSfDir> [aspects]
-  *   aspects ⊆ ingest,joint,pairs,caps,hh (comma list; default all)
+  *   aspects ⊆ ingest,joint,pairs,caps,strata,hh,semantic
+  *   (comma list; default all — an unknown name fails loudly rather than
+  *   silently printing nothing, r12 advice)
   * Generate the corpus first, e.g.:
   *   tools/run.sh graft.ScaleData /root/testdata/sf0.01 /tmp/skew100 \
   *     100 documents,embeddings 10
@@ -36,9 +38,14 @@ object ProbeSkew {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "args: <skewedSfDir> [aspects]")
     val dir = args(0)
+    val knownAspects =
+      Set("ingest", "joint", "pairs", "caps", "strata", "hh", "semantic")
     val aspects: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("ingest", "joint", "pairs", "caps", "strata", "hh")
+      else knownAspects
+    require(aspects.subsetOf(knownAspects),
+      s"unknown aspects ${aspects -- knownAspects} — known: " +
+        knownAspects.toSeq.sorted.mkString(","))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +53,8 @@ object ProbeSkew {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        Scratch.localCheckpointFileManager)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.preflight(spark, dir)
@@ -198,6 +207,55 @@ object ProbeSkew {
       require(want.subsetOf(tokens),
         s"planted heavy hitters missing: got ${tokens.take(10)}")
       println(s"[skew] hh OK: ${hh.length} verified heavy hitters, planted 3 present")
+    }
+
+    // semantic: the embedding family under a hot embedding at ~skewPct of
+    // the table (r12 verdict #3). The planted class sits on BOTH sides of
+    // the admission split (~10% arrivals, 90% store), so the band join
+    // sees a 10%-duplicated key family; closed forms:
+    //  - every planted ARRIVAL is rejected at max_cos exactly 1.0 (its
+    //    store twin is the identical vector);
+    //  - the streaming twin equals the batch gate row-for-row;
+    //  - SemDeDup elects the planted class rep as its component keeper
+    //    (the hot vector's norm dominates by construction) with
+    //    cluster_size ≥ m (≥: background classes may legitimately merge).
+    if (aspects("semantic")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val hot = emb.groupBy(col("embedding"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("rep"))
+        .orderBy(col("n").desc).select(col("n"), col("rep")).head()
+      val (mEmb, hotRep) = (hot.getLong(0), hot.getLong(1))
+      require(mEmb > 1, s"$dir has no planted hot embedding — regenerate " +
+        "with skewPct > 0 (ScaleData plants it on the embeddings table)")
+      println(s"[skew] hot embedding: $mEmb members, rep $hotRep")
+      val hotArrivals = emb.filter(col("embedding") === array_repeat(
+          lit(ScaleData.HotEmbeddingValue), size(col("embedding"))) &&
+          col("vec_id") % 10 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      require(hotArrivals.nonEmpty, "no planted arrivals (all ids store-side?)")
+      val batch = timed("semantic(incremental)") {
+        SparkEntry.queries("q_dedup_semantic_incremental")(spark, dir)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      hotArrivals.foreach { id =>
+        require(batch.get(id).contains(1.0),
+          s"planted arrival $id: expected max_cos 1.0, got ${batch.get(id)}") }
+      val stream = timed("semantic(stream)") {
+        SparkEntry.queries("q_stream_semantic_rejects")(spark, dir)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      require(stream == batch,
+        s"stream != batch: missing ${(batch.keySet -- stream.keySet).take(5)}, " +
+          s"spurious ${(stream.keySet -- batch.keySet).take(5)}")
+      val sem = timed("semantic(dedup)") {
+        SparkEntry.queries("q_dedup_semantic")(spark, dir)
+          .filter(col("vec_id") === hotRep)
+          .select(col("cluster_size")).collect()
+      }
+      require(sem.length == 1 && sem(0).getLong(0) >= mEmb,
+        s"hot component keeper/size wrong: ${sem.toSeq} (want one row ≥ $mEmb)")
+      println(s"[skew] semantic OK: ${hotArrivals.size} planted arrivals " +
+        s"rejected at 1.0, hot component size ${sem(0).getLong(0)}")
     }
 
     spark.stop()

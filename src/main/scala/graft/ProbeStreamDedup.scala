@@ -32,6 +32,8 @@ object ProbeStreamDedup {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        Scratch.localCheckpointFileManager)
       .config("spark.sql.streaming.checkpointLocation", ckptBase)
     mode match {
       case "heap" => ()

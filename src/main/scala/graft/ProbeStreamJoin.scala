@@ -32,6 +32,8 @@ object ProbeStreamJoin {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpointLocation",
         Scratch.streamingCheckpointBase())
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        Scratch.localCheckpointFileManager)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // surface the state observation regardless of log4j config

@@ -23,6 +23,8 @@ object ProbeStreamPairs {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpointLocation",
         Scratch.streamingCheckpointBase())
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        Scratch.localCheckpointFileManager)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = Scratch.tempDir("graft_ssp_sink_")

@@ -55,6 +55,14 @@ object ScaleData {
   val HotText: String =
     Seq.fill(60)("boilerplate").concat(Seq.fill(60)("cookie"))
       .concat(Seq.fill(60)("copyright")).mkString(" ")
+  /** Every component of the planted hot EMBEDDING (r12 verdict #3 — the
+    * semantic-family mega-class the text/domain/codec block doesn't
+    * cover). Constant vector: self-cosine is exactly 1.0 (so every
+    * planted arrival's closed-form max_cos is 1.0), and the magnitude is
+    * chosen ≫ any generated embedding's norm so the hot component's
+    * SemDeDup keeper is provably the planted class rep — cosine itself
+    * is scale-invariant, so the size only pins the keeper election. */
+  val HotEmbeddingValue: Float = 100.0f
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "args: <srcSfDir> <outDir> [copies] [tables] [skewPct]")
@@ -151,7 +159,24 @@ object ScaleData {
     // shift by the exact source count, so contiguity is preserved.
     val vecCount = spark.read.parquet(Tables.path(src, "embeddings")).count()
     replicate("embeddings") { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * vecCount))
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * vecCount))
+      // the embedding mega-class (see [[HotEmbeddingValue]]): skewPct of
+      // the final table shares ONE vector, appended to the LAST copy with
+      // vec_ids continuing contiguously past every replicated id (the
+      // corpus contract: vec_ids contiguous 0..N-1). ~10% of planted ids
+      // are arrivals (vec_id % 10 == 0) and the rest store rows, so the
+      // semantic admission gates see a hot class on BOTH sides at once.
+      if (i == copies - 1 && skewPct > 0) {
+        val dim = df.select(size(col("embedding"))).head().getInt(0)
+        val total = vecCount * copies
+        val mEmb = math.max(1L, total * skewPct / (100 - skewPct))
+        println(s"[scale] planting $mEmb hot vectors (ids $total..${total + mEmb - 1})")
+        val planted = spark.range(mEmb).select(
+          (lit(total) + col("id")).as("vec_id"),
+          array_repeat(lit(HotEmbeddingValue), dim).as("embedding"),
+          lit(0).as("label"))
+        shifted.unionByName(planted)
+      } else shifted
     }
     replicate("events") { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * idStep))

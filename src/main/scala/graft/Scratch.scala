@@ -27,6 +27,24 @@ object Scratch {
     * of recomputing. */
   def streamingCheckpointBase(): String = tempDir("graft_ckpt_")
 
+  /** Checkpoint file manager for LOCAL-FILESYSTEM checkpoints
+    * (`spark.sql.streaming.checkpointFileManagerClass`). The default
+    * FileContext-based manager stats checkpoint files through Hadoop's
+    * `Stat`, which EXECS a subprocess per call — measured (r13): ONE
+    * 8-micro-batch streaming query at 32 partitions forked 25 504
+    * processes and its wall time tracked the host's process-spawn
+    * latency, not the engine (the mechanism behind the r12
+    * q_stream_dedup_windowed "environment drift": the same binaries,
+    * 2.9 s → 8.0 s across rounds, restored to ~4.4 s by this manager).
+    * The FileSystem-based manager performs the same rename-based atomic
+    * commits through the in-JVM FileSystem API: same query 6 070 forks,
+    * wall 8.9 → 4.4 s; q_stream_user_counts 4.5 → 2.3 s. Local-FS
+    * harness policy only — on HDFS/object stores production keeps
+    * Spark's default manager (its FileContext semantics are why it is
+    * the default). */
+  val localCheckpointFileManager: String =
+    "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"
+
   /** A fresh JVM-unique scratch directory, tmpfs-backed when available,
     * deleted on JVM exit — same placement policy as the checkpoint base. */
   def tempDir(prefix: String): String = {

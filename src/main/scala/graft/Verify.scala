@@ -32,6 +32,8 @@ object Verify {
       // as Bench: streaming fsyncs measure the engine, not the disk queue
       .config("spark.sql.streaming.checkpointLocation",
         Scratch.streamingCheckpointBase())
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        Scratch.localCheckpointFileManager)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // schema preflight BEFORE any query runs: refuse to write a

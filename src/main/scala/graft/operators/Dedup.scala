@@ -757,7 +757,9 @@ object Dedup {
     // RefinedWeb staging). Then: near-dup removal (minhash-LSH over the
     // gated corpus, smaller id wins), benchmark decontamination (8-gram
     // overlap with the eval split — the benchmark is EXTERNAL, so eval
-    // grams are not URL-gated), normalization, quality gates,
+    // grams are not URL-gated; r13 adds the SEMANTIC gate beside it —
+    // broadcast max-cosine vs the eval vectors, catching paraphrases the
+    // verbatim grams miss), normalization, quality gates,
     // deterministic md5-bucket train/val/test split, per-split token
     // budget. Plan shape: the URL gate set is computed on a
     // (doc_id, source) column-pruned scan — domain + blocklist are
@@ -791,11 +793,31 @@ object Dedup {
       // anti-join below runs on the gated frame, extra ids are no-ops
       val contaminated = g.filter(col("doc_id") >= 50)
         .join(broadcast(evalGrams), "gram").select(col("doc_id")).distinct()
+      // semantic decontamination (r12 verdict #6): the
+      // q_decontaminate_semantic broadcast max-cosine gate — the
+      // PARAPHRASE catcher the verbatim 8-gram overlap misses — composed
+      // as one more anti-join stage of the same lazy plan. The benchmark
+      // side is eval-suite-sized (vec_id < 50) and broadcasts; the doc →
+      // vector association is the corpus's doc_id == vec_id bijection.
+      // At 100 TB the corpus side stays a single embeddings scan and the
+      // broadcast is |eval|×|vec| floats — the decontamination frames
+      // never shuffle.
+      val semContaminated = {
+        val e = Tables.load(s, dir, "embeddings")
+        val bench = e.filter(col("vec_id") < 50)
+          .select(col("embedding").as("b_emb"))
+        e.filter(col("vec_id") >= 50)
+          .crossJoin(broadcast(bench))
+          .filter(round(Sketches.cosineSim(col("embedding"), col("b_emb")), 6)
+            >= 0.45)
+          .select(col("vec_id").as("doc_id")).distinct()
+      }
       val tk = split(regexp_replace(trim(lower(col("text"))), " +", " "), " ")
       val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
       d.filter(col("doc_id") >= 50) // the eval split is not training data
         .join(losers, Seq("doc_id"), "left_anti")
         .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(semContaminated, Seq("doc_id"), "left_anti")
         .withColumn("n_tokens", size(tk).cast("long"))
         .withColumn("stop_ratio",
           size(filter(tk, t => t.isInCollection(Seq("the", "a")))).cast("double") /
@@ -887,34 +909,87 @@ object Dedup {
     // < 4e-6), so the per-arrival MAX over candidates equals the max
     // over all qualifying store vectors — which is the closed-form
     // oracle. Zero vectors: cosine null → never rejected (both engines).
-    "q_dedup_semantic_incremental" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val bCls = e.filter(col("vec_id") % 10 === 0)
-        .groupBy(col("embedding"))
-        .agg(min(col("vec_id")).as("rep"),
-          sort_array(collect_list(col("vec_id"))).as("members"))
-      val sCls = e.filter(col("vec_id") % 10 =!= 0)
-        .groupBy(col("embedding"))
-        .agg(min(col("vec_id")).as("sid"))
-      val cand = bandedEmbeddings(
-          bCls.select(col("rep"), col("embedding")), "rep")
-        .join(bandedEmbeddings(
-          sCls.select(col("sid"), col("embedding")), "sid"),
-          Seq("band_idx", "band_val"))
-        .select(col("rep"), col("sid")).distinct()
-      val verified = cand
-        .join(bCls.select(col("rep"), col("embedding").as("b_emb")), "rep")
-        .join(sCls.select(col("sid"), col("embedding").as("s_emb")), "sid")
-        .withColumn("cos",
-          round(Sketches.cosineSim(col("b_emb"), col("s_emb")), 6))
-        .filter(col("cos") >= 0.45)
-        .groupBy(col("rep")).agg(max(col("cos")).as("max_cos"))
-      bCls.select(col("rep"), explode(col("members")).as("vec_id"))
-        .join(verified, "rep")
-        .select(col("vec_id"), col("max_cos"))
-        .orderBy(col("vec_id"))
+    "q_dedup_semantic_incremental" -> ((s, dir) =>
+      semanticIncrementalAdmission(s, dir)),
+    // the PRODUCTION factoring (r12 verdict #1 — the embedding-axis
+    // analogue of q_stream_joint_rejects_ingest): the store-side band
+    // index is written to parquet ONCE at ingest time, then the arrival
+    // gate reads it with zero store-side banding work at query time.
+    // Same semantics, same oracle; the in-plan variant stays as the
+    // self-contained form and A/B baseline.
+    "q_dedup_semantic_incremental_ingest" -> ((s, dir) => {
+      val p = graft.Scratch.tempDir("graft_bandidx_")
+      writeBandIndex(s, dir, p)
+      semanticIncrementalAdmission(s, dir, Some(p))
     }),
   )
+
+  /** Semantic (embedding) incremental admission — the query body behind
+    * `q_dedup_semantic_incremental` (in-plan store side) and its
+    * `_ingest` variant (store side read from the parquet band index
+    * written by [[writeBandIndex]]). An arriving vector (vec_id % 10 == 0)
+    * is rejected when some STORE vector sits at cosine ≥ 0.45; both sides
+    * band with the SAME seeded hyperplane family so candidates collide. */
+  def semanticIncrementalAdmission(s: SparkSession, dir: String,
+      indexPath: Option[String] = None): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val bCls = e.filter(col("vec_id") % 10 === 0)
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+    val (sBand, sVec) = indexPath match {
+      case Some(p) => readBandIndex(s, p)
+      case None    => semanticStoreIndex(e)
+    }
+    val cand = bandedEmbeddings(
+        bCls.select(col("rep"), col("embedding")), "rep")
+      .join(sBand, Seq("band_idx", "band_val"))
+      .select(col("rep"), col("sid")).distinct()
+    val verified = cand
+      .join(bCls.select(col("rep"), col("embedding").as("b_emb")), "rep")
+      .join(sVec.select(col("sid"), col("embedding").as("s_emb")), "sid")
+      .withColumn("cos",
+        round(Sketches.cosineSim(col("b_emb"), col("s_emb")), 6))
+      .filter(col("cos") >= 0.45)
+      .groupBy(col("rep")).agg(max(col("cos")).as("max_cos"))
+    bCls.select(col("rep"), explode(col("members")).as("vec_id"))
+      .join(verified, "rep")
+      .select(col("vec_id"), col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The store-side semantic admission index, in-plan: the embedding-
+    * identity quotient of the non-arrival slice, banded with the shared
+    * seeded hyperplane family. Returns (bands = (sid, band_idx,
+    * band_val), vectors = (sid, embedding)) — the two frames every
+    * admission gate needs (band rows for the candidate equi-join, the
+    * quotient vectors for exact-cosine verification). */
+  private[graft] def semanticStoreIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val sCls = e.filter(col("vec_id") % 10 =!= 0)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("sid"))
+    (bandedEmbeddings(sCls.select(col("sid"), col("embedding")), "sid"),
+      sCls.select(col("sid"), col("embedding")))
+  }
+
+  /** Production factoring of the semantic admission store side (r12
+    * verdict #1): persist [[semanticStoreIndex]] to parquet once at
+    * ingest time — `bands/` (sid, band_idx, band_val) and `vectors/`
+    * (sid, embedding) — so every later admission pass (batch arrival
+    * gate or streaming twin) probes parquet projections with ZERO
+    * store-side quotienting/banding work, the fused-ingest discipline
+    * of [[graft.operators.Multimodal.writeIngestTable]]. At cluster
+    * scale the band table is additionally bucketed by (band_idx,
+    * band_val) for exchange-free candidate joins; path-addressed
+    * parquet is the portable form the tests and bench exercise. */
+  def writeBandIndex(s: SparkSession, dir: String, outPath: String): Unit = {
+    val (bands, vectors) = semanticStoreIndex(Tables.load(s, dir, "embeddings"))
+    bands.write.mode("overwrite").parquet(s"$outPath/bands")
+    vectors.write.mode("overwrite").parquet(s"$outPath/vectors")
+  }
+
+  /** Read back the two frames [[writeBandIndex]] persisted. */
+  def readBandIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/vectors"))
 
   /** SemDeDup over the exact-dup quotient graph: components, keeper
     * election and sizes all computed per DISTINCT embedding, re-expanded
@@ -1487,6 +1562,12 @@ object Dedup {
          |      FROM t WHERE len(w) >= 8),
          |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
          |cont AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram) WHERE doc_id >= 50),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |semcont AS (SELECT DISTINCT t2.vec_id AS doc_id
+         |            FROM e t2 JOIN e b2 ON t2.vec_id >= 50 AND b2.vec_id < 50
+         |            WHERE round(list_inner_product(t2.v, b2.v)
+         |              / (sqrt(list_inner_product(t2.v, t2.v))
+         |                 * sqrt(list_inner_product(b2.v, b2.v))), 6) >= 0.45),
          |q AS (
          |  SELECT doc_id,
          |    string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS tk
@@ -1494,7 +1575,8 @@ object Dedup {
          |  WHERE doc_id >= 50
          |    AND doc_id IN (SELECT doc_id FROM uk)
          |    AND doc_id NOT IN (SELECT doc_b FROM losers)
-         |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |    AND doc_id NOT IN (SELECT doc_id FROM semcont)),
          |q2 AS (
          |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
          |    CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS DOUBLE)
@@ -1541,6 +1623,8 @@ object Dedup {
         |FROM e t JOIN e b ON t.vec_id >= 50 AND b.vec_id < 50
         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
     "q_dedup_semantic_incremental" -> semanticIncrementalSql,
+    // same semantics, store side read from the persisted band index
+    "q_dedup_semantic_incremental_ingest" -> semanticIncrementalSql,
   )
 
   /** q_dedup_semantic_auto shares q_dedup_semantic's ground truth. On

@@ -607,12 +607,24 @@ object Multimodal {
 
   /** Production factoring: write the fused fingerprint table to parquet
     * once at ingest time so every downstream gate — batch or streaming —
-    * reads fingerprints with ZERO codec work at query time. (A cluster
-    * deployment buckets this by doc_id via `bucketBy(...).saveAsTable`;
-    * path-addressed parquet is the portable form the tests and the
-    * streaming joint-admission store side exercise.) */
+    * reads fingerprints with ZERO codec work at query time.
+    * Path-addressed parquet is the portable form the tests and the
+    * streaming joint-admission store side exercise; the cluster
+    * deployment is [[writeIngestTableBucketed]]. */
   def writeIngestTable(s: SparkSession, dir: String, outPath: String): Unit =
     ingestFingerprintFrame(s, dir).write.mode("overwrite").parquet(outPath)
+
+  /** Cluster form of [[writeIngestTable]] (r12 verdict #4): the
+    * fingerprint table saved as a doc_id-bucketed managed table
+    * ([[graft.sources.Layouts.writeBucketed]]), so every downstream
+    * doc_id equi-join — admission probes, fact joins back to documents —
+    * reads pre-shuffled buckets and plans with NO exchange on this side:
+    * the ingest-time write pays the fingerprint shuffle exactly once.
+    * `MultimodalSpec` pins the exchange-free plan. */
+  def writeIngestTableBucketed(s: SparkSession, dir: String, table: String,
+                               nBuckets: Int = 32): Unit =
+    graft.sources.Layouts.writeBucketed(
+      ingestFingerprintFrame(s, dir), table, nBuckets, Seq("doc_id"))
 
   /** Batched decode + feature-extract: per-partition iterator, one real
     * PNG decode per row (registry-free — see [[decodeImageBytes]]), stats

@@ -706,9 +706,11 @@ object Streams {
     * matrix on the embedding axis: an arriving vector is rejected when
     * some STORE vector sits at cosine ≥ 0.45. Store side: the embedding-
     * identity quotient banded ONCE with the shared seeded hyperplane
-    * family ([[graft.operators.Dedup.bandedEmbeddings]]) and persisted
-    * (in production, a read of the persisted band-index table — the
-    * fused-ingest discipline). Arrivals band per micro-batch CARRYING
+    * family ([[graft.operators.Dedup.bandedEmbeddings]]) — either
+    * in-plan (self-contained form), or read from the PERSISTED
+    * band-index table ([[graft.operators.Dedup.writeBandIndex]], the
+    * fused-ingest discipline — `q_stream_semantic_rejects_ingest`).
+    * Arrivals band per micro-batch CARRYING
     * their embedding (bounded: b×|vec| bytes per arrival — joining
     * candidates back to the stream would be a stream-stream join);
     * candidates come from the stream-static band equi-join, the exact
@@ -716,15 +718,25 @@ object Streams {
     * arrival absorbs duplicate band collisions (max is idempotent, so no
     * distinct is needed before it). State: one row per REJECTED arrival
     * — bounded by contamination, never stream length. */
-  def semanticAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+  def semanticAdmissionStream(spark: SparkSession, dir: String,
+                              indexPath: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.Sketches
-    val e = graft.Tables.load(spark, dir, "embeddings")
-    val sCls = e.filter(col("vec_id") % 10 =!= 0)
-      .groupBy(col("embedding")).agg(min(col("vec_id")).as("sid"))
-    val sBand = Dedup.bandedEmbeddings(
-      sCls.select(col("sid"), col("embedding")), "sid").persist()
-    val sEmb = sCls.select(col("sid"), col("embedding").as("s_emb")).persist()
+    // store side: either the PERSISTED band index ([[graft.operators
+    // .Dedup.writeBandIndex]] — parquet projections, zero quotient/band
+    // work at admission time; no persist() needed, parquet IS the
+    // materialization) or the self-contained in-plan quotient+banding,
+    // persisted so the per-micro-batch static-side re-plan doesn't
+    // recompute it.
+    val (sBand, sEmb) = indexPath match {
+      case Some(p) =>
+        val (b, v) = Dedup.readBandIndex(spark, p)
+        (b, v.select(col("sid"), col("embedding").as("s_emb")))
+      case None =>
+        val (b, v) = Dedup.semanticStoreIndex(
+          graft.Tables.load(spark, dir, "embeddings"))
+        (b.persist(), v.select(col("sid"), col("embedding").as("s_emb")).persist())
+    }
     // layout-aware source: the driver corpora keep embeddings as one
     // flat FILE (streamed via a filename glob on the parent dir), but
     // derived corpora write a part-file DIRECTORY named
@@ -736,8 +748,13 @@ object Streams {
     // scan onto one split (measured 3-4× across the sf1 family). The
     // branch is one driver-side FS metadata call at plan-build time.
     val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val isDir = embPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(embPath).isDirectory
+    val embFs = embPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // preflight, not a raw FileNotFoundException: name the missing table
+    // and both accepted layouts (the Tables.preflight discipline)
+    require(embFs.exists(embPath),
+      s"embeddings table not found under $dir — expected either a flat " +
+        s"file embeddings.parquet or a part-file directory embeddings.parquet/")
+    val isDir = embFs.getFileStatus(embPath).isDirectory
     val reader = spark.readStream.schema(embSchema)
     val stream = (if (isDir) reader.parquet(embPath.toString)
       else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir))
@@ -1203,23 +1220,31 @@ object Streams {
             } else {
               // bounded max-heap of the `capacity` smallest ids seen so
               // far; every displaced or larger id is a rejection emitted
-              // lazily as the group iterator drains. Spark commits state
-              // AFTER the returned iterator completes (CompletionIterator
-              // in FlatMapGroupsWithStateExec), so the update below —
-              // evaluated when the rejection stream is exhausted — lands
-              // in the store for the next micro-batch.
+              // lazily as the group iterator drains. The admitted-count
+              // state updates EAGERLY inside the fill phase (heap size
+              // only grows during the first ≤capacity enqueues — evict-
+              // replace keeps it constant — so this is ≤k cheap field
+              // writes whose last value equals the end-of-group count on
+              // a full drain). Spark commits state after the task
+              // completes; with the eager update a hypothetical future
+              // plan that short-circuits the micro-batch (e.g. a limit)
+              // and abandons this iterator mid-group can only UNDER-admit
+              // in later batches — it can never silently over-admit past
+              // the cap, which a deferred end-of-iterator update allowed
+              // (r12 advice).
               val heap = scala.collection.mutable.PriorityQueue.empty[Long]
               val rejections = rows.flatMap { case (id, _) =>
-                if (heap.size < capacity) { heap.enqueue(id); Iterator.empty }
-                else if (id < heap.head) {
+                if (heap.size < capacity) {
+                  heap.enqueue(id)
+                  state.update(already + heap.size)
+                  Iterator.empty
+                } else if (id < heap.head) {
                   val evicted = heap.dequeue(); heap.enqueue(id)
                   Iterator.single((evicted, domain, false))
                 } else Iterator.single((id, domain, false))
               }
-              def admissions = {
-                state.update(already + heap.size)
+              def admissions =
                 heap.dequeueAll[Long].reverseIterator.map(id => (id, domain, true))
-              }
               rejections ++ admissions
             }
         }
@@ -1369,13 +1394,26 @@ object Streams {
     // it — zero codec work at admission time. Same semantics, same
     // oracle as q_stream_joint_rejects; the in-plan variant stays as the
     // self-contained form and A/B baseline.
+    // the artifact path is a fresh run-unique scratch dir (deleted at JVM
+    // exit): a fixed dir.hashCode-keyed path let two concurrent sessions
+    // on the same corpus overwrite each other's table mid-stream and
+    // leaked the artifact (r12 advice)
     "q_stream_joint_rejects_ingest" -> ((s, dir) => {
-      val p = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ingest_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val p = graft.Scratch.tempDir("graft_ingest_")
       graft.operators.Multimodal.writeIngestTable(s, dir, p)
       jointAdmissionStream(s, dir, Some(p))
     }),
     "q_stream_semantic_rejects" -> ((s, dir) => semanticAdmissionStream(s, dir)),
+    // the PRODUCTION factoring on the embedding axis (r12 verdict #1):
+    // the store-side band index is parquet written once at ingest time
+    // ([[graft.operators.Dedup.writeBandIndex]]) — zero store-side
+    // quotient/banding work at admission. Same semantics, same oracle;
+    // the in-plan variant stays as the self-contained A/B baseline.
+    "q_stream_semantic_rejects_ingest" -> ((s, dir) => {
+      val p = graft.Scratch.tempDir("graft_bandidx_")
+      graft.operators.Dedup.writeBandIndex(s, dir, p)
+      semanticAdmissionStream(s, dir, Some(p))
+    }),
   )
 
   /** Shared by the in-plan and persisted-ingest joint-admission forms —
@@ -1489,6 +1527,9 @@ object Streams {
     "q_stream_joint_rejects" -> jointRejectsSql,
     "q_stream_joint_rejects_ingest" -> jointRejectsSql,
     "q_stream_semantic_rejects" ->
+      graft.operators.Dedup.semanticIncrementalSql,
+    // same semantics, store side read from the persisted band index
+    "q_stream_semantic_rejects_ingest" ->
       graft.operators.Dedup.semanticIncrementalSql,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,

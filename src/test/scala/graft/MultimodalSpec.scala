@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.MediaRow
+import org.apache.spark.sql.functions.col
 
 /** Pins the properties the q_multimodal_features oracle depends on:
   * the javax.imageio PNG round-trip is sample-exact (lossless 8-bit gray),
@@ -638,5 +639,37 @@ class MultimodalSpec extends SparkSpec {
     val inPlan = Queries.all("q_stream_joint_rejects")(spark, sfDir)
       .collect().map(_.toSeq).toSet
     assert(fromIngest == inPlan, "persisted-ingest admission drift")
+  }
+
+  test("bucketed ingest table: doc_id joins plan with no exchange on the bucketed side") {
+    // the cluster deployment (r12 verdict #4): the fingerprint table is
+    // bucketed by doc_id at write time, so downstream doc_id equi-joins
+    // never re-shuffle it — pay the exchange once at ingest, not per gate
+    operators.Multimodal.writeIngestTableBucketed(spark, sfDir, "ingest_bkt", 4)
+    val ing = spark.table("ingest_bkt")
+    // same rows as the path-addressed form
+    val flat = operators.Multimodal.ingestTable(spark, sfDir)
+    assert(ing.collect().map(_.toSeq).toSet == flat.collect().map(_.toSeq).toSet)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"))
+      // against an unbucketed probe side: exactly ONE exchange (the probe
+      // side shuffles to the bucket layout; the ingest scan feeds the
+      // join directly)
+      val oneSided = ing.join(docs, "doc_id")
+      val plan = oneSided.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"expected the probe side's exchange only:\n$plan")
+      assert(oneSided.count() == docs.count())
+      // against a CO-bucketed probe side: zero exchanges end to end
+      sources.Layouts.writeBucketed(docs, "docs_bkt", 4, Seq("doc_id"))
+      val co = ing.join(spark.table("docs_bkt"), "doc_id")
+      val coPlan = co.queryExecution.executedPlan.toString
+      assert(!coPlan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle:\n$coPlan")
+      assert(co.count() == docs.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 }

@@ -53,6 +53,35 @@ class PipelineSpec extends SparkSpec {
       s"missing ${(batch -- stream).size}, spurious ${(stream -- batch).size}")
   }
 
+  test("persisted band index == in-plan store side (batch and streaming forms)") {
+    // the 100 TB shape (r12 verdict #1): the store's quotient + band rows
+    // are written to parquet ONCE at ingest time; both the batch arrival
+    // gate and the streaming twin must be indistinguishable from their
+    // self-contained in-plan variants when reading it
+    import graft.operators.Dedup
+    val p = java.nio.file.Files.createTempDirectory("graft_bandidx_spec").toString
+    Dedup.writeBandIndex(spark, sfDir, p)
+    val (bands, vectors) = Dedup.readBandIndex(spark, p)
+    assert(bands.columns.sorted.toSeq == Seq("band_idx", "band_val", "sid"))
+    assert(vectors.columns.sorted.toSeq == Seq("embedding", "sid"))
+    // the index holds the store-side embedding QUOTIENT: one row per
+    // distinct non-arrival embedding, b=64 band rows each
+    val nQuotient = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0).select(col("embedding")).distinct().count()
+    assert(vectors.count() == nQuotient)
+    assert(bands.count() == nQuotient * 64)
+    val inPlan = Queries.all("q_dedup_semantic_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val fromIndex = Dedup.semanticIncrementalAdmission(spark, sfDir, Some(p))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(inPlan.nonEmpty, "gate vacuous: no rejected vectors in corpus")
+    assert(fromIndex == inPlan, "persisted-index batch admission drift")
+    val streamFromIndex = streaming.Streams
+      .semanticAdmissionStream(spark, sfDir, Some(p))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamFromIndex == inPlan, "persisted-index streaming admission drift")
+  }
+
   test("q_embed_project: score/residual satisfy the Pythagorean identity") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sfDir, "embeddings")

@@ -15,6 +15,8 @@ object TestSession {
       .config("spark.sql.warehouse.dir", // static conf — must be set here
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        Scratch.localCheckpointFileManager)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
