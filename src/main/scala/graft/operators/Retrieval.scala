@@ -195,26 +195,52 @@ object Retrieval {
     * the full posting list PER ROW is this query's stated output — and
     * the nominated tokens are by definition the hottest, so at crawl
     * scale one row holds a material fraction of all doc ids. That is a
-    * display/oracle form; a production index keeps the same plan up to
-    * the final agg but shards the collect to (token, segment) rows
-    * (segment = doc_id range), which bounds every row and every task —
-    * the groupBy key gains `floor(doc_id / segWidth)` and nothing else
-    * changes. */
-  def invertedIndex(d: DataFrame, nTokens: Int = 20): DataFrame = {
+    * display/oracle form; the PRODUCTION path is [[invertedIndexSharded]]
+    * (r12 verdict #7), which bounds every row and every task. */
+  def invertedIndex(d: DataFrame, nTokens: Int = 20): DataFrame =
+    invertedIndexNominees(d, nTokens)
+      .groupBy(col("token"), col("df"), col("total_tf"))
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+      .select(col("token"), col("df"), col("total_tf"), col("postings"))
+      .orderBy(col("df").desc, col("token"))
+
+  /** Shared nominee machinery: the (doc_id, token, df, total_tf) posting
+    * stream for the `nTokens` highest-df tokens — stats pass nominates,
+    * broadcast join filters, so the posting stream never materializes for
+    * the long tail. */
+  private def invertedIndexNominees(d: DataFrame, nTokens: Int): DataFrame = {
     val tfc = termFreqs(d)
     val top = tfc.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"))
       .orderBy(col("df").desc, col("token")).limit(nTokens)
     tfc.join(broadcast(top), "token")
-      .groupBy(col("token"), col("df"), col("total_tf"))
-      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
-      .select(col("token"), col("df"), col("total_tf"), col("postings"))
-      .orderBy(col("df").desc, col("token"))
   }
+
+  /** The production index build (r12 verdict #7): the same plan as
+    * [[invertedIndex]] up to the final aggregate, but the posting collect
+    * shards to (token, segment) rows — segment = doc_id div `segWidth` —
+    * so every output row holds ≤ segWidth ids and every collect task is
+    * bounded no matter how hot the token (the hottest nominee's postings
+    * spread across |corpus|/segWidth rows instead of ONE). Segment
+    * concatenation in segment order reproduces the monolithic posting
+    * list exactly (each segment covers a disjoint contiguous id range and
+    * is sorted within — the law `RetrievalSpec` pins), which is also why
+    * a serving layer can range-partition lookups by (token, segment)
+    * with no merge step beyond append. */
+  def invertedIndexSharded(d: DataFrame, nTokens: Int = 20,
+                           segWidth: Long = 128L): DataFrame =
+    invertedIndexNominees(d, nTokens)
+      .withColumn("segment", expr(s"doc_id div $segWidth"))
+      .groupBy(col("token"), col("df"), col("total_tf"), col("segment"))
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+      .select(col("token"), col("df"), col("total_tf"), col("segment"),
+        col("postings"))
+      .orderBy(col("df").desc, col("token"), col("segment"))
 
   val queries: Map[String, Q] = Map(
     "q_bm25" -> ((s, dir) => bm25TopK(docs(s, dir))),
     "q_inverted_index" -> ((s, dir) => invertedIndex(docs(s, dir))),
+    "q_inverted_index_sharded" -> ((s, dir) => invertedIndexSharded(docs(s, dir))),
     "q_hybrid_rrf" -> ((s, dir) =>
       hybridRrf(docs(s, dir), Tables.load(s, dir, "embeddings"))),
   )
@@ -260,6 +286,19 @@ object Retrieval {
         |FROM tfc JOIN top USING (token)
         |GROUP BY token, df, total_tf
         |ORDER BY df DESC, token""".stripMargin,
+    "q_inverted_index_sharded" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |top AS (SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+        |        FROM tfc GROUP BY 1
+        |        ORDER BY df DESC, token LIMIT 20)
+        |SELECT token, df, total_tf, doc_id // 128 AS segment,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM tfc JOIN top USING (token)
+        |GROUP BY token, df, total_tf, segment
+        |ORDER BY df DESC, token, segment""".stripMargin,
     "q_hybrid_rrf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

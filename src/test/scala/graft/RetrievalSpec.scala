@@ -123,4 +123,37 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "1-row stats frames must broadcast, not cartesian")
   }
+
+  test("sharded index: segment concatenation reproduces the monolithic posting list") {
+    // the production (token, segment) sharding must lose nothing: per
+    // token, appending segment postings in segment order equals the
+    // monolithic list, and stats columns agree on every shard row
+    val mono = Queries.all("q_inverted_index")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // segWidth 16 so the 50-doc test corpus genuinely spans segments (the
+    // registered query's 128 is exercised against the oracle at sf0.01)
+    val segWidth = 16L
+    val shards = operators.Retrieval.invertedIndexSharded(
+      Tables.load(spark, sfDir, "documents"), 20, segWidth).collect()
+    assert(shards.length > mono.size, "sharding vacuous: one segment per token")
+    val bySeg = shards.groupBy(_.getString(0))
+    assert(bySeg.keySet == mono.keySet)
+    bySeg.foreach { case (token, rows) =>
+      val (df, totalTf, postings) = mono(token)
+      rows.foreach { r =>
+        assert(r.getLong(1) == df && r.getLong(2) == totalTf,
+          s"$token: shard stats drift")
+      }
+      val rebuilt = rows.sortBy(_.getLong(3)).map(_.getString(4)).mkString(",")
+      assert(rebuilt == postings, s"$token: segment concat != monolithic list")
+      // every row bounded by the segment width
+      rows.foreach { r =>
+        val ids = r.getString(4).split(",").map(_.toLong)
+        assert(ids.length <= segWidth &&
+          ids.forall(_ / segWidth == r.getLong(3)),
+          s"$token seg ${r.getLong(3)}: ids outside segment or over width")
+      }
+    }
+  }
 }
