@@ -16,7 +16,10 @@ import java.util.Comparator
   * On a production cluster the checkpoint location must instead be
   * durable shared storage — this helper is harness policy, not engine
   * policy, which is why it lives next to the mains and not in
-  * [[graft.streaming.Streams]].
+  * [[graft.streaming.Streams]] (the `_ingest` query REGISTRATIONS also
+  * use [[tempDir]] for their run-unique persisted-table artifacts —
+  * registration glue is harness territory; the engine methods
+  * themselves take caller-supplied paths).
   */
 object Scratch {
   /** A fresh, JVM-unique directory for `spark.sql.streaming.

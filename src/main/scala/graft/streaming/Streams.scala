@@ -710,14 +710,21 @@ object Streams {
     * in-plan (self-contained form), or read from the PERSISTED
     * band-index table ([[graft.operators.Dedup.writeBandIndex]], the
     * fused-ingest discipline — `q_stream_semantic_rejects_ingest`).
-    * Arrivals band per micro-batch CARRYING
-    * their embedding (bounded: b×|vec| bytes per arrival — joining
-    * candidates back to the stream would be a stream-stream join);
-    * candidates come from the stream-static band equi-join, the exact
-    * cosine verifies each collision, and ONE Complete-mode max per
-    * arrival absorbs duplicate band collisions (max is idempotent, so no
-    * distinct is needed before it). State: one row per REJECTED arrival
-    * — bounded by contamination, never stream length. */
+    *
+    * Arrival side (r13 rewrite): each micro-batch runs the BATCH
+    * pipeline inside `foreachBatch` — quotient by embedding identity,
+    * band the quotient, batch×index band equi-join, exact-cosine verify,
+    * closed-form member re-expansion, append to the rejects table. The
+    * r12 declarative form banded PER ARRIVAL (a streaming frame cannot
+    * quotient statelessly) and paid candidates ≈ arrivals × b × bucket
+    * size: the 1000× hot-embedding probe measured ~110M candidate
+    * cosines and a 2 823 task-second join stage (max task 141 s) where
+    * the batch twin's quotient does ~1M. foreachBatch makes per-batch
+    * quotienting a batch-plan property — the canonical production shape
+    * for reusing batch logic on a stream — and drops the gate to batch
+    * cost + stream overhead with NO single-task tail. State: none (the
+    * rejects table is the parquet append; each arrival lives in exactly
+    * one batch, so per-batch results concatenate to the global gate). */
   def semanticAdmissionStream(spark: SparkSession, dir: String,
                               indexPath: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
@@ -760,23 +767,41 @@ object Streams {
       else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir))
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), col("embedding"))
-      // flat single-file source ⇒ a micro-batch arrives in ≤ a few
-      // splits; the signature/banding work (the real cost) must spread
-      // to full width per micro-batch (the docIds lesson — measured 15 s
-      // vs 2.8 s for the batch twin at sf1 without this)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-    val banded = Dedup.bandedEmbeddings(stream, "vec_id",
-      carry = Seq("embedding"))
-    val rejects = banded
-      .join(sBand, Seq("band_idx", "band_val"))
-      .join(sEmb, "sid")
-      .withColumn("cos",
-        round(Sketches.cosineSim(col("embedding"), col("s_emb")), 6))
-      .filter(col("cos") >= 0.45)
-      .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos"))
-    val out = runToTable(rejects, spark, OutputMode.Complete())
+    // no explicit repartition: the quotient groupBy below is the width
+    // restorer (its exchange spreads the signature/banding work), so the
+    // few-split flat-file micro-batch only pays a trivial map-side hash
+    val outDir = graft.Scratch.tempDir("graft_semrej_out_")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bCls = batch.groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("rep"),
+            collect_list(col("vec_id")).as("members"))
+        Dedup.bandedEmbeddings(
+            bCls.select(col("rep"), col("embedding")), "rep")
+          .join(sBand, Seq("band_idx", "band_val"))
+          .select(col("rep"), col("sid")).distinct()
+          .join(bCls.select(col("rep"), col("embedding").as("b_emb"),
+            col("members")), "rep")
+          .join(sEmb, "sid")
+          .withColumn("cos",
+            round(Sketches.cosineSim(col("b_emb"), col("s_emb")), 6))
+          .filter(col("cos") >= 0.45)
+          .groupBy(col("rep"), col("members"))
+          .agg(max(col("cos")).as("max_cos"))
+          .select(explode(col("members")).as("vec_id"), col("max_cos"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", graft.Scratch.tempDir("graft_semrej_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     sBand.unpersist(); sEmb.unpersist()
-    out.orderBy(col("vec_id"))
+    // explicit schema: a reject-free run appends no part files, and
+    // schema inference on an empty directory would fail rather than
+    // return the empty frame
+    spark.read.schema("vec_id long, max_cos double").parquet(outDir)
+      .orderBy(col("vec_id"))
   }
 
   /** Stateless streaming text hygiene — the ingest-time stage of the
