@@ -133,6 +133,18 @@ object Dedup {
     // partition is a global order. Pair outputs at gate scale are tiny,
     // so the 1-partition sort is cheap; production drops the sort either
     // way. Metric exactness asserted in PairTelemetrySpec.
+    //
+    // r13 re-litigated this under the sf1 stage attribution (the
+    // one-partition sort serializes ~half of q_multimodal_perceptual's
+    // 67M-row sf1 wall onto one core, making that row track host
+    // single-core speed 1:1) and REAFFIRMED the r10 choice with fresh
+    // measurements: a bare orderBy double-counts the metric (spec fails,
+    // 29 s), and localCheckpoint-then-orderBy moves the metric into the
+    // checkpoint's own execution (spec fails) while storing 67M rows
+    // costs MORE than it saves (109 s vs 42 s). The single-task tail is
+    // a property of the quadratic-OUTPUT pair forms only — their
+    // linear-output decision forms are the scale path, and production
+    // drops the presentation sort.
     val observed =
       df.observe(s"graft.pair_count.$name", count(lit(1)).as("pairs_emitted"))
     if (sortKeys.isEmpty) observed
@@ -990,6 +1002,22 @@ object Dedup {
   /** Read back the two frames [[writeBandIndex]] persisted. */
   def readBandIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
     (s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/vectors"))
+
+  /** Cluster form of [[writeBandIndex]]: the band table saved as a
+    * managed table bucketed on the candidate-join key (band_idx,
+    * band_val) and the vector table bucketed on sid, so an admission
+    * pass's band equi-join and verification join each read pre-shuffled
+    * buckets — only the (small, per-batch) arrival side exchanges.
+    * `PipelineSpec` pins the one-exchange candidate-join plan. */
+  def writeBandIndexBucketed(s: SparkSession, dir: String, table: String,
+                             nBuckets: Int = 32): Unit = {
+    val (bands, vectors) =
+      semanticStoreIndex(Tables.load(s, dir, "embeddings"))
+    graft.sources.Layouts.writeBucketed(
+      bands, s"${table}_bands", nBuckets, Seq("band_idx", "band_val"))
+    graft.sources.Layouts.writeBucketed(
+      vectors, s"${table}_vectors", nBuckets, Seq("sid"))
+  }
 
   /** SemDeDup over the exact-dup quotient graph: components, keeper
     * election and sizes all computed per DISTINCT embedding, re-expanded

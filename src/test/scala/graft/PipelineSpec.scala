@@ -82,6 +82,54 @@ class PipelineSpec extends SparkSpec {
     assert(streamFromIndex == inPlan, "persisted-index streaming admission drift")
   }
 
+  test("bucketed band index: candidate join plans with one exchange (arrival side only)") {
+    // the cluster form: the band table is bucketed on the join key at
+    // ingest time, so the admission probe's band equi-join never
+    // re-shuffles the corpus-sized store side — only the per-batch
+    // arrival quotient exchanges
+    import graft.operators.Dedup
+    Dedup.writeBandIndexBucketed(spark, sfDir, "bandidx_bkt", 4)
+    val sBand = spark.table("bandidx_bkt_bands")
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val bCls = e.filter(col("vec_id") % 10 === 0)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def candWith(store: org.apache.spark.sql.DataFrame) =
+        Dedup.bandedEmbeddings(
+            bCls.select(col("rep"), col("embedding")), "rep")
+          .join(store, Seq("band_idx", "band_val"))
+          .select(col("rep"), col("sid")).distinct()
+      val cand = candWith(sBand)
+      // exchanges with the bucketed store: arrival quotient groupBy +
+      // arrival band rows to the join key + the distinct — the bucketed
+      // store scan contributes NONE. The differential pin: the same join
+      // against the unbucketed in-plan store side pays one more (its
+      // band rows must shuffle to the join key).
+      def nEx(df: org.apache.spark.sql.DataFrame) =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      val flat = java.nio.file.Files
+        .createTempDirectory("graft_bandidx_flat").toString
+      sBand.write.mode("overwrite").parquet(flat)
+      val bucketed = nEx(cand)
+      val unbucketed = nEx(candWith(spark.read.parquet(flat)))
+      assert(bucketed == unbucketed - 1,
+        s"bucketed store side must save exactly the store exchange: " +
+          s"bucketed=$bucketed unbucketed=$unbucketed")
+      // and the candidates equal the in-plan store side's
+      val (inPlanBands, _) = Dedup.semanticStoreIndex(e)
+      val expected = Dedup.bandedEmbeddings(
+          bCls.select(col("rep"), col("embedding")), "rep")
+        .join(inPlanBands, Seq("band_idx", "band_val"))
+        .select(col("rep"), col("sid")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected && got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("q_embed_project: score/residual satisfy the Pythagorean identity") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sfDir, "embeddings")
