@@ -20,6 +20,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *   aspects ⊆ ingest,joint,pairs,caps,strata,hh,semantic
   *   (comma list; default all — an unknown name fails loudly rather than
   *   silently printing nothing, r12 advice)
+  *   `pairs` is for ≤100× corpora ONLY: the pair form's TRUE output on
+  *   the planted class is C(m,2) — ~1.5G rows at 1000×, which OOMs the
+  *   8g probe heap BY DESIGN (the documented guidance is the clusters/
+  *   keeper twins at that scale; every other aspect runs at 1000×).
   * Generate the corpus first, e.g.:
   *   tools/run.sh graft.ScaleData /root/testdata/sf0.01 /tmp/skew100 \
   *     100 documents,embeddings 10
