@@ -167,6 +167,55 @@ object Sampling {
         .orderBy(col("lang"))
     }),
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169), the hashed-n-gram recipe: featurize every doc
+    // as unigram+bigram occurrences hashed into B=4096 buckets (first 3
+    // md5 hex chars — the cross-engine-stable hash), fit Laplace-
+    // smoothed bucket distributions over the TARGET domain (the eval
+    // sample, doc_id < 50) and the raw SOURCE pool (the rest), score
+    // each source doc by its log importance weight
+    // Σ_g [ln p̂_target(b(g)) − ln p̂_source(b(g))], and select the top-K.
+    // (The paper resamples with Gumbel noise; the deterministic top-K-
+    // by-weight variant is the oracle-able twin, and the ranking is the
+    // recipe's substance.) Exactness: each per-bucket ln is rounded to
+    // 9 dp through PortableLn (libm parity) and carried as
+    // DECIMAL(18,9), so the per-doc sum is order-independent; final
+    // round to 6 dp — the q_lm_score discipline. 100 TB shape: the
+    // bucket tables are ≤B rows (one partial-aggregatable pass over the
+    // gram stream computes BOTH sides), the log-ratio frame broadcasts,
+    // per-doc scoring is explode → broadcast join → map-side-combined
+    // sum by doc_id, and the selection is a TakeOrdered — the gram
+    // stream is the only corpus-sized flow and it never joins itself.
+    "q_mix_dsir" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val B = 4096.0
+      val w = split(lower(col("text")), " ")
+      val grams = docs(s, dir).select(col("doc_id"),
+          explode(concat(w, zip_with(
+            slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => concat(a, lit(" "), b)))).as("gram"))
+        .select(col("doc_id"), substring(md5(col("gram")), 1, 3).as("bucket"))
+      val counts = grams.groupBy(col("bucket")).agg(
+        sum(when(col("doc_id") < 50, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("doc_id") >= 50, 1L).otherwise(0L)).as("ns"))
+      val totals = counts.agg(sum(col("nt")).as("tt"), sum(col("ns")).as("ts"))
+      val lnP = graft.functions.PortableMath.lnPortable _
+      val lr = counts.crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          (round(lnP((col("nt") + 1).cast("double")
+              / (col("tt").cast("double") + B)), 9).cast(DecimalType(18, 9))
+            - round(lnP((col("ns") + 1).cast("double")
+              / (col("ts").cast("double") + B)), 9).cast(DecimalType(18, 9)))
+            .as("lr"))
+      grams.filter(col("doc_id") >= 50)
+        .join(broadcast(lr), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          round(sum(col("lr")).cast("double"), 6).as("dsir_logweight"))
+        .orderBy(col("dsir_logweight").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // temporal embargo split — the time-series leakage guard: train on
     // the past, evaluate on the future, and DISCARD an embargo window
     // between them so near-boundary correlations (a user's session
@@ -232,6 +281,31 @@ object Sampling {
         |  CAST(floor(round(CAST(pw AS DOUBLE) / CAST(tw AS DOUBLE), 6)
         |             * 1000000) AS BIGINT) AS budget_tokens
         |FROM p CROSS JOIN t ORDER BY lang""".stripMargin,
+    "q_mix_dsir" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        substr(md5(unnest(list_concat(w,
+        |          [w[i] || ' ' || w[i+1] for i in range(1, len(w))]))), 1, 3)
+        |          AS bucket
+        |      FROM t),
+        |c AS (SELECT bucket,
+        |        SUM(CASE WHEN doc_id < 50 THEN 1 ELSE 0 END) AS nt,
+        |        SUM(CASE WHEN doc_id >= 50 THEN 1 ELSE 0 END) AS ns
+        |      FROM g GROUP BY bucket),
+        |tot AS (SELECT SUM(nt) AS tt, SUM(ns) AS ts FROM c),
+        |lr AS (SELECT bucket,
+        |         CAST(round(ln((nt + 1) / (CAST(tt AS DOUBLE) + 4096.0)), 9)
+        |              AS DECIMAL(18,9))
+        |       - CAST(round(ln((ns + 1) / (CAST(ts AS DOUBLE) + 4096.0)), 9)
+        |              AS DECIMAL(18,9)) AS lr
+        |       FROM c CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_logweight
+        |FROM g JOIN lr USING (bucket)
+        |WHERE doc_id >= 50
+        |GROUP BY doc_id
+        |ORDER BY dsir_logweight DESC, doc_id LIMIT 100""".stripMargin,
     "q_sample_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
