@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, FSDataOutputStream, Path, PathFilter}
+import org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager
+
+/** Fork-free checkpoint file manager for LOCAL-filesystem checkpoints.
+  *
+  * Why it exists (r13, the third layer of the streaming-fork story):
+  * with no native Hadoop library on the classpath — the normal state of
+  * a plain Spark tarball — `RawLocalFileSystem.setPermission` EXECS a
+  * `chmod` subprocess for every file it creates, and the checksum
+  * wrapper doubles that (data file + .crc). Spark's default
+  * FileContext-based manager additionally execs a `readlink`-family
+  * stat per file probe (25.5k forks for ONE 8-micro-batch query — see
+  * [[graft.Scratch.localCheckpointFileManager]]); the FileSystem-based
+  * manager removed the stat forks but kept the per-create `chmod` pair
+  * (~1.6k forks per streaming query remained, sampled live: every one a
+  * `chmod 0644 …/state/…/N.delta.…tmp[.crc]`). This manager removes the
+  * write-side forks entirely: temp-file creation, directory creation,
+  * and the atomic rename-commit go through java.nio (`Files.*` — plain
+  * syscalls in-process, with `ATOMIC_MOVE` giving the same rename(2)
+  * commit the Hadoop path uses), while reads, listing, and deletion
+  * delegate to the plain Hadoop local FileSystem (those paths do not
+  * fork). Write-read asymmetry is sound: nio writes produce no .crc
+  * sidecars, and ChecksumFileSystem reads files without sidecars
+  * unverified — acceptable for LOCAL checkpoints on tmpfs whose
+  * durability story is the harness's (production on HDFS/object stores
+  * keeps Spark's default manager, exactly as documented on
+  * [[graft.Scratch.localCheckpointFileManager]]).
+  *
+  * Structurally this EXTENDS FileSystemBasedCheckpointFileManager and
+  * overrides only the fork-prone write paths (temp-file create, mkdirs,
+  * rename, exists), so createAtomic still runs Spark's own
+  * RenameBasedFSDataOutputStream (write temp → rename on close, delete
+  * on cancel) and open/list/delete keep the parent's (fork-free) Hadoop
+  * implementations. A non-overwrite rename onto an existing target
+  * throws Hadoop's `FileAlreadyExistsException` — the type
+  * `HDFSMetadataLog` catches to detect a lost commit race (java.nio's
+  * exception of the same name is a DIFFERENT class and must be
+  * translated, not propagated).
+  *
+  * Loaded by Spark via reflection from
+  * `spark.sql.streaming.checkpointFileManagerClass`; the required
+  * (Path, Configuration) constructor is this one.
+  */
+class NioCheckpointFileManager(root: Path, hadoopConf: Configuration)
+    extends FileSystemBasedCheckpointFileManager(root, hadoopConf) {
+
+  private def nio(p: Path): java.nio.file.Path = Paths.get(p.toUri.getPath)
+
+  override def createTempFile(path: Path): FSDataOutputStream = {
+    val np = nio(path)
+    if (np.getParent != null) Files.createDirectories(np.getParent)
+    new FSDataOutputStream(Files.newOutputStream(np), null)
+  }
+
+  override def renameTempFile(srcPath: Path, dstPath: Path,
+                              overwriteIfPossible: Boolean): Unit = {
+    val opts =
+      if (overwriteIfPossible)
+        Array[StandardCopyOption](StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      else Array[StandardCopyOption](StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(nio(srcPath), nio(dstPath), opts: _*)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // translate to the Hadoop type commit-race handlers catch
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"rename destination $dstPath already exists")
+    }
+  }
+
+  override def mkdirs(path: Path): Unit = {
+    Files.createDirectories(nio(path))
+    ()
+  }
+
+  override def exists(path: Path): Boolean = Files.exists(nio(path))
+
+  override def createCheckpointDirectory(): Path = {
+    Files.createDirectories(nio(root))
+    root
+  }
+}
