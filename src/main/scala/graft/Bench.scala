@@ -66,6 +66,12 @@ object Bench {
       // 60 s) — a 100+-query run otherwise carries every prior streaming
       // query's state maps on heap for most of the bench
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
+      // the timing action (ProbeMaterialize.checksum) is order-independent
+      // by construction, so the pair queries' presentation sort — a
+      // Verify/oracle determinism artifact — buys nothing here; clearing
+      // the flag keeps quadratic-output pair rows parallel instead of
+      // serializing the largest sf1 rows onto one core (r13 verdict #1)
+      .config("spark.graft.pairPresentationSort", "false")
       // localCheckpoint blocks (dup-collapse cluster frames etc.) release
       // only when the owning RDD is GC'd on the driver and ContextCleaner
       // notices; its periodic-GC default is 30 MINUTES — longer than the
@@ -129,12 +135,19 @@ object Bench {
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // a calibration-pass failure must be as loud as a main-pass one: a -1
+    // inside "drift_control" silently poisons the cross-round per-query
+    // ratio before a ledger consumer takes the median (r13 ADVICE), so
+    // drift failures get their own list AND flip the partial flag
+    val driftFailed = drift.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val nFailed = results.count(!_._3)
+    val nFailed = results.count(!_._3) + drift.count(!_._3)
     // full per-query detail goes to a FILE, not stdout: the harness keeps
     // only the final ~2 KB of stdout, and two JSON lines (full + compact)
     // proved ambiguous to parse in round 6 — exactly one runner line below.
-    val driftJson = if (drift.isEmpty) "" else s""","drift_control":${toJson(drift)}"""
+    val driftJson = if (drift.isEmpty) ""
+      else s""","drift_control":${toJson(drift)},"drift_failed":$driftFailed"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)}$driftJson,"skipped":$skipped,"failed":$failed,"sf":"$sfDir",${RunMeta.jsonFields()}}"""
     val out = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(out.getParent)

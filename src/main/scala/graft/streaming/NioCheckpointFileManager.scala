@@ -82,6 +82,11 @@ class NioCheckpointFileManager(root: Path, hadoopConf: Configuration)
 
   override def createCheckpointDirectory(): Path = {
     Files.createDirectories(nio(root))
-    root
+    // contract parity with FileSystemBasedCheckpointFileManager: the
+    // return value becomes StreamExecution's resolvedCheckpointRoot, and
+    // the parent returns a QUALIFIED path (scheme + authority), so a raw
+    // constructor path would leak scheme-less URIs into downstream string
+    // comparisons (r13 ADVICE). One driver-side call at query start.
+    root.getFileSystem(hadoopConf).makeQualified(root)
   }
 }

@@ -723,8 +723,9 @@ object Streams {
     * quotienting a batch-plan property — the canonical production shape
     * for reusing batch logic on a stream — and drops the gate to batch
     * cost + stream overhead with NO single-task tail. State: none (the
-    * rejects table is the parquet append; each arrival lives in exactly
-    * one batch, so per-batch results concatenate to the global gate). */
+    * rejects table is per-batch parquet, overwrite-by-batchId for replay
+    * idempotence; each arrival lives in exactly one batch, so per-batch
+    * results concatenate to the global gate). */
   def semanticAdmissionStream(spark: SparkSession, dir: String,
                               indexPath: Option[String] = None): DataFrame = {
     import graft.operators.Dedup
@@ -772,7 +773,7 @@ object Streams {
     // few-split flat-file micro-batch only pays a trivial map-side hash
     val outDir = graft.Scratch.tempDir("graft_semrej_out_")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bCls = batch.groupBy(col("embedding"))
           .agg(min(col("vec_id")).as("rep"),
             collect_list(col("vec_id")).as("members"))
@@ -789,7 +790,15 @@ object Streams {
           .groupBy(col("rep"), col("members"))
           .agg(max(col("cos")).as("max_cos"))
           .select(explode(col("members")).as("vec_id"), col("max_cos"))
-          .write.mode("append").parquet(outDir)
+          // exactly-once per micro-batch (r13 ADVICE): foreachBatch is
+          // at-least-once — a task/driver failure mid-batch REPLAYS the
+          // batch, and a bare append would duplicate its rows. Writing
+          // each batch to a batchId-named subdirectory with OVERWRITE is
+          // the standard idempotence pattern: a replay rewrites the same
+          // directory instead of appending a second copy, so per-batch
+          // results concatenate to the global gate under any failure
+          // schedule.
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         ()
       }
       .option("checkpointLocation", graft.Scratch.tempDir("graft_semrej_ckpt_"))
@@ -797,10 +806,13 @@ object Streams {
       .start()
     q.awaitTermination()
     sBand.unpersist(); sEmb.unpersist()
-    // explicit schema: a reject-free run appends no part files, and
-    // schema inference on an empty directory would fail rather than
-    // return the empty frame
-    spark.read.schema("vec_id long, max_cos double").parquet(outDir)
+    // explicit schema: a reject-free run writes only empty batch dirs,
+    // and schema inference over zero rows would fail rather than return
+    // the empty frame. recursiveFileLookup reads the per-batch
+    // subdirectories without partition inference (the subdir name is a
+    // replay-idempotence artifact, not a column).
+    spark.read.schema("vec_id long, max_cos double")
+      .option("recursiveFileLookup", "true").parquet(outDir)
       .orderBy(col("vec_id"))
   }
 

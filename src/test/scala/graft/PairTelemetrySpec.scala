@@ -28,4 +28,37 @@ class PairTelemetrySpec extends SparkSpec {
         s"$name: metric != emitted rows")
     }
   }
+
+  /** The bench-mode sort bypass (r13 verdict #1): with
+    * `spark.graft.pairPresentationSort=false` the presentation sort (a
+    * Verify/oracle determinism artifact) is dropped — the result must be
+    * the same MULTISET (Bench's checksum is order-independent), the plan
+    * must carry no single-partition exchange, and the observe metric must
+    * still be exact. */
+  test("pairPresentationSort=false preserves the multiset and drops the 1-partition sort") {
+    val name = "q_cosine_pairs"
+    val sorted = Queries.all(name)(spark, sfDir)
+    val sortedSum = ProbeMaterialize.checksum(sorted)
+    spark.conf.set("spark.graft.pairPresentationSort", "false")
+    try {
+      val bare = Queries.all(name)(spark, sfDir)
+      assert(ProbeMaterialize.checksum(bare) == sortedSum,
+        s"$name: checksum diverges between sort modes")
+      // differential: the query body may carry scalar-aggregate single-
+      // partition exchanges of its own — the bypass must remove exactly
+      // the presentation repartition(1) (one fewer SinglePartition) and
+      // the within-partition presentation sort
+      def spCount(df: org.apache.spark.sql.DataFrame): Int =
+        "SinglePartition".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(spCount(bare) == spCount(sorted) - 1,
+        s"$name: bench mode should drop exactly the presentation " +
+          s"repartition(1) (${spCount(bare)} vs ${spCount(sorted)})")
+      val rows = bare.collect().length.toLong
+      val metrics = bare.queryExecution.observedMetrics
+        .collect { case (k, v) if k == s"graft.pair_count.$name" => v }
+      assert(metrics.size == 1 && metrics.head.getAs[Long]("pairs_emitted") == rows,
+        s"$name: metric inexact in bench mode")
+    } finally spark.conf.set("spark.graft.pairPresentationSort", "true")
+  }
 }
