@@ -114,6 +114,26 @@ object Similarity {
 
     "q_similarity_pq" -> ((s, dir) => pq(s, dir)),
 
+    // the PRODUCTION factorings (r13 verdict #2 — the similarity-axis
+    // analogue of q_dedup_semantic_incremental_ingest): the ANN model is
+    // trained + persisted ONCE at ingest time ([[writeIvfModel]] /
+    // [[writePqModel]]), then the search pass LOADS it — zero in-query
+    // sample collection, Lloyd iterations, or codebook fitting. Same
+    // deterministic training sample ⇒ same model ⇒ same certified-exact
+    // output, so each shares its in-plan twin's brute-force oracle;
+    // equality of the twins is pinned in PipelineSpec.
+    "q_similarity_ivf_ingest" -> ((s, dir) => {
+      val p = graft.Scratch.tempDir("graft_ivfmodel_")
+      writeIvfModel(s, dir, p)
+      ivf(s, dir, model = Some(readIvfModel(s, p)))
+    }),
+
+    "q_similarity_pq_ingest" -> ((s, dir) => {
+      val p = graft.Scratch.tempDir("graft_pqmodel_")
+      writePqModel(s, dir, p)
+      pq(s, dir, model = Some(readPqModel(s, p)))
+    }),
+
     // int8 symmetric quantization of the embedding column — 4× smaller
     // vectors for shuffle/storage (the cheap first rung of the
     // compression ladder below PQ's 16×). Pure scan-stage column algebra:
@@ -209,6 +229,18 @@ object Similarity {
     // literal arrays; one linear scan + one vec_id-keyed decimal agg)
     "q_embed_project" -> ((s, dir) =>
       embedProject(Tables.load(s, dir, "embeddings"))),
+
+    // production factoring of the projection: the PCA model is fitted +
+    // persisted once at ingest ([[writePcaModel]]); the projection pass
+    // loads (μ, v) from parquet and applies them as literals — zero
+    // in-query moment passes over the corpus. Same model by determinism
+    // ⇒ same oracle as q_embed_project.
+    "q_embed_project_ingest" -> ((s, dir) => {
+      val p = graft.Scratch.tempDir("graft_pcamodel_")
+      writePcaModel(s, dir, p)
+      embedProject(Tables.load(s, dir, "embeddings"),
+        Some(readPcaModel(s, p)))
+    }),
 
     "q_embed_quantize" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -618,9 +650,13 @@ object Similarity {
     * step of any whitening/compression pass. The model (μ, v) enters as
     * LITERAL arrays (bounded, from [[pcaModel]]), so the projection is
     * one linear scan + one vec_id-keyed decimal aggregate — no join. */
-  private[graft] def embedProject(e: DataFrame): DataFrame = {
+  private[graft] def embedProject(e: DataFrame,
+      model: Option[PcaModel] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val (mu, v, _, _) = pcaModel(e)
+    // model = Some(...) skips the in-query moment passes entirely — the
+    // persisted (μ, v) enter as literals ([[writePcaModel]])
+    val m = model.getOrElse(pcaModelOf(e))
+    val (mu, v) = (m.mu, m.v)
     val muLit = array(mu.map(lit(_)): _*)
     val vLit = array(v.map(lit(_)): _*)
     val rv = transform(col("embedding"), x => round(x.cast("double"), 9))
@@ -638,6 +674,115 @@ object Similarity {
         round(sqrt(greatest(lit(0.0), col("ss") - col("dot") * col("dot"))), 6)
           .as("residual"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Trained ANN/embedding models as plain values — the unit the
+    * `_ingest` factoring persists (r13 verdict #2). Each carries the
+    * codebook(s) plus the training-sample p90 residual, the viability
+    * signal the certificate short-circuit needs, so a LOADED model makes
+    * the same certify-vs-brute decision as an in-plan one with zero
+    * sample re-collection. */
+  case class IvfModel(centroids: Seq[Seq[Float]], p90Residual: Double)
+  case class PqModel(codebooks: Seq[Seq[Seq[Float]]], p90Residual: Double)
+  case class PcaModel(mu: Seq[Double], v: Seq[Double], lam: Double,
+                      trace: Double)
+
+  private def p90Of(resid: Array[Double]): Double = {
+    val s = resid.sorted
+    s(math.round((s.length - 1) * 0.9f))
+  }
+
+  /** Train the IVF model from the corpus's bounded deterministic sample
+    * — the one-time ingest step [[writeIvfModel]] persists. */
+  private[graft] def ivfModelOf(e: DataFrame): IvfModel = {
+    val sample = loadSample(e)
+    val cb = trainCodebook(sample)
+    val cbN = cb.map(c => normalized(c.map(_.toDouble).toArray)).toArray
+    IvfModel(cb, p90Of(ivfSampleResiduals(sample.map(normalized), cbN)))
+  }
+
+  /** Train the PQ model (per-subspace codebooks + sample p90 residual). */
+  private[graft] def pqModelOf(e: DataFrame): PqModel = {
+    val sample = loadSample(e).map(normalized)
+    val cb = trainPqCodebooks(sample, pqM, pqKCent)
+    PqModel(cb, p90Of(sampleResiduals(sample, cb)))
+  }
+
+  /** The PCA model as a value (μ, dominant axis v, eigenvalue, trace). */
+  private[graft] def pcaModelOf(e: DataFrame): PcaModel = {
+    val (mu, v, lam, trace) = pcaModel(e)
+    PcaModel(mu.toSeq, v.toSeq, lam, trace)
+  }
+
+  /** Persist the IVF model to parquet ONCE at ingest time (r13 verdict
+    * #2 — the similarity-axis analogue of
+    * [[graft.operators.Dedup.writeBandIndex]]): at 100 TB the codebook is
+    * trained once when the corpus lands, and every later search pass
+    * loads the k·dim-float table instead of re-collecting a sample and
+    * re-running Lloyd iterations inside the query. One row per centroid;
+    * the sample p90 residual rides along so the loaded model drives the
+    * certificate viability gate without the sample. */
+  def writeIvfModel(s: SparkSession, dir: String, outPath: String): Unit = {
+    import s.implicits._
+    val m = ivfModelOf(Tables.load(s, dir, "embeddings"))
+    m.centroids.zipWithIndex
+      .map { case (c, i) => (i, c, m.p90Residual) }
+      .toDF("cell", "centroid", "p90").coalesce(1)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Read back the model [[writeIvfModel]] persisted (bounded collect:
+    * k rows). */
+  def readIvfModel(s: SparkSession, path: String): IvfModel = {
+    val rows = s.read.parquet(path)
+      .select(col("cell"), col("centroid"), col("p90"))
+      .orderBy(col("cell")).collect()
+    IvfModel(rows.map(_.getSeq[Float](1)).toSeq, rows.head.getDouble(2))
+  }
+
+  /** Persist the PQ model (M·K centroid rows + sample p90) — see
+    * [[writeIvfModel]] for the ingest-time contract. */
+  def writePqModel(s: SparkSession, dir: String, outPath: String): Unit = {
+    import s.implicits._
+    val model = pqModelOf(Tables.load(s, dir, "embeddings"))
+    (for {
+      (sub, mi) <- model.codebooks.zipWithIndex
+      (c, ci) <- sub.zipWithIndex
+    } yield (mi, ci, c, model.p90Residual))
+      .toDF("m", "c", "centroid", "p90").coalesce(1)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Read back the model [[writePqModel]] persisted (bounded collect:
+    * M·K rows). */
+  def readPqModel(s: SparkSession, path: String): PqModel = {
+    val rows = s.read.parquet(path)
+      .select(col("m"), col("c"), col("centroid"), col("p90"))
+      .orderBy(col("m"), col("c")).collect()
+    val cb = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq }
+    PqModel(cb, rows.head.getDouble(3))
+  }
+
+  /** Persist the PCA model (one row per dimension: μ_p, v_p, plus the
+    * constant eigenvalue/trace) — the whitening/projection model a
+    * pipeline fits once and applies to every later scan. */
+  def writePcaModel(s: SparkSession, dir: String, outPath: String): Unit = {
+    import s.implicits._
+    val m = pcaModelOf(Tables.load(s, dir, "embeddings"))
+    m.mu.indices.map(p => (p, m.mu(p), m.v(p), m.lam, m.trace))
+      .toDF("pos", "mu", "v", "lam", "trace").coalesce(1)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Read back the model [[writePcaModel]] persisted (bounded collect:
+    * dim rows). */
+  def readPcaModel(s: SparkSession, path: String): PcaModel = {
+    val rows = s.read.parquet(path)
+      .select(col("pos"), col("mu"), col("v"), col("lam"), col("trace"))
+      .orderBy(col("pos")).collect()
+    PcaModel(rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq,
+      rows.head.getDouble(3), rows.head.getDouble(4))
   }
 
   /** Spherical k-means codebook, trained driver-side on the bounded
@@ -708,14 +853,16 @@ object Similarity {
     * against broadcast ≤k·nQueries-row query frames, partial-aggregated
     * before the one hash exchange each. */
   private[graft] def ivf(s: SparkSession, dir: String,
-      nprobe: Int = 3): DataFrame = {
+      nprobe: Int = 3, model: Option[IvfModel] = None): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
-    val sample = loadSample(e)
-    val cb = trainCodebook(sample)
+    // model = Some(...) is the ingest-factored path: codebook and
+    // viability signal come from the PERSISTED model ([[writeIvfModel]]),
+    // zero in-query sample collection or Lloyd iterations
+    val m = model.getOrElse(ivfModelOf(e))
+    val cb = m.centroids
     val cbN: Array[Array[Double]] =
       cb.map(c => normalized(c.map(_.toDouble).toArray)).toArray
-    val resid = ivfSampleResiduals(sample.map(normalized), cbN).sorted
-    val p90 = resid(math.round((resid.length - 1) * 0.9f))
+    val p90 = m.p90Residual
     if (p90 > certSkipResidual) {
       graft.StructuredLog.info("ivf_cert_skip",
         "p90_residual" -> f"$p90%.6f", "threshold" -> certSkipResidual,
@@ -1138,12 +1285,14 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
 
   private[graft] def pq(s: SparkSession, dir: String,
-      shortlistFactor: Int = 8): DataFrame = {
+      shortlistFactor: Int = 8, model: Option[PqModel] = None): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
-    val sample = loadSample(e).map(normalized)
-    val cb = trainPqCodebooks(sample, pqM, pqKCent)
-    val resid = sampleResiduals(sample, cb).sorted
-    val p90 = resid(math.round((resid.length - 1) * 0.9f))
+    // model = Some(...) is the ingest-factored path ([[writePqModel]]):
+    // codebooks + viability signal load from parquet, zero in-query
+    // training
+    val m = model.getOrElse(pqModelOf(e))
+    val cb = m.codebooks
+    val p90 = m.p90Residual
     if (p90 > certSkipResidual) {
       // incompressible corpus: certification cannot succeed (see the
       // class doc) — skip ADC + certificate, run the exact baseline once
@@ -1173,7 +1322,7 @@ object Similarity {
     }
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     // unrolls the engine's exact three power-iteration steps in SQL over
     // the same decimal-routed scatter matrix (the quadratic vec_id
     // self-join is gate-SF-only; the engine builds G in one linear pass)
@@ -1469,4 +1618,13 @@ object Similarity {
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
   )
+
+  /** The `_ingest` twins produce identical output to their in-plan forms
+    * (same deterministic training sample ⇒ same persisted model ⇒ same
+    * certified-exact result), so each registers its twin's oracle SQL
+    * verbatim. */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "q_similarity_ivf_ingest" -> oracleBase("q_similarity_ivf"),
+    "q_similarity_pq_ingest" -> oracleBase("q_similarity_pq"),
+    "q_embed_project_ingest" -> oracleBase("q_embed_project"))
 }

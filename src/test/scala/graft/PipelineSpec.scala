@@ -82,6 +82,33 @@ class PipelineSpec extends SparkSpec {
     assert(streamFromIndex == inPlan, "persisted-index streaming admission drift")
   }
 
+  test("persisted ANN models: round-trip exact, _ingest twins equal in-plan forms") {
+    // the similarity-axis ingest factoring (r13 verdict #2): the model
+    // (codebooks + viability p90 / PCA moments) is trained once and
+    // persisted; a loaded model must be value-identical to an in-plan
+    // fit, and each _ingest query must reproduce its twin's rows exactly
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val pI = java.nio.file.Files.createTempDirectory("graft_ivfm_spec").toString
+    Similarity.writeIvfModel(spark, sfDir, pI)
+    assert(Similarity.readIvfModel(spark, pI) == Similarity.ivfModelOf(e),
+      "IVF model round-trip drift")
+    val pP = java.nio.file.Files.createTempDirectory("graft_pqm_spec").toString
+    Similarity.writePqModel(spark, sfDir, pP)
+    assert(Similarity.readPqModel(spark, pP) == Similarity.pqModelOf(e),
+      "PQ model round-trip drift")
+    val pC = java.nio.file.Files.createTempDirectory("graft_pcam_spec").toString
+    Similarity.writePcaModel(spark, sfDir, pC)
+    assert(Similarity.readPcaModel(spark, pC) == Similarity.pcaModelOf(e),
+      "PCA model round-trip drift")
+    for (name <- Seq("q_similarity_ivf", "q_similarity_pq", "q_embed_project")) {
+      val inPlan = Queries.all(name)(spark, sfDir).collect().toSeq
+      val ingest = Queries.all(s"${name}_ingest")(spark, sfDir).collect().toSeq
+      assert(inPlan.nonEmpty, s"$name: vacuous")
+      assert(ingest == inPlan, s"$name: _ingest twin drift")
+    }
+  }
+
   test("bucketed band index: candidate join plans with one exchange (arrival side only)") {
     // the cluster form: the band table is bucketed on the join key at
     // ingest time, so the admission probe's band equi-join never
