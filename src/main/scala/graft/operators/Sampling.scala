@@ -27,6 +27,70 @@ object Sampling {
   /** First hex nibble of md5(doc_id): 16 stable buckets. */
   private val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
 
+  /** DSIR's hashed-n-gram stream: unigrams + bigrams of the lowercased
+    * whitespace tokens, hashed into 4096 buckets via the first 3 md5 hex
+    * chars (the cross-engine-stable hash). One (doc_id, bucket) row per
+    * gram occurrence. */
+  private def dsirGrams(d: DataFrame): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    d.select(col("doc_id"),
+        explode(concat(w, zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b)))).as("gram"))
+      .select(col("doc_id"), substring(md5(col("gram")), 1, 3).as("bucket"))
+  }
+
+  /** The DSIR model: per hashed bucket, ln p̂_target − ln p̂_source with
+    * Laplace smoothing, each ln rounded to 9 dp through PortableLn and
+    * carried as DECIMAL(18,9) so per-doc sums are order-independent.
+    * ONE partial-aggregatable pass over the gram stream computes both
+    * distributions; the result is a ≤4096-row frame. */
+  private[graft] def dsirLogRatios(grams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val B = 4096.0
+    val counts = grams.groupBy(col("bucket")).agg(
+      sum(when(col("doc_id") < 50, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("doc_id") >= 50, 1L).otherwise(0L)).as("ns"))
+    val totals = counts.agg(sum(col("nt")).as("tt"), sum(col("ns")).as("ts"))
+    val lnP = graft.functions.PortableMath.lnPortable _
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (round(lnP((col("nt") + 1).cast("double")
+            / (col("tt").cast("double") + B)), 9).cast(DecimalType(18, 9))
+          - round(lnP((col("ns") + 1).cast("double")
+            / (col("ts").cast("double") + B)), 9).cast(DecimalType(18, 9)))
+          .as("lr"))
+  }
+
+  /** Score a gram stream against a (broadcast) log-ratio model and take
+    * the deterministic top-`k` by importance weight. */
+  private def dsirScore(grams: DataFrame, lr: DataFrame,
+                        k: Int = 100): DataFrame =
+    grams.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr")).cast("double"), 6).as("dsir_logweight"))
+      .orderBy(col("dsir_logweight").desc, col("doc_id"))
+      .limit(k)
+
+  /** The in-plan DSIR model over a corpus directory — the rebuild side
+    * of the store==rebuild law in `SplitSpec`. */
+  private[graft] def dsirModelOf(s: SparkSession, dir: String): DataFrame =
+    dsirLogRatios(dsirGrams(docs(s, dir)))
+
+  /** Persist the DSIR model once at fit time (r13 verdict #3 — the
+    * mixture-axis ingest factoring): the ≤4096-row log-ratio table goes
+    * to parquet, so recrawl scoring passes load it instead of rescanning
+    * the corpus-sized gram stream of the already-fitted pool. */
+  def writeDsirModel(s: SparkSession, dir: String, outPath: String): Unit =
+    dsirModelOf(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Read back the model [[writeDsirModel]] persisted (≤4096 rows —
+    * broadcast at every use site). */
+  def readDsirModel(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
   val queries: Map[String, Q] = Map(
     // 12/2/2 train/val/test split on hash buckets — scan-only, no shuffle;
     // a row's split never changes as the corpus grows
@@ -186,34 +250,26 @@ object Sampling {
     // per-doc scoring is explode → broadcast join → map-side-combined
     // sum by doc_id, and the selection is a TakeOrdered — the gram
     // stream is the only corpus-sized flow and it never joins itself.
-    "q_mix_dsir" -> ((s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
-      val B = 4096.0
-      val w = split(lower(col("text")), " ")
-      val grams = docs(s, dir).select(col("doc_id"),
-          explode(concat(w, zip_with(
-            slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-            (a, b) => concat(a, lit(" "), b)))).as("gram"))
-        .select(col("doc_id"), substring(md5(col("gram")), 1, 3).as("bucket"))
-      val counts = grams.groupBy(col("bucket")).agg(
-        sum(when(col("doc_id") < 50, 1L).otherwise(0L)).as("nt"),
-        sum(when(col("doc_id") >= 50, 1L).otherwise(0L)).as("ns"))
-      val totals = counts.agg(sum(col("nt")).as("tt"), sum(col("ns")).as("ts"))
-      val lnP = graft.functions.PortableMath.lnPortable _
-      val lr = counts.crossJoin(broadcast(totals))
-        .select(col("bucket"),
-          (round(lnP((col("nt") + 1).cast("double")
-              / (col("tt").cast("double") + B)), 9).cast(DecimalType(18, 9))
-            - round(lnP((col("ns") + 1).cast("double")
-              / (col("ts").cast("double") + B)), 9).cast(DecimalType(18, 9)))
-            .as("lr"))
-      grams.filter(col("doc_id") >= 50)
-        .join(broadcast(lr), "bucket")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          round(sum(col("lr")).cast("double"), 6).as("dsir_logweight"))
-        .orderBy(col("dsir_logweight").desc, col("doc_id"))
-        .limit(100)
+    "q_mix_dsir" -> ((s, dir) =>
+      dsirScore(dsirGrams(docs(s, dir)).filter(col("doc_id") >= 50),
+        dsirLogRatios(dsirGrams(docs(s, dir))))),
+
+    // the incremental twin (r13 verdict #3 — completes the pattern: the
+    // mixture axis was the only batch-only family): the ≤4096-row
+    // target/source log-ratio table is PERSISTED once at fit time
+    // ([[writeDsirModel]]), and a recrawl scores only the ARRIVING
+    // documents (doc_id % 10 == 0, the registry's arrival convention)
+    // against the broadcast persisted model — the corpus-sized gram
+    // stream of the already-scored pool is never rescanned. Store ==
+    // rebuild is pinned in SplitSpec; the oracle is the q_mix_dsir chain
+    // with scoring restricted to the arrival slice.
+    "q_mix_dsir_incremental" -> ((s, dir) => {
+      val p = graft.Scratch.tempDir("graft_dsir_")
+      writeDsirModel(s, dir, p)
+      dsirScore(
+        dsirGrams(docs(s, dir)
+          .filter(col("doc_id") >= 50 && col("doc_id") % 10 === 0)),
+        readDsirModel(s, p))
     }),
 
     // temporal embargo split — the time-series leakage guard: train on
@@ -304,6 +360,33 @@ object Sampling {
         |  round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_logweight
         |FROM g JOIN lr USING (bucket)
         |WHERE doc_id >= 50
+        |GROUP BY doc_id
+        |ORDER BY dsir_logweight DESC, doc_id LIMIT 100""".stripMargin,
+    // same model chain, scoring restricted to the arrival slice — the
+    // persisted-model recrawl pass in closed form
+    "q_mix_dsir_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        substr(md5(unnest(list_concat(w,
+        |          [w[i] || ' ' || w[i+1] for i in range(1, len(w))]))), 1, 3)
+        |          AS bucket
+        |      FROM t),
+        |c AS (SELECT bucket,
+        |        SUM(CASE WHEN doc_id < 50 THEN 1 ELSE 0 END) AS nt,
+        |        SUM(CASE WHEN doc_id >= 50 THEN 1 ELSE 0 END) AS ns
+        |      FROM g GROUP BY bucket),
+        |tot AS (SELECT SUM(nt) AS tt, SUM(ns) AS ts FROM c),
+        |lr AS (SELECT bucket,
+        |         CAST(round(ln((nt + 1) / (CAST(tt AS DOUBLE) + 4096.0)), 9)
+        |              AS DECIMAL(18,9))
+        |       - CAST(round(ln((ns + 1) / (CAST(ts AS DOUBLE) + 4096.0)), 9)
+        |              AS DECIMAL(18,9)) AS lr
+        |       FROM c CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_logweight
+        |FROM g JOIN lr USING (bucket)
+        |WHERE doc_id >= 50 AND doc_id % 10 = 0
         |GROUP BY doc_id
         |ORDER BY dsir_logweight DESC, doc_id LIMIT 100""".stripMargin,
     "q_sample_split" ->

@@ -54,4 +54,31 @@ class SplitSpec extends SparkSpec {
     assert(counts("train") / n > 0.7 && counts("train") / n < 0.9,
       s"train fraction off: $counts")
   }
+
+  test("DSIR model: store == rebuild, incremental twin is the full scoring's restriction") {
+    // the mixture-axis ingest factoring (r13 verdict #3): the persisted
+    // ≤4096-row log-ratio table must equal a fresh in-plan fit value for
+    // value, and the incremental query must agree with the full scoring
+    // pass on every arrival doc it ranks
+    import graft.operators.Sampling
+    val p = java.nio.file.Files.createTempDirectory("graft_dsir_spec").toString
+    Sampling.writeDsirModel(spark, sfDir, p)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val stored = toMap(Sampling.readDsirModel(spark, p))
+    val rebuilt = toMap(Sampling.dsirModelOf(spark, sfDir))
+    assert(stored.nonEmpty && stored == rebuilt, "DSIR model store/rebuild drift")
+    // scoring consistency: every (doc, n_grams, weight) the incremental
+    // twin emits must appear identically in an unlimited full-pool scoring
+    val inc = Queries.all("q_mix_dsir_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Queries.all("q_mix_dsir")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 % 10 == 0).toSet
+    assert(inc.nonEmpty, "incremental DSIR vacuous")
+    // the full query's top-100 restricted to arrivals is a subset of the
+    // arrival-only top-100 (both rank by the same persisted-equal model)
+    assert(full.subsetOf(inc),
+      s"incremental scoring disagrees with the full pass on ${(full -- inc).size} docs")
+  }
 }
