@@ -237,15 +237,76 @@ object Retrieval {
         col("postings"))
       .orderBy(col("df").desc, col("token"), col("segment"))
 
+  /** A segment GENERATION (r13 verdict #6): full (token, segment) posting
+    * rows over a corpus slice — ALL tokens, no nomination (global df is
+    * unknowable inside one generation; nomination happens at serve/merge
+    * time from merged stats). Per row: within-segment df/tf and the
+    * sorted posting list; per-(token, segment) state is bounded by
+    * `segWidth` no matter how hot the token, so a generation build over
+    * a fresh crawl is the same bounded-task plan as
+    * [[invertedIndexSharded]]'s final aggregate. */
+  def segmentPostings(d: DataFrame, segWidth: Long = 128L): DataFrame =
+    termFreqs(d)
+      .withColumn("segment", expr(s"doc_id div $segWidth"))
+      .groupBy(col("token"), col("segment"))
+      .agg(count(lit(1)).as("seg_df"), sum(col("tf")).cast("long").as("seg_tf"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+
+  /** Segment merge/compaction — the operation a production index runs
+    * continuously: fold two segment GENERATIONS (disjoint doc-id sets,
+    * e.g. yesterday's index and today's crawl) into one, equal to a
+    * from-scratch [[segmentPostings]] over the union (the law
+    * `RetrievalSpec` pins). Per (token, segment) the merge sees at most
+    * one row per generation, so the collect is bounded by the generation
+    * count and each output row by `segWidth` ids — no corpus-sized state
+    * anywhere. Posting ids re-sort NUMERICALLY (they are longs; a string
+    * sort would order "10" before "9"). */
+  def mergeSegments(g1: DataFrame, g2: DataFrame): DataFrame =
+    g1.unionByName(g2)
+      .groupBy(col("token"), col("segment"))
+      .agg(sum(col("seg_df")).as("seg_df"), sum(col("seg_tf")).as("seg_tf"),
+        array_join(
+          transform(
+            array_sort(flatten(collect_list(
+              transform(split(col("postings"), ","), x => x.cast("long"))))),
+            x => x.cast("string")),
+          ",").as("postings"))
+
+  /** Nominate + serve from merged generations: global df/tf recovered as
+    * per-token sums of segment stats (exact — generations partition the
+    * docs), top-`nTokens` selected with [[invertedIndexSharded]]'s exact
+    * tie-break, posting rows emitted in its output shape. */
+  private[graft] def mergedIndexTop(merged: DataFrame,
+                                    nTokens: Int = 20): DataFrame = {
+    val top = merged.groupBy(col("token"))
+      .agg(sum(col("seg_df")).as("df"), sum(col("seg_tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("token")).limit(nTokens)
+    merged.join(broadcast(top), "token")
+      .select(col("token"), col("df"), col("total_tf"), col("segment"),
+        col("postings"))
+      .orderBy(col("df").desc, col("token"), col("segment"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bm25" -> ((s, dir) => bm25TopK(docs(s, dir))),
     "q_inverted_index" -> ((s, dir) => invertedIndex(docs(s, dir))),
     "q_inverted_index_sharded" -> ((s, dir) => invertedIndexSharded(docs(s, dir))),
+    // two generations (doc_id < 32 = the first crawl, >= 32 = the
+    // recrawl; the boundary deliberately falls INSIDE segment 0 so the
+    // within-segment concatenation path exercises) built independently,
+    // merged, then nominated/served — merged == rebuilt (RetrievalSpec),
+    // so the oracle is q_inverted_index_sharded's SQL verbatim
+    "q_index_segment_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      mergedIndexTop(mergeSegments(
+        segmentPostings(d.filter(col("doc_id") < 32)),
+        segmentPostings(d.filter(col("doc_id") >= 32))))
+    }),
     "q_hybrid_rrf" -> ((s, dir) =>
       hybridRrf(docs(s, dir), Tables.load(s, dir, "embeddings"))),
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
@@ -353,4 +414,10 @@ object Retrieval {
         |SELECT doc_id, lex_rank, vec_rank, round(CAST(s AS DOUBLE), 6) AS rrf
         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
   )
+
+  /** merged == rebuilt (the [[mergeSegments]] law), so the generation-
+    * merge query shares the from-scratch sharded build's oracle
+    * verbatim. */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "q_index_segment_merge" -> oracleBase("q_inverted_index_sharded"))
 }
