@@ -72,6 +72,14 @@ object Bench {
       // the flag keeps quadratic-output pair rows parallel instead of
       // serializing the largest sf1 rows onto one core (r13 verdict #1)
       .config("spark.graft.pairPresentationSort", "false")
+      // SPARK_GRAFT_INGEST_BUCKETED=1 flips the _ingest queries' persisted
+      // stores to the bucketed managed-table layout (the cluster
+      // deployment's plan) for A/B ledger rows; default stays the portable
+      // path-addressed parquet
+      .config("spark.graft.ingestBucketed",
+        Seq("1", "true").contains(sys.env
+          .getOrElse("SPARK_GRAFT_INGEST_BUCKETED", "false").toLowerCase)
+          .toString)
       // localCheckpoint blocks (dup-collapse cluster frames etc.) release
       // only when the owning RDD is GC'd on the driver and ContextCleaner
       // notices; its periodic-GC default is 30 MINUTES — longer than the

@@ -945,10 +945,22 @@ object Dedup {
     // gate reads it with zero store-side banding work at query time.
     // Same semantics, same oracle; the in-plan variant stays as the
     // self-contained form and A/B baseline.
+    // spark.graft.ingestBucketed=true flips the persisted store to the
+    // BUCKETED managed-table layout (r13 verdict #7 — the cluster
+    // deployment's plan: candidate join reads pre-shuffled buckets, no
+    // store-side exchange); default stays path-addressed parquet
     "q_dedup_semantic_incremental_ingest" -> ((s, dir) => {
-      val p = graft.Scratch.tempDir("graft_bandidx_")
-      writeBandIndex(s, dir, p)
-      semanticIncrementalAdmission(s, dir, Some(p))
+      val ref: graft.sources.StoreRef =
+        if (s.conf.get("spark.graft.ingestBucketed", "false").toBoolean) {
+          val t = s"graft_bandidx_${graft.Scratch.jvmTag}"
+          writeBandIndexBucketed(s, dir, t)
+          graft.sources.StoreRef.Table(t)
+        } else {
+          val p = graft.Scratch.tempDir("graft_bandidx_")
+          writeBandIndex(s, dir, p)
+          graft.sources.StoreRef.Path(p)
+        }
+      semanticIncrementalAdmission(s, dir, Some(ref))
     }),
   )
 
@@ -959,15 +971,15 @@ object Dedup {
     * is rejected when some STORE vector sits at cosine ≥ 0.45; both sides
     * band with the SAME seeded hyperplane family so candidates collide. */
   def semanticIncrementalAdmission(s: SparkSession, dir: String,
-      indexPath: Option[String] = None): DataFrame = {
+      index: Option[graft.sources.StoreRef] = None): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val bCls = e.filter(col("vec_id") % 10 === 0)
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep"),
         sort_array(collect_list(col("vec_id"))).as("members"))
-    val (sBand, sVec) = indexPath match {
-      case Some(p) => readBandIndex(s, p)
-      case None    => semanticStoreIndex(e)
+    val (sBand, sVec) = index match {
+      case Some(ref) => readBandIndexRef(s, ref)
+      case None      => semanticStoreIndex(e)
     }
     val cand = bandedEmbeddings(
         bCls.select(col("rep"), col("embedding")), "rep")
@@ -1018,6 +1030,18 @@ object Dedup {
   /** Read back the two frames [[writeBandIndex]] persisted. */
   def readBandIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
     (s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/vectors"))
+
+  /** Resolve a band-index [[graft.sources.StoreRef]] to its two frames:
+    * path-addressed parquet ([[writeBandIndex]]) or the bucketed managed
+    * tables ([[writeBandIndexBucketed]], whose pre-shuffled buckets the
+    * candidate equi-join reads with no store-side exchange — the plan
+    * `PipelineSpec` pins). */
+  def readBandIndexRef(s: SparkSession,
+      ref: graft.sources.StoreRef): (DataFrame, DataFrame) = ref match {
+    case graft.sources.StoreRef.Path(p)  => readBandIndex(s, p)
+    case graft.sources.StoreRef.Table(t) =>
+      (s.table(s"${t}_bands"), s.table(s"${t}_vectors"))
+  }
 
   /** Cluster form of [[writeBandIndex]]: the band table saved as a
     * managed table bucketed on the candidate-join key (band_idx,

@@ -727,18 +727,18 @@ object Streams {
     * idempotence; each arrival lives in exactly one batch, so per-batch
     * results concatenate to the global gate). */
   def semanticAdmissionStream(spark: SparkSession, dir: String,
-                              indexPath: Option[String] = None): DataFrame = {
+      index: Option[graft.sources.StoreRef] = None): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.Sketches
     // store side: either the PERSISTED band index ([[graft.operators
-    // .Dedup.writeBandIndex]] — parquet projections, zero quotient/band
-    // work at admission time; no persist() needed, parquet IS the
-    // materialization) or the self-contained in-plan quotient+banding,
-    // persisted so the per-micro-batch static-side re-plan doesn't
-    // recompute it.
-    val (sBand, sEmb) = indexPath match {
-      case Some(p) =>
-        val (b, v) = Dedup.readBandIndex(spark, p)
+    // .Dedup.writeBandIndex]] parquet or its bucketed-table form — fixed
+    // projections, zero quotient/band work at admission time; no
+    // persist() needed, the storage IS the materialization) or the
+    // self-contained in-plan quotient+banding, persisted so the
+    // per-micro-batch static-side re-plan doesn't recompute it.
+    val (sBand, sEmb) = index match {
+      case Some(ref) =>
+        val (b, v) = Dedup.readBandIndexRef(spark, ref)
         (b, v.select(col("sid"), col("embedding").as("s_emb")))
       case None =>
         val (b, v) = Dedup.semanticStoreIndex(
@@ -956,7 +956,7 @@ object Streams {
     * (in-plan codec scans, persisted for the run) remains for
     * self-contained use and as the A/B baseline. */
   def jointAdmissionStream(spark: SparkSession, dir: String,
-                           ingestPath: Option[String] = None): DataFrame = {
+      ingest: Option[graft.sources.StoreRef] = None): DataFrame = {
     import spark.implicits._
     import graft.functions.Sketches
     import graft.operators.Multimodal
@@ -979,12 +979,17 @@ object Streams {
         .as(Seq("band_idx", "band_hash")): _*)
     val storeSig = banded(storeTexts.select(col("text").as("text_o")),
       Seq.empty, "text_o").persist()
-    val (storeImg, storeAud, storeVid) = ingestPath match {
-      case Some(p) =>
+    val (storeImg, storeAud, storeVid) = ingest match {
+      case Some(ref) =>
         // production factoring: the codec class indexes are projections
         // of the persisted fused-ingest fingerprint table — fixed-width
-        // columns off parquet, no decode anywhere on the store side
-        val ing = spark.read.parquet(p).filter(col("doc_id") % 10 =!= 0)
+        // columns off parquet or the doc_id-bucketed managed table, no
+        // decode anywhere on the store side
+        val ingRaw = ref match {
+          case graft.sources.StoreRef.Path(p)  => spark.read.parquet(p)
+          case graft.sources.StoreRef.Table(t) => spark.table(t)
+        }
+        val ing = ingRaw.filter(col("doc_id") % 10 =!= 0)
         (ing.select(col("img_fp")).distinct().persist(),
           ing.select(struct(col("audio_frames").as("n_frames"),
               col("audio_mask").as("silent_mask")).as("aud_cls"))
@@ -1435,10 +1440,20 @@ object Streams {
     // exit): a fixed dir.hashCode-keyed path let two concurrent sessions
     // on the same corpus overwrite each other's table mid-stream and
     // leaked the artifact (r12 advice)
+    // spark.graft.ingestBucketed=true flips the persisted fingerprint
+    // store to the doc_id-bucketed managed-table layout (r13 verdict #7)
     "q_stream_joint_rejects_ingest" -> ((s, dir) => {
-      val p = graft.Scratch.tempDir("graft_ingest_")
-      graft.operators.Multimodal.writeIngestTable(s, dir, p)
-      jointAdmissionStream(s, dir, Some(p))
+      val ref: graft.sources.StoreRef =
+        if (s.conf.get("spark.graft.ingestBucketed", "false").toBoolean) {
+          val t = s"graft_fpidx_${graft.Scratch.jvmTag}"
+          graft.operators.Multimodal.writeIngestTableBucketed(s, dir, t)
+          graft.sources.StoreRef.Table(t)
+        } else {
+          val p = graft.Scratch.tempDir("graft_ingest_")
+          graft.operators.Multimodal.writeIngestTable(s, dir, p)
+          graft.sources.StoreRef.Path(p)
+        }
+      jointAdmissionStream(s, dir, Some(ref))
     }),
     "q_stream_semantic_rejects" -> ((s, dir) => semanticAdmissionStream(s, dir)),
     // the PRODUCTION factoring on the embedding axis (r12 verdict #1):
@@ -1447,9 +1462,19 @@ object Streams {
     // quotient/banding work at admission. Same semantics, same oracle;
     // the in-plan variant stays as the self-contained A/B baseline.
     "q_stream_semantic_rejects_ingest" -> ((s, dir) => {
-      val p = graft.Scratch.tempDir("graft_bandidx_")
-      graft.operators.Dedup.writeBandIndex(s, dir, p)
-      semanticAdmissionStream(s, dir, Some(p))
+      val ref: graft.sources.StoreRef =
+        if (s.conf.get("spark.graft.ingestBucketed", "false").toBoolean) {
+          // distinct name from the batch twin's: concurrent Verify
+          // workers must never overwrite each other's table mid-query
+          val t = s"graft_bandidx_s_${graft.Scratch.jvmTag}"
+          graft.operators.Dedup.writeBandIndexBucketed(s, dir, t)
+          graft.sources.StoreRef.Table(t)
+        } else {
+          val p = graft.Scratch.tempDir("graft_bandidx_")
+          graft.operators.Dedup.writeBandIndex(s, dir, p)
+          graft.sources.StoreRef.Path(p)
+        }
+      semanticAdmissionStream(s, dir, Some(ref))
     }),
   )
 

@@ -634,7 +634,8 @@ class MultimodalSpec extends SparkSpec {
       Seq("audio_frames", "audio_mask", "doc_id", "img_fp", "video_fp"))
     assert(ing.count() == Tables.load(spark, sfDir, "documents").count())
     val fromIngest = streaming.Streams
-      .jointAdmissionStream(spark, sfDir, Some(out))
+      .jointAdmissionStream(spark, sfDir,
+        Some(graft.sources.StoreRef.Path(out)))
       .collect().map(_.toSeq).toSet
     val inPlan = Queries.all("q_stream_joint_rejects")(spark, sfDir)
       .collect().map(_.toSeq).toSet

@@ -72,14 +72,50 @@ class PipelineSpec extends SparkSpec {
     assert(bands.count() == nQuotient * 64)
     val inPlan = Queries.all("q_dedup_semantic_incremental")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-    val fromIndex = Dedup.semanticIncrementalAdmission(spark, sfDir, Some(p))
+    val fromIndex = Dedup.semanticIncrementalAdmission(spark, sfDir,
+        Some(graft.sources.StoreRef.Path(p)))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(inPlan.nonEmpty, "gate vacuous: no rejected vectors in corpus")
     assert(fromIndex == inPlan, "persisted-index batch admission drift")
     val streamFromIndex = streaming.Streams
-      .semanticAdmissionStream(spark, sfDir, Some(p))
+      .semanticAdmissionStream(spark, sfDir,
+        Some(graft.sources.StoreRef.Path(p)))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(streamFromIndex == inPlan, "persisted-index streaming admission drift")
+  }
+
+  test("ingestBucketed conf: registered _ingest gate reads the bucketed store, same rows, fewer exchanges") {
+    // the benched-session switch (r13 verdict #7): with
+    // spark.graft.ingestBucketed=true the registered query must resolve
+    // its store to the bucketed managed tables (visible in the scan), cut
+    // the store-side exchange the path-addressed layout pays, and emit
+    // identical rows
+    def run() = Queries.all("q_dedup_semantic_incremental_ingest")(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    def nEx(df: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pathDf = run()
+      val pathRows = rows(pathDf)
+      spark.conf.set("spark.graft.ingestBucketed", "true")
+      try {
+        val bktDf = run()
+        assert(bktDf.queryExecution.executedPlan.toString
+            .contains("graft_bandidx_"),
+          "bucketed conf on, but no bucketed-table scan in the plan")
+        assert(nEx(bktDf) < nEx(pathDf),
+          s"bucketed store should plan fewer exchanges " +
+            s"(${nEx(bktDf)} vs ${nEx(pathDf)})")
+        val bktRows = rows(bktDf)
+        assert(bktRows.nonEmpty && bktRows == pathRows,
+          "bucketed-layout admission drift")
+      } finally spark.conf.set("spark.graft.ingestBucketed", "false")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("persisted ANN models: round-trip exact, _ingest twins equal in-plan forms") {
