@@ -31,7 +31,7 @@ object Sampling {
     * whitespace tokens, hashed into 4096 buckets via the first 3 md5 hex
     * chars (the cross-engine-stable hash). One (doc_id, bucket) row per
     * gram occurrence. */
-  private def dsirGrams(d: DataFrame): DataFrame = {
+  private[graft] def dsirGrams(d: DataFrame): DataFrame = {
     val w = split(lower(col("text")), " ")
     d.select(col("doc_id"),
         explode(concat(w, zip_with(
@@ -62,14 +62,21 @@ object Sampling {
           .as("lr"))
   }
 
-  /** Score a gram stream against a (broadcast) log-ratio model and take
-    * the deterministic top-`k` by importance weight. */
-  private def dsirScore(grams: DataFrame, lr: DataFrame,
-                        k: Int = 100): DataFrame =
+  /** Score a gram stream against a (broadcast) log-ratio model: one row
+    * per doc with its gram count and log importance weight. No selection —
+    * the streaming twin scores each micro-batch's arrivals with this and
+    * leaves ranking/sampling to the downstream consumer. */
+  private[graft] def dsirScoreAll(grams: DataFrame, lr: DataFrame): DataFrame =
     grams.join(broadcast(lr), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         round(sum(col("lr")).cast("double"), 6).as("dsir_logweight"))
+
+  /** Score a gram stream against a (broadcast) log-ratio model and take
+    * the deterministic top-`k` by importance weight. */
+  private def dsirScore(grams: DataFrame, lr: DataFrame,
+                        k: Int = 100): DataFrame =
+    dsirScoreAll(grams, lr)
       .orderBy(col("dsir_logweight").desc, col("doc_id"))
       .limit(k)
 

@@ -816,6 +816,62 @@ object Streams {
       .orderBy(col("vec_id"))
   }
 
+  /** Streaming DSIR scoring — the streaming twin of
+    * `q_mix_dsir_incremental`, completing the mixture axis's
+    * batch/incremental/streaming symmetry (every other family — dedup,
+    * admission, caps, heavy hitters — already has all three forms): as
+    * recrawled documents arrive, each is scored by its DSIR log importance
+    * weight against the PERSISTED log-ratio model
+    * ([[graft.operators.Sampling.writeDsirModel]], fit once over the
+    * corpus), so the downstream sampler can resample arrivals by weight
+    * without any batch rescoring pass.
+    *
+    * Shape: scoring is a per-doc function of the broadcast ≤4096-row
+    * model, and each arrival lives in exactly one micro-batch, so the
+    * batch scoring pipeline runs unchanged inside `foreachBatch`
+    * (explode → broadcast model join → map-side-combined sum by doc_id)
+    * and per-batch outputs concatenate to the global scoring — the
+    * per-micro-batch quotienting discipline of
+    * [[semanticAdmissionStream]], with the same overwrite-by-batchId
+    * replay idempotence. State: none. The model never refits on the
+    * stream by design — DSIR's importance weights are meaningful only
+    * against the FIXED target/source distributions of the fit pool
+    * (a drifting model would rescore identical texts differently across
+    * batches); refitting is the batch `writeDsirModel` pass's job. */
+  def dsirScoreStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val modelDir = graft.Scratch.tempDir("graft_dsir_model_")
+    Sampling.writeDsirModel(spark, dir, modelDir)
+    val model = Sampling.readDsirModel(spark, modelDir)
+    val outDir = graft.Scratch.tempDir("graft_dsir_out_")
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") >= 50 && col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      // full-width spread BEFORE the gram explode: a micro-batch of the
+      // flat-file corpus arrives in a handful of splits, and the
+      // tokenize/explode/md5 work would otherwise run on those few cores
+      // (the audioDedupStream lesson); the ids+text rows are cheap to move
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sampling.dsirScoreAll(Sampling.dsirGrams(batch), model)
+          // overwrite-by-batchId: a replayed micro-batch rewrites its own
+          // subdirectory instead of appending a duplicate copy
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        ()
+      }
+      .option("checkpointLocation", graft.Scratch.tempDir("graft_dsir_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema("doc_id long, n_grams long, dsir_logweight double")
+      .option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy(col("doc_id"))
+  }
+
   /** Stateless streaming text hygiene — the ingest-time stage of the
     * training-data pipeline run ON THE STREAM (normalize + length gate as
     * documents arrive), so the batch corpus-clean never sees raw text.
@@ -1476,6 +1532,9 @@ object Streams {
         }
       semanticAdmissionStream(s, dir, Some(ref))
     }),
+    // streaming DSIR scoring against the persisted model — the mixture
+    // axis's streaming form (see [[dsirScoreStream]])
+    "q_stream_mix_dsir" -> ((s, dir) => dsirScoreStream(s, dir)),
   )
 
   /** Shared by the in-plan and persisted-ingest joint-admission forms —
@@ -1593,6 +1652,33 @@ object Streams {
     // same semantics, store side read from the persisted band index
     "q_stream_semantic_rejects_ingest" ->
       graft.operators.Dedup.semanticIncrementalSql,
+    // the q_mix_dsir model chain, scoring restricted to the arrival
+    // slice, no selection (the stream emits every arrival's score)
+    "q_stream_mix_dsir" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        substr(md5(unnest(list_concat(w,
+        |          [w[i] || ' ' || w[i+1] for i in range(1, len(w))]))), 1, 3)
+        |          AS bucket
+        |      FROM t),
+        |c AS (SELECT bucket,
+        |        SUM(CASE WHEN doc_id < 50 THEN 1 ELSE 0 END) AS nt,
+        |        SUM(CASE WHEN doc_id >= 50 THEN 1 ELSE 0 END) AS ns
+        |      FROM g GROUP BY bucket),
+        |tot AS (SELECT SUM(nt) AS tt, SUM(ns) AS ts FROM c),
+        |lr AS (SELECT bucket,
+        |         CAST(round(ln((nt + 1) / (CAST(tt AS DOUBLE) + 4096.0)), 9)
+        |              AS DECIMAL(18,9))
+        |       - CAST(round(ln((ns + 1) / (CAST(ts AS DOUBLE) + 4096.0)), 9)
+        |              AS DECIMAL(18,9)) AS lr
+        |       FROM c CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_logweight
+        |FROM g JOIN lr USING (bucket)
+        |WHERE doc_id >= 50 AND doc_id % 10 = 0
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_stream_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
         |       COUNT(*) AS n_events

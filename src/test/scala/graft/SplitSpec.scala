@@ -81,4 +81,26 @@ class SplitSpec extends SparkSpec {
     assert(full.subsetOf(inc),
       s"incremental scoring disagrees with the full pass on ${(full -- inc).size} docs")
   }
+
+  test("streaming DSIR scoring equals the batch scoring of the arrival slice") {
+    // the mixture axis's streaming form (r14): per-micro-batch scoring
+    // against the persisted model must be indistinguishable from one
+    // batch scoring pass over the same arrivals — each arrival lives in
+    // exactly one micro-batch, so per-batch score tables concatenate to
+    // the global scoring
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    val stream = Queries.all("q_stream_mix_dsir")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p = java.nio.file.Files.createTempDirectory("graft_dsir_stream_spec").toString
+    Sampling.writeDsirModel(spark, sfDir, p)
+    val batch = Sampling.dsirScoreAll(
+        Sampling.dsirGrams(Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id") >= 50 && col("doc_id") % 10 === 0)),
+        Sampling.readDsirModel(spark, p))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "vacuous: no arrival docs scored")
+    assert(stream == batch,
+      s"missing ${(batch -- stream).size}, spurious ${(stream -- batch).size}")
+  }
 }
