@@ -17,7 +17,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * correctness gate at probe scale, not just a stopwatch.
   *
   * Usage: tools/run.sh graft.ProbeSkew <skewedSfDir> [aspects]
-  *   aspects ⊆ ingest,joint,pairs,caps,strata,hh,semantic
+  *   aspects ⊆ ingest,joint,pairs,caps,strata,hh,semantic,mix
   *   (comma list; default all — an unknown name fails loudly rather than
   *   silently printing nothing, r12 advice)
   *   `pairs` is for ≤100× corpora ONLY: the pair form's TRUE output on
@@ -43,7 +43,7 @@ object ProbeSkew {
     require(args.nonEmpty, "args: <skewedSfDir> [aspects]")
     val dir = args(0)
     val knownAspects =
-      Set("ingest", "joint", "pairs", "caps", "strata", "hh", "semantic")
+      Set("ingest", "joint", "pairs", "caps", "strata", "hh", "semantic", "mix")
     val aspects: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else knownAspects
@@ -260,6 +260,55 @@ object ProbeSkew {
         s"hot component keeper/size wrong: ${sem.toSeq} (want one row ≥ $mEmb)")
       println(s"[skew] semantic OK: ${hotArrivals.size} planted arrivals " +
         s"rejected at 1.0, hot component size ${sem(0).getLong(0)}")
+    }
+
+    // mix: DSIR importance scoring with the boilerplate mega-class at
+    // ~skewPct of the corpus (r14 — the mixture axis's skew probe). The
+    // planted block is pure source-side mass (no target doc contains
+    // HotText), so DSIR must (a) not blow up — the gram stream is the
+    // only corpus-sized flow and never self-joins, identical texts cost
+    // bandwidth, not candidates; and (b) rank the mega-class at the
+    // BOTTOM: its grams' buckets carry huge source counts against
+    // Laplace-only target counts, so its log importance weight sits
+    // far below the arrival median. Closed forms:
+    //  - every planted arrival scores ONE identical (n_grams, logweight)
+    //    pair (identical text ⇒ identical grams ⇒ identical score);
+    //  - that shared logweight < the median arrival logweight;
+    //  - the streaming twin equals the incremental batch pass row-for-row
+    //    (per-micro-batch scoring concatenates to the global scoring).
+    if (aspects("mix")) {
+      val batch = timed("mix(incremental)") {
+        SparkEntry.queries("q_mix_dsir_incremental")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      val stream = timed("mix(stream)") {
+        SparkEntry.queries("q_stream_mix_dsir")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      // the incremental query is the deterministic top-100 of the same
+      // scoring the stream emits in full — every ranked row must appear
+      // identically in the stream's score table
+      val streamSet = stream.toSet
+      val missing = batch.filterNot(streamSet)
+      require(missing.isEmpty,
+        s"incremental top-K rows absent from the streaming scores: ${missing.take(3).toSeq}")
+      val plantedArrivals = docs
+        .filter(col("text") === ScaleData.HotText && col("doc_id") % 10 === 0
+          && col("doc_id") >= 50)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      require(plantedArrivals.nonEmpty, "no planted arrival docs (all ids store-side?)")
+      val byId = stream.map(r => r._1 -> (r._2, r._3)).toMap
+      val plantedScores = plantedArrivals.map(byId(_))
+      require(plantedScores.size == 1,
+        s"mega-class scores diverged: ${plantedScores.take(3)}")
+      val hotW = plantedScores.head._2
+      val others = stream.collect {
+        case (id, _, w) if !plantedArrivals(id) => w }.sorted
+      val medianW = others(others.length / 2)
+      require(hotW < medianW,
+        s"boilerplate mega-class not dispreferred: planted $hotW vs arrival median $medianW")
+      println(s"[skew] mix OK: ${stream.length} arrivals scored, " +
+        s"${plantedArrivals.size} planted at logweight $hotW < median $medianW")
     }
 
     spark.stop()

@@ -32,8 +32,16 @@ object Sampling {
     * chars (the cross-engine-stable hash). One (doc_id, bucket) row per
     * gram occurrence. */
   private[graft] def dsirGrams(d: DataFrame): DataFrame = {
+    // full-width spread BEFORE the gram explode: a flat-file corpus scan
+    // yields row-group-grained splits, so the tokenize/explode/md5 work —
+    // ~2× the text bytes and the dominant cost of both the model fit and
+    // scoring — would otherwise run on a handful of tasks (the r14 `mix`
+    // skew probe measured a 70 s single-task tail at 1000×; the batch
+    // docIds lesson). The exchange carries (doc_id, text) once.
     val w = split(lower(col("text")), " ")
-    d.select(col("doc_id"),
+    d.select(col("doc_id"), col("text"))
+      .repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
         explode(concat(w, zip_with(
           slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
           (a, b) => concat(a, lit(" "), b)))).as("gram"))

@@ -849,12 +849,8 @@ object Streams {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(col("doc_id") >= 50 && col("doc_id") % 10 === 0)
-      .select(col("doc_id"), col("text"))
-      // full-width spread BEFORE the gram explode: a micro-batch of the
-      // flat-file corpus arrives in a handful of splits, and the
-      // tokenize/explode/md5 work would otherwise run on those few cores
-      // (the audioDedupStream lesson); the ids+text rows are cheap to move
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      // no explicit repartition: dsirGrams spreads (doc_id, text) to full
+      // width itself before the gram explode, per micro-batch
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sampling.dsirScoreAll(Sampling.dsirGrams(batch), model)
