@@ -164,6 +164,118 @@ object CharEntropy {
   }
 }
 
+/** `sparse_dot_exact(a, b)` / `sparse_dot_fast(a, b)` over two sparse
+  * vectors stored as KEY-SORTED `array<struct<h: long, w: double>>` —
+  * the merge-join replacement for the r12 map-probe dot of
+  * `q_cosine_pairs` (r14 optimization, guide §1.2 step 2 "per-task
+  * work"). The map form walked `aggregate(map_keys(a), ...)` with an
+  * `element_at` probe per key, and Spark's `GetMapValue` is a LINEAR
+  * scan of the key array — so each dot cost O(|a|·|b|); the r14 stage
+  * attribution measured the verification stage at 18.4 s task-sum with
+  * a 4.9 s max task at sf0.1. A two-pointer merge over the sorted key
+  * arrays computes the identical term multiset in O(|a|+|b|).
+  *
+  * Exactness discipline (hash parity with the unchanged DuckDB oracle,
+  * the [[CharEntropySum]] protocol): per intersecting key, the term is
+  * `round(wa·wb, 9)` replicated bit-for-bit — `BigDecimal.valueOf`
+  * (Double.toString semantics, what Spark's Round-on-double uses) →
+  * setScale(9, HALF_UP) → back through the double — and terms sum
+  * EXACTLY in scale-9 units (a long: |term| ≤ 1 for unit vectors and
+  * ≪ 2^53/1e9 terms, so no overflow), then out through the same
+  * decimal→double cast the old `CAST(... AS DOUBLE)` performed. Keys
+  * missing from one side contributed `round(wa·0, 9) = 0` in the map
+  * form — skipping them is exact. The fast form is the plain double
+  * product sum over the intersection (the candidate PREFILTER only —
+  * its consumer gates at t − 1e-4 against a proven < 1e-5 error bound,
+  * which is summation-order-independent, so the survivor superset still
+  * contains every qualifying pair).
+  *
+  * A duplicate key within one side would have been a LOUD
+  * `map_from_entries` failure under mapKeyDedupPolicy=EXCEPTION in the
+  * map form (an in-doc xxhash64 collision, p ≈ 3e-14 per document);
+  * the merge keeps that discipline and throws. */
+case class SparseDotExact(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SparseDot.exact($a, $b)")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SparseDot.exact(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SparseDotExact =
+    copy(left = l, right = r)
+}
+
+case class SparseDotFast(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SparseDot.fast($a, $b)")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SparseDot.fast(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SparseDotFast =
+    copy(left = l, right = r)
+}
+
+object SparseDot {
+  import java.math.{BigDecimal => JBD, RoundingMode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  @inline private def dupe(k: Long): Nothing = throw new IllegalStateException(
+    s"sparse_dot: duplicate key $k within one vector — in-doc hash collision; " +
+      "the map form failed loudly here too (mapKeyDedupPolicy=EXCEPTION)")
+
+  /** Exact scale-9 decimal dot (see scaladoc above): returns the same
+    * double the old map-walk `CAST(SUM(round-9 decimal terms) AS DOUBLE)`
+    * produced. Callers apply the final `round(·, 6)` in the plan. */
+  def exact(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    var sum = 0L // exact scale-9 units
+    var ka = if (na > 0) a.getStruct(0, 2).getLong(0) else 0L
+    var kb = if (nb > 0) b.getStruct(0, 2).getLong(0) else 0L
+    while (i < na && j < nb) {
+      if (ka < kb) {
+        i += 1
+        if (i < na) { val k2 = a.getStruct(i, 2).getLong(0); if (k2 == ka) dupe(ka); ka = k2 }
+      } else if (kb < ka) {
+        j += 1
+        if (j < nb) { val k2 = b.getStruct(j, 2).getLong(0); if (k2 == kb) dupe(kb); kb = k2 }
+      } else {
+        val t = a.getStruct(i, 2).getDouble(1) * b.getStruct(j, 2).getDouble(1)
+        val r = JBD.valueOf(t).setScale(9, RoundingMode.HALF_UP).doubleValue()
+        sum += JBD.valueOf(r).setScale(9, RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        i += 1; j += 1
+        if (i < na) { val k2 = a.getStruct(i, 2).getLong(0); if (k2 == ka) dupe(ka); ka = k2 }
+        if (j < nb) { val k2 = b.getStruct(j, 2).getLong(0); if (k2 == kb) dupe(kb); kb = k2 }
+      }
+    }
+    new JBD(java.math.BigInteger.valueOf(sum), 9).doubleValue()
+  }
+
+  /** Plain double dot over the intersection, ascending-key order — the
+    * prefilter form (consumers must gate with a slack ≥ the documented
+    * 1e-5 bound, which holds for any summation order). */
+  def fast(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    var sum = 0.0
+    while (i < na && j < nb) {
+      val ka = a.getStruct(i, 2).getLong(0)
+      val kb = b.getStruct(j, 2).getLong(0)
+      if (ka < kb) i += 1
+      else if (kb < ka) j += 1
+      else {
+        sum += a.getStruct(i, 2).getDouble(1) * b.getStruct(j, 2).getDouble(1)
+        i += 1; j += 1
+      }
+    }
+    sum
+  }
+}
+
 object PortableMath {
   import org.apache.spark.sql.GraftBridge.{toCol, toExpr}
   /** Column surface for [[PortableLn]]. */
@@ -175,4 +287,10 @@ object PortableMath {
   /** Column surface for [[BitInterleave]] over int bucket ids. */
   def zValue(a: Column, b: Column, bits: Int): Column =
     toCol(BitInterleave(toExpr(a.cast("int")), toExpr(b.cast("int")), bits))
+  /** Column surfaces for [[SparseDotExact]] / [[SparseDotFast]] over
+    * key-sorted array<struct<h: long, w: double>> sparse vectors. */
+  def sparseDotExact(a: Column, b: Column): Column =
+    toCol(SparseDotExact(toExpr(a), toExpr(b)))
+  def sparseDotFast(a: Column, b: Column): Column =
+    toCol(SparseDotFast(toExpr(a), toExpr(b)))
 }

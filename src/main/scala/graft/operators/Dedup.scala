@@ -272,26 +272,40 @@ object Dedup {
     * chain a-b-c; one keeper PER COMPONENT is the sound policy. */
   private[graft] def connectedComponents(pairs: DataFrame,
                                          maxIters: Int = 20): DataFrame = {
+    // convergence rides the per-round checkpoint job (r14, IterConverge):
+    // labels are min-propagated over a FIXED id set — each id's label is
+    // non-increasing, so the label multiset is unchanged iff sum(label)
+    // is unchanged. That makes (count, decimal sum) an EXACT convergence
+    // certificate computed for free during the checkpoint materialization,
+    // replacing the per-round comparison-join + isEmpty action (one full
+    // driver round-trip and its AQE stage chain per iteration).
+    import org.apache.spark.sql.types.DecimalType
+    val lMetrics = Seq(count(lit(1)).as("n"),
+      sum(col("label").cast(DecimalType(38, 0))).as("s"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    var (labels, m) = IterConverge.checkpointWithMetrics(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")), lMetrics)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
       val nbr = edges
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbr, labels("id") === nbr("src"), "left_outer")
-        .select(labels("id"),
-          least(labels("label"), coalesce(col("nbr_min"), labels("label"))).as("label"))
-        .localCheckpoint()
-      done = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).isEmpty
+      val (next, m2) = IterConverge.checkpointWithMetrics(
+        labels.join(nbr, labels("id") === nbr("src"), "left_outer")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nbr_min"), labels("label")))
+              .as("label")), lMetrics)
+      done = m2 == m
       labels = next
+      m = m2
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-labelprop] converged after $iter iterations")
     labels
   }
 
@@ -321,10 +335,25 @@ object Dedup {
     def bothWays(e: DataFrame): DataFrame =
       e.select(col("u").as("c"), col("v").as("n"))
         .unionByName(e.select(col("v").as("c"), col("u").as("n")))
-    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-      .localCheckpoint()
+    // convergence rides the per-round checkpoint job (r14, IterConverge):
+    // the canonical edge set's (count, hash-sum, hash-xor) triple is
+    // computed for free during each round's checkpoint materialization.
+    // Differing triples PROVE the sets differ (sound: equal sets give
+    // equal metrics), so the common not-yet-converged round pays ZERO
+    // convergence actions — where it previously paid two
+    // `except(...).isEmpty` jobs (each two shuffles + a driver
+    // round-trip). Matching triples trigger the same exact
+    // symmetric-difference confirmation as before, which now runs ONCE
+    // per call (at the fixpoint) instead of twice per round — convergence
+    // is still decided by exact set equality, never by the hash.
+    import org.apache.spark.sql.types.DecimalType
+    val eMetrics = Seq(count(lit(1)).as("n"),
+      sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))).as("s"),
+      expr("bit_xor(xxhash64(u, v))").as("x"))
+    var (edges, m) = IterConverge.checkpointWithMetrics(
+      canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))), eMetrics)
     var iter = 0
-    var done = edges.isEmpty
+    var done = m("n") == 0L
     while (!done && iter < maxIters) {
       val nb = bothWays(edges)
       val mins = nb.groupBy(col("c")).agg(min(col("n")).as("mn"))
@@ -334,15 +363,19 @@ object Dedup {
       val nb2 = bothWays(large)
       val mins2 = nb2.groupBy(col("c")).agg(min(col("n")).as("mn"))
         .select(col("c"), least(col("c"), col("mn")).as("m"))
-      val small = canon(
-        nb2.join(mins2, "c").filter(col("n") < col("c"))
+      val (small, m2) = IterConverge.checkpointWithMetrics(
+        canon(nb2.join(mins2, "c").filter(col("n") < col("c"))
           .select(col("n").as("u"), col("m").as("v"))
-          .unionByName(mins2.select(col("c").as("u"), col("m").as("v"))))
-        .localCheckpoint()
-      done = small.except(edges).isEmpty && edges.except(small).isEmpty
+          .unionByName(mins2.select(col("c").as("u"), col("m").as("v")))),
+        eMetrics)
+      done = m2 == m &&
+        small.except(edges).isEmpty && edges.except(small).isEmpty
       edges = small
+      m = m2
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-lss] converged after $iter iterations")
     // converged: every edge is (component-min u, member v); the minima
     // themselves re-enter as their own label
     edges.select(col("v").as("id"), col("u").as("label"))

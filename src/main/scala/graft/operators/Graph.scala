@@ -258,8 +258,12 @@ object Graph {
     * an edge count — removals-only makes count equality a correct
     * convergence test. */
   def kCore(pairs: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
-    var edges = canonPairs(pairs).localCheckpoint()
-    var n = edges.count()
+    // the per-round edge count rides the checkpoint job (r14,
+    // IterConverge) instead of a separate count() action — removals-only
+    // peeling makes count equality an exact fixpoint test either way
+    val nMetric = Seq(count(lit(1)).as("n"))
+    var (edges, m) = IterConverge.checkpointWithMetrics(canonPairs(pairs), nMetric)
+    var n = m("n").asInstanceOf[Long]
     var it = 0
     var done = n == 0L
     while (!done && it < maxIters) {
@@ -267,11 +271,10 @@ object Graph {
         .unionByName(edges.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("id"))
-      val pruned = edges
+      val (pruned, m2) = IterConverge.checkpointWithMetrics(edges
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
-      val n2 = pruned.count()
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi"), nMetric)
+      val n2 = m2("n").asInstanceOf[Long]
       done = n2 == n || n2 == 0L
       edges = pruned; n = n2; it += 1
     }
@@ -315,20 +318,23 @@ object Graph {
     var n = nodes.count()
     var it = 0
     var done = n == 0L
+    // the surviving-group count rides keep's checkpoint job (r14,
+    // IterConverge) instead of a separate count() action per peel round
+    val nMetric = Seq(count(lit(1)).as("n"))
     while (!done && it < maxIters) {
       val nbW = edges.select(col("a").as("gid"), col("b").as("j"))
         .unionByName(edges.select(col("b").as("gid"), col("a").as("j")))
         .join(nodes.select(col("gid").as("j"), col("m").as("mj")), "j")
         .groupBy(col("gid")).agg(sum(col("mj")).as("nbsum"))
-      val keep = nodes.join(nbW, Seq("gid"), "left")
-        .filter(col("m") - 1 + coalesce(col("nbsum"), lit(0L)) >= k)
-        .select(col("gid"), col("m"))
-        .localCheckpoint()
+      val (keep, m2) = IterConverge.checkpointWithMetrics(
+        nodes.join(nbW, Seq("gid"), "left")
+          .filter(col("m") - 1 + coalesce(col("nbsum"), lit(0L)) >= k)
+          .select(col("gid"), col("m")), nMetric)
       val pruned = edges
         .join(keep.select(col("gid").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("gid").as("b")), Seq("b"), "left_semi")
         .localCheckpoint()
-      val n2 = keep.count()
+      val n2 = m2("n").asInstanceOf[Long]
       done = n2 == n || n2 == 0L
       nodes = keep; edges = pruned; n = n2; it += 1
     }

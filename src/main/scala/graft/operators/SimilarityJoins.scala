@@ -339,30 +339,32 @@ object SimilarityJoins {
     val cand = Dedup.bucketPairs(pref, Seq("token"))
     // verification vectors keyed by xxhash64(token), not the ~30-byte
     // trigram string: the two candidate joins below shuffle ~2×|cand|
-    // full maps, and 8-byte keys cut that payload ~3.5× (and long
-    // equality beats string equality in every element_at probe). An
-    // in-doc hash collision would merge two map keys — Spark's default
-    // mapKeyDedupPolicy=EXCEPTION makes that a loud failure (p ≈ 3e-14
-    // per document), never a silently wrong cosine.
+    // full vectors, and 8-byte keys cut that payload ~3.5×. r14: the
+    // vector representation moved from a MAP to a KEY-SORTED
+    // array<struct<h, w>> and the dots to the codegen'd two-pointer
+    // merge [[graft.functions.SparseDotExact]] — Spark's map
+    // element_at is a linear scan, so the old aggregate-over-map_keys
+    // walk cost O(|a|·|b|) per candidate (measured: the verification
+    // stage held 18.4 s of task time with a 4.9 s max task at sf0.1;
+    // see plans/r14/q_cosine_pairs_*). Same term multiset, same scale-9
+    // decimal discipline, identical output (oracle unchanged). An
+    // in-doc hash collision was a loud map_from_entries failure
+    // (mapKeyDedupPolicy=EXCEPTION, p ≈ 3e-14 per document) and stays a
+    // loud merge failure inside the expression.
     val vec = u.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(
-        struct(xxhash64(col("token")).as("h"), col("wt")))).as("m"))
-    def dot(a: String, b: String): Column = round(expr(
-      s"""CAST(aggregate(map_keys($a), CAST(0 AS DECIMAL(28,9)),
-         |  (acc, k) -> CAST(acc + CAST(round(element_at($a, k) *
-         |    coalesce(element_at($b, k), CAST(0.0 AS DOUBLE)), 9)
-         |    AS DECIMAL(28,9)) AS DECIMAL(28,9))) AS DOUBLE)""".stripMargin), 6)
+      .agg(sort_array(collect_list(
+        struct(xxhash64(col("token")).as("h"), col("wt").as("w")))).as("m"))
+    def dot(a: String, b: String): Column =
+      round(graft.functions.PortableMath.sparseDotExact(col(a), col(b)), 6)
     // plain-double dot for the candidate prefilter: no per-term rounding,
     // no decimal boxing — each rounded term of the exact dot differs from
     // its double term by ≤ 5e-10, vectors hold ≪ 2e4 terms, and double
-    // summation error at unit magnitudes is ≪ 1e-10 per term, so
-    // |exact − approx| < 1e-5: a t − 1e-4 gate provably keeps every
-    // qualifying pair while the expensive decimal pipeline runs only on
-    // the output-bound survivor set
-    def dotFast(a: String, b: String): Column = expr(
-      s"""aggregate(map_keys($a), CAST(0.0 AS DOUBLE),
-         |  (acc, k) -> acc + element_at($a, k) *
-         |    coalesce(element_at($b, k), CAST(0.0 AS DOUBLE)))""".stripMargin)
+    // summation error at unit magnitudes is ≪ 1e-10 per term REGARDLESS
+    // of summation order, so |exact − approx| < 1e-5: a t − 1e-4 gate
+    // provably keeps every qualifying pair while the expensive decimal
+    // pipeline runs only on the output-bound survivor set
+    def dotFast(a: String, b: String): Column =
+      graft.functions.PortableMath.sparseDotFast(col(a), col(b))
     val repPairs = cand
       .join(vec.select(col("doc_id").as("doc_a"), col("m").as("m_a")), "doc_a")
       .join(vec.select(col("doc_id").as("doc_b"), col("m").as("m_b")), "doc_b")
