@@ -51,7 +51,19 @@ object Dedup {
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
   private[graft] def bucketPairs(banded: DataFrame, keyCols: Seq[String],
       cap: Int = bucketCap): DataFrame =
-    banded.groupBy(keyCols.map(col): _*)
+    // explicit-width keyed repartition instead of the groupBy's implicit
+    // ENSURE_REQUIREMENTS exchange (r14 stage attribution): the bucket
+    // lists are SMALL IN BYTES, so AQE coalesced the exchange's read side
+    // to one partition and the whole in-bucket pair expansion (sort_array
+    // + idPairs explode + distinct partial-agg) ran on ONE CORE — a
+    // 4.5 s single task = ~70% of q_dedup_embedding_lsh's sf0.1 wall,
+    // with the same serialized stage inside every bucketPairs consumer
+    // (minhash/prefix/cosine/editdist/banding). Same key distribution,
+    // same exchange count, deterministic output (xs0 is sorted before
+    // the cap; pair order follows the sorted array)
+    banded.repartition(banded.sparkSession.sparkContext.defaultParallelism,
+        keyCols.map(col): _*)
+      .groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("doc_id")).as("xs0"))
       .filter(size(col("xs0")) >= 2)
       .observe(s"graft.bucket_cap.${obsId.incrementAndGet()}",
@@ -1194,10 +1206,19 @@ object Dedup {
 
   private[graft] def embeddingRepCandidatesOf(e: DataFrame, r: Int = 4,
       b: Int = 64): (DataFrame, DataFrame) = {
+    val np = e.sparkSession.sparkContext.defaultParallelism
     val clusters = e.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep"), sort_array(collect_list(col("vec_id"))).as("members"))
+    // round-robin repartition before the banding — the standing AQE
+    // lesson (r14 stage attribution): the rep frame is SMALL IN BYTES, so
+    // AQE coalesces the groupBy(embedding) exchange to one partition, and
+    // the r·b hyperplane projections per rep + band explode above it then
+    // run on ONE CORE (measured: a 5.2 s single-task stage = 75% of
+    // q_dedup_embedding_lsh's sf0.1 wall; same stage inside
+    // q_dedup_semantic(_auto) and both contrastive queries)
     val banded = bandedEmbeddings(
-        clusters.select(col("rep"), col("embedding")), "rep", r, b)
+        clusters.select(col("rep"), col("embedding")).repartition(np),
+        "rep", r, b)
       .withColumnRenamed("rep", "doc_id")
     val emb = clusters.select(col("rep").as("vec_id"), col("embedding"))
     val repPairs = bucketPairs(banded, Seq("band_idx", "band_val"))

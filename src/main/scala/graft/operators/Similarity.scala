@@ -486,7 +486,13 @@ object Similarity {
       e.select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_emb")),
       "anchor_id")
     val aReps = anchors.groupBy(col("anchor_emb")).agg(min(col("anchor_id")).as("arep"))
+    // round-robin repartition before the mining expansion (the standing
+    // AQE lesson): the class frame is small in bytes, AQE coalesces it to
+    // a handful of partitions, and the |classes|·|anchors| cosine scoring
+    // above it under-parallelizes (r14: 12 s of task time on 20 tasks)
+    val np = e.sparkSession.sparkContext.defaultParallelism
     val classes = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("crep"))
+      .repartition(np)
     val scored = classes.crossJoin(broadcast(aReps))
       .withColumn("score", round(Sketches.cosineSim(col("anchor_emb"), col("embedding")), 6))
       .filter(col("score").isNotNull && col("score") < 0.45)
