@@ -164,10 +164,17 @@ object Bench {
     // headline set → comparable across rounds. A run with failures is
     // flagged partial and counts only queries that actually ran: a -1
     // sentinel must never masquerade as a faster total.
+    // r15 (verdict #2): the original 12 keep cross-round continuity; the
+    // 8 additions are the suite's top-cost queries, so the driver's
+    // per-query comparison finally sees where the seconds actually go
+    // (additions-only — removals/renames read as dropped queries)
     val headline = Seq("q_daily_transactions", "q_top5_zones", "q1_agg",
       "q6_filter_range", "q_join_shuffle", "q_multi_join",
       "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_similarity_topk",
-      "q_corpus_clean", "q_training_mix", "q_stream_stream_join")
+      "q_corpus_clean", "q_training_mix", "q_stream_stream_join",
+      "q_dedup_joint", "q_cosine_pairs", "q_contrastive_hard",
+      "q_contrastive_triples", "q_dedup_semantic", "q_stream_joint_rejects",
+      "q_dedup_prefix", "q_multimodal_perceptual")
     val head = results.filter(r => headline.contains(r._1))
     val partial = if (nFailed > 0) ""","partial":true""" else ""
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size - nFailed},"n_failed":$nFailed$partial,"queries":${toJson(head)}$driftJson,"failed":$failed,"sf":"$sfDir",${RunMeta.jsonFields()}}"""

@@ -33,7 +33,9 @@ object ProbeMaterialize {
     * Order-independent, multiplicity-sensitive, nothing prunable. Map
     * columns are json-ized first (hashing MapType is disallowed —
     * key order would make the hash nondeterministic). */
-  def checksum(df: DataFrame): (Long, Long, BigDecimal) = {
+  /** The checksum-wrapped frame itself — exposed so dev probes can execute
+    * it and then walk ITS executed plan for populated SQL metrics. */
+  private[graft] def wrap(df: DataFrame): DataFrame = {
     val hashable = df.schema.fields.map { f =>
       f.dataType match {
         case _: MapType => to_json(col(f.name)).as(f.name)
@@ -41,10 +43,13 @@ object ProbeMaterialize {
       }
     }
     val h = df.select(hashable.toIndexedSeq: _*)
-    val r = h.select(xxhash64(h.columns.map(col).toIndexedSeq: _*).as("h"))
+    h.select(xxhash64(h.columns.map(col).toIndexedSeq: _*).as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
         sum(col("h").cast(DecimalType(38, 0))).as("s"))
-      .head()
+  }
+
+  def checksum(df: DataFrame): (Long, Long, BigDecimal) = {
+    val r = wrap(df).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
       if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
   }

@@ -30,8 +30,16 @@ object ProbeQueryStages {
         }
       }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-      if (enabled) names.put(e.stageInfo.stageId,
-        e.stageInfo.name.linesIterator.next().take(140))
+      if (enabled) {
+        // the callsite NAME is usually an anonymous AQE future — the first
+        // graft frame in `details` is the attribution that matters (r15)
+        val site = e.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProbeQueryStages")
+            && !l.contains("ProbeMaterialize"))
+          .map(_.trim.stripPrefix("at ")).getOrElse("")
+        names.put(e.stageInfo.stageId,
+          (e.stageInfo.name.linesIterator.next().take(60) + "  " + site).take(180))
+      }
     // per-JOB wall spans: sequential jobs (localCheckpoint, isEmpty
     // convergence checks, broadcasts) each pay scheduling+planning wall
     // that task time never shows; the gaps between jobs are pure
@@ -72,15 +80,46 @@ object ProbeQueryStages {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val l = new StageAgg
     spark.sparkContext.addSparkListener(l)
+    var lastDf: org.apache.spark.sql.DataFrame = null
     def once(): Double = {
       val t0 = System.nanoTime()
-      ProbeMaterialize.checksum(SparkEntry.queries(name)(spark, sfDir))
+      lastDf = ProbeMaterialize.wrap(SparkEntry.queries(name)(spark, sfDir))
+      // collect(), not head(): head re-plans through a fresh limit(1)
+      // QueryExecution, leaving lastDf's own executedPlan (the one the
+      // metric walk reads) unexecuted. The frame is a 1-row aggregate.
+      lastDf.collect()
       (System.nanoTime() - t0) / 1e9
     }
     val t1 = once()
     l.enabled = true // attribute the steady-state run only
     val t2 = once()
     l.enabled = false
+    // GRAFT_PROBE_PLAN=1: walk the executed plan with its populated SQL
+    // metrics — attributes seconds to OPERATORS where the stage listing
+    // only attributes to anonymous AQE futures (r15). Prints nodes whose
+    // own time-like metric exceeds 200 ms, with output rows.
+    if (sys.env.contains("GRAFT_PROBE_PLAN") && lastDf != null) {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan, depth: Int): Unit = {
+        val ms = p.metrics.view.mapValues(_.value).toMap
+        val t = ms.collect { case (k, v)
+          if k.toLowerCase.contains("time") || k == "duration" => v }
+          .foldLeft(0L)(math.max)
+        val rows = ms.getOrElse("numOutputRows", -1L)
+        if (t >= 200)
+          println(f"[plan-metrics] ${"  " * depth}${p.nodeName}%-40s " +
+            f"maxTimeMetric ${t / 1000.0}%8.2f s rows $rows%10d  " +
+            ms.filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.take(6).mkString(" "))
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        kids.foreach(walk(_, depth + 1))
+      }
+      walk(lastDf.queryExecution.executedPlan, 0)
+    }
     Thread.sleep(1500) // listener bus drains async
     println(f"[query-stages] $name: runs $t1%.2f / $t2%.2f s at $sfDir")
     val it = l.byStage.entrySet().iterator()

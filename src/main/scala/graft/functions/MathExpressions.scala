@@ -252,25 +252,58 @@ object SparseDot {
         if (j < nb) { val k2 = b.getStruct(j, 2).getLong(0); if (k2 == kb) dupe(kb); kb = k2 }
       }
     }
+    // r15 (ADVICE): the merge loop above only checks adjacency while BOTH
+    // pointers are live — finish scanning whichever side remains so the
+    // "keeps the map form's loud-failure discipline" guarantee is total,
+    // not partial (tail keys contribute no terms, but a duplicate there
+    // was still a loud map_from_entries failure in the old form)
+    while (i + 1 < na) {
+      val k2 = a.getStruct(i + 1, 2).getLong(0)
+      if (k2 == a.getStruct(i, 2).getLong(0)) dupe(k2)
+      i += 1
+    }
+    while (j + 1 < nb) {
+      val k2 = b.getStruct(j + 1, 2).getLong(0)
+      if (k2 == b.getStruct(j, 2).getLong(0)) dupe(k2)
+      j += 1
+    }
     new JBD(java.math.BigInteger.valueOf(sum), 9).doubleValue()
   }
 
   /** Plain double dot over the intersection, ascending-key order — the
     * prefilter form (consumers must gate with a slack ≥ the documented
-    * 1e-5 bound, which holds for any summation order). */
+    * 1e-5 bound, which holds for any summation order). Duplicate keys
+    * throw exactly like [[exact]] (r15, ADVICE): a silent skip here would
+    * UNDERESTIMATE the prefilter dot and could drop a qualifying pair at
+    * the t − 1e-4 gate before the loud exact dot ever evaluates it. */
   def fast(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0
     var sum = 0.0
+    var pa = Long.MinValue; var hasPa = false
+    var pb = Long.MinValue; var hasPb = false
     while (i < na && j < nb) {
       val ka = a.getStruct(i, 2).getLong(0)
       val kb = b.getStruct(j, 2).getLong(0)
-      if (ka < kb) i += 1
-      else if (kb < ka) j += 1
+      if (hasPa && ka == pa) dupe(ka)
+      if (hasPb && kb == pb) dupe(kb)
+      if (ka < kb) { pa = ka; hasPa = true; i += 1 }
+      else if (kb < ka) { pb = kb; hasPb = true; j += 1 }
       else {
         sum += a.getStruct(i, 2).getDouble(1) * b.getStruct(j, 2).getDouble(1)
+        pa = ka; hasPa = true; pb = kb; hasPb = true
         i += 1; j += 1
       }
+    }
+    while (i < na) {
+      val ka = a.getStruct(i, 2).getLong(0)
+      if (hasPa && ka == pa) dupe(ka)
+      pa = ka; hasPa = true; i += 1
+    }
+    while (j < nb) {
+      val kb = b.getStruct(j, 2).getLong(0)
+      if (hasPb && kb == pb) dupe(kb)
+      pb = kb; hasPb = true; j += 1
     }
     sum
   }

@@ -49,8 +49,16 @@ object Dedup {
     * pairs — would otherwise fail analysis. Each observe gets a unique
     * suffix; consumers match on the `graft.bucket_cap` prefix. */
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
+  /** Exchange width for the pair-expansion path: at least every local
+    * core, and never below the session's shuffle width (on a cluster
+    * where spark.sql.shuffle.partitions is tuned above defaultParallelism
+    * a bare defaultParallelism would UNDER-partition the expansion — the
+    * r14 ADVICE). */
+  private[graft] def pairWidth(df: DataFrame): Int =
+    math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
   private[graft] def bucketPairs(banded: DataFrame, keyCols: Seq[String],
-      cap: Int = bucketCap): DataFrame =
+      cap: Int = bucketCap, spread: Boolean = true): DataFrame = {
     // explicit-width keyed repartition instead of the groupBy's implicit
     // ENSURE_REQUIREMENTS exchange (r14 stage attribution): the bucket
     // lists are SMALL IN BYTES, so AQE coalesced the exchange's read side
@@ -61,8 +69,7 @@ object Dedup {
     // (minhash/prefix/cosine/editdist/banding). Same key distribution,
     // same exchange count, deterministic output (xs0 is sorted before
     // the cap; pair order follows the sorted array)
-    banded.repartition(banded.sparkSession.sparkContext.defaultParallelism,
-        keyCols.map(col): _*)
+    banded.repartition(pairWidth(banded), keyCols.map(col): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("doc_id")).as("xs0"))
       .filter(size(col("xs0")) >= 2)
@@ -79,6 +86,24 @@ object Dedup {
       .select(explode(graft.functions.Pairs.idPairs(col("xs"))).as("pk"))
       .select(col("pk.a").as("doc_a"), col("pk.b").as("doc_b"))
       .distinct()
+      // `spread`: fixed-width spread of the deduped candidates, the same
+      // AQE-coalesce lesson as the banding exchange above, one level
+      // further down (r15 plan-metric attribution on q_dedup_prefix): the
+      // distinct pair set is byte-SMALL (16 B/row — 122k candidates ≈
+      // 2.9 MB) while the consumer's next step is compute-HEAVY per pair
+      // (jaccard re-shingling, levenshtein), so AQE coalesced the
+      // distinct's read side to ONE partition and the whole
+      // BROADCAST-joined verification ran single-core — a 5.1 s max task
+      // ≈ 55% of q_dedup_prefix's wall. A round-robin exchange of 16-byte
+      // rows is the cheap side of that trade, and the distinct keeps its
+      // partial (map-side) dedup. Callers whose verification join
+      // RE-SHUFFLES the candidates by join key anyway (the embedding
+      // family's two SMJ sides) pass spread=false — there the extra
+      // exchange is dead weight on the pair set (measured −25% on
+      // q_dedup_embedding_lsh), and the verification inherits the join
+      // exchange's own width instead.
+      .transform(p => if (spread) p.repartition(pairWidth(banded)) else p)
+  }
 
   /** Skew-safe within-class unordered pair expansion — the mega-class-
     * proof replacement for a bare `explode(idPairs(members))` on
@@ -291,31 +316,61 @@ object Dedup {
     // certificate computed for free during the checkpoint materialization,
     // replacing the per-round comparison-join + isEmpty action (one full
     // driver round-trip and its AQE stage chain per iteration).
+    //
+    // r15 round shape (guide §2.4 "remove shuffles outright"): one shuffle
+    // per round, the information-theoretic floor for label propagation —
+    // messages must move from the neighbor's key to the receiver's key.
+    //  - the symmetrized edge list is hash-partitioned on `dst` ONCE and
+    //    kept resident (persist, not localCheckpoint: a checkpointed
+    //    frame scans as ExistingRDD with UNKNOWN partitioning, so every
+    //    round re-shuffled the edges; a cached frame reports its
+    //    HashPartitioning and the per-round message join consumes it
+    //    co-partitioned with zero edge exchange);
+    //  - next labels = min over (own label ∪ neighbor labels) as ONE
+    //    union + groupBy — algebraically identical to the old
+    //    join-nbr + left_outer + least chain (labels carries every id
+    //    exactly once, so least(own, min(nbrs)) == min over the union),
+    //    but 1 exchange instead of 3 per round (measured 4.45 → 2.85 s
+    //    on q_dedup_semantic at sf0.1).
+    // The repartition width is pinned to numShufflePartitions so the
+    // per-round label exchange lands co-partitioned with the cache
+    // (a defaultParallelism width would mismatch on clusters where
+    // spark.sql.shuffle.partitions is tuned higher — the r14 ADVICE).
     import org.apache.spark.sql.types.DecimalType
     val lMetrics = Seq(count(lit(1)).as("n"),
       sum(col("label").cast(DecimalType(38, 0))).as("s"))
+    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .repartition(np, col("dst"))
+      .persist()
     var (labels, m) = IterConverge.checkpointWithMetrics(
-      edges.select(col("src").as("id")).distinct()
+      edges.select(col("dst").as("id")).distinct()
         .withColumn("label", col("id")), lMetrics)
+    require(m("n").asInstanceOf[Long] == 0L || m("s") != null,
+      "connectedComponents: decimal label-sum overflowed — the convergence " +
+        "certificate would compare nulls; widen the metric before trusting it")
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val nbr = edges
-        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
       val (next, m2) = IterConverge.checkpointWithMetrics(
-        labels.join(nbr, labels("id") === nbr("src"), "left_outer")
-          .select(labels("id"),
-            least(labels("label"), coalesce(col("nbr_min"), labels("label")))
-              .as("label")), lMetrics)
+        msgs.unionByName(labels.select(col("id"), col("label")))
+          .groupBy(col("id")).agg(min(col("label")).as("label")), lMetrics)
+      // a null sum (decimal overflow, needs >1e19 label mass) must fail
+      // loudly: two consecutive overflowed rounds would otherwise compare
+      // null == null and declare convergence spuriously (r14 ADVICE)
+      require(m2("n").asInstanceOf[Long] == 0L || m2("s") != null,
+        "connectedComponents: decimal label-sum overflowed — the " +
+          "convergence certificate would compare nulls")
       done = m2 == m
       labels = next
       m = m2
       iter += 1
     }
+    edges.unpersist(false)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc-labelprop] converged after $iter iterations")
     labels
@@ -375,13 +430,22 @@ object Dedup {
       val nb2 = bothWays(large)
       val mins2 = nb2.groupBy(col("c")).agg(min(col("n")).as("mn"))
         .select(col("c"), least(col("c"), col("mn")).as("m"))
-      val (small, m2) = IterConverge.checkpointWithMetrics(
-        canon(nb2.join(mins2, "c").filter(col("n") < col("c"))
-          .select(col("n").as("u"), col("m").as("v"))
-          .unionByName(mins2.select(col("c").as("u"), col("m").as("v")))),
-        eMetrics)
+      val smallPlan = canon(nb2.join(mins2, "c").filter(col("n") < col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("c").as("u"), col("m").as("v"))))
+      if (iter == 0 && sys.env.contains("GRAFT_CC_EXPLAIN"))
+        smallPlan.explain("formatted")
+      val (small, m2) = IterConverge.checkpointWithMetrics(smallPlan, eMetrics)
+      // exact fixpoint confirmation, ONE job instead of two except()
+      // emptiness probes (r15): both sides are canon'd (distinct) sets, so
+      // the symmetric difference is empty iff every (u, v) of the
+      // two-frame union appears exactly twice — one exchange, one action,
+      // short-circuiting through isEmpty. Convergence is still decided by
+      // exact set equality, never by the metric triple (which only gates
+      // when this check runs at all).
       done = m2 == m &&
-        small.except(edges).isEmpty && edges.except(small).isEmpty
+        small.unionByName(edges).groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") =!= 2).isEmpty
       edges = small
       m = m2
       iter += 1
@@ -1221,7 +1285,8 @@ object Dedup {
         "rep", r, b)
       .withColumnRenamed("rep", "doc_id")
     val emb = clusters.select(col("rep").as("vec_id"), col("embedding"))
-    val repPairs = bucketPairs(banded, Seq("band_idx", "band_val"))
+    val repPairs = bucketPairs(banded, Seq("band_idx", "band_val"),
+        spread = false)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")

@@ -5,7 +5,9 @@
 set -u
 EXTRA=""
 while [ $# -gt 0 ] && [ "${1#-D}" != "$1" ]; do EXTRA="$EXTRA $1"; shift; done
-CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# GRAFT_CLASSES overrides the class dir — interleaved A/B runs point it at
+# snapshotted builds of two commits without re-compiling between runs
+CP="${GRAFT_CLASSES:-target/scala-2.13/classes}:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
