@@ -58,7 +58,7 @@ object Dedup {
     math.max(df.sparkSession.sparkContext.defaultParallelism,
       df.sparkSession.sessionState.conf.numShufflePartitions)
   private[graft] def bucketPairs(banded: DataFrame, keyCols: Seq[String],
-      cap: Int = bucketCap, spread: Boolean = true): DataFrame = {
+      cap: Int = bucketCap, spread: Boolean = false): DataFrame = {
     // explicit-width keyed repartition instead of the groupBy's implicit
     // ENSURE_REQUIREMENTS exchange (r14 stage attribution): the bucket
     // lists are SMALL IN BYTES, so AQE coalesced the exchange's read side
@@ -96,12 +96,15 @@ object Dedup {
       // BROADCAST-joined verification ran single-core — a 5.1 s max task
       // ≈ 55% of q_dedup_prefix's wall. A round-robin exchange of 16-byte
       // rows is the cheap side of that trade, and the distinct keeps its
-      // partial (map-side) dedup. Callers whose verification join
-      // RE-SHUFFLES the candidates by join key anyway (the embedding
-      // family's two SMJ sides) pass spread=false — there the extra
-      // exchange is dead weight on the pair set (measured −25% on
-      // q_dedup_embedding_lsh), and the verification inherits the join
-      // exchange's own width instead.
+      // partial (map-side) dedup. OPT-IN (default false): the paired
+      // full-bench A/B showed the extra exchange costs ~0.1–0.7 s per use
+      // in the warm bench for SMALL candidate sets (the minhash family's
+      // ~2k candidates, per-micro-batch streaming gates, the embedding
+      // family whose verification re-shuffles by join key anyway), while
+      // the single-core-verification fix only pays off where candidates ×
+      // per-pair work is large — q_dedup_prefix's 122k jaccard
+      // re-shinglings (8.0 → 3.1 s). Callers opt in when their
+      // verification is broadcast-joined AND heavy per candidate.
       .transform(p => if (spread) p.repartition(pairWidth(banded)) else p)
   }
 
@@ -356,9 +359,11 @@ object Dedup {
       val msgs = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
-      val (next, m2) = IterConverge.checkpointWithMetrics(
-        msgs.unionByName(labels.select(col("id"), col("label")))
-          .groupBy(col("id")).agg(min(col("label")).as("label")), lMetrics)
+      val nextPlan = msgs.unionByName(labels.select(col("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      if (iter == 0 && sys.env.contains("GRAFT_CC_EXPLAIN"))
+        nextPlan.explain("formatted")
+      val (next, m2) = IterConverge.checkpointWithMetrics(nextPlan, lMetrics)
       // a null sum (decimal overflow, needs >1e19 label mass) must fail
       // loudly: two consecutive overflowed rounds would otherwise compare
       // null == null and declare convergence spuriously (r14 ADVICE)
@@ -436,16 +441,16 @@ object Dedup {
       if (iter == 0 && sys.env.contains("GRAFT_CC_EXPLAIN"))
         smallPlan.explain("formatted")
       val (small, m2) = IterConverge.checkpointWithMetrics(smallPlan, eMetrics)
-      // exact fixpoint confirmation, ONE job instead of two except()
-      // emptiness probes (r15): both sides are canon'd (distinct) sets, so
-      // the symmetric difference is empty iff every (u, v) of the
-      // two-frame union appears exactly twice — one exchange, one action,
-      // short-circuiting through isEmpty. Convergence is still decided by
-      // exact set equality, never by the metric triple (which only gates
-      // when this check runs at all).
+      // exact fixpoint confirmation stays the two except().isEmpty probes:
+      // r15 tried fusing them into one union+groupBy symmetric-difference
+      // job and the interleaved A/B came back WORSE (clusters_lss
+      // 3.8 → 4.4 s, joint 6.4 → 7.3 s min-of-4) — except() over these
+      // tiny checkpointed frames plans as BROADCAST anti-joins with no
+      // exchange at all, while the fused form forces a real shuffle. The
+      // triple gate already makes non-converged rounds free; this runs
+      // once per call, at the fixpoint.
       done = m2 == m &&
-        small.unionByName(edges).groupBy(col("u"), col("v"))
-          .agg(count(lit(1)).as("cnt")).filter(col("cnt") =!= 2).isEmpty
+        small.except(edges).isEmpty && edges.except(small).isEmpty
       edges = small
       m = m2
       iter += 1
@@ -1285,8 +1290,7 @@ object Dedup {
         "rep", r, b)
       .withColumnRenamed("rep", "doc_id")
     val emb = clusters.select(col("rep").as("vec_id"), col("embedding"))
-    val repPairs = bucketPairs(banded, Seq("band_idx", "band_val"),
-        spread = false)
+    val repPairs = bucketPairs(banded, Seq("band_idx", "band_val"))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")

@@ -108,7 +108,12 @@ object SimilarityJoins {
       explode(slice(col("w"), lit(1),
         size(col("w")) - ceil(lit(t) * size(col("w"))).cast("int") + 1))
         .as("token"))
-    val cand = Dedup.bucketPairs(pref, Seq("token"))
+    // spread=true (r15): 122k candidates each re-shingle two texts in the
+    // broadcast-joined verification below — AQE coalesced the candidate
+    // distinct's 2.9 MB read side to one partition and the whole
+    // verification ran single-core (a 5.1 s max task ≈ 55% of this
+    // query's wall; 8.0 → 3.1 s with the spread)
+    val cand = Dedup.bucketPairs(pref, Seq("token"), spread = true)
     val g = toks
     val repPairs = cand
       .join(g.select(col("doc_id").as("doc_a"), col("g").as("g_a")), "doc_a")
